@@ -1,0 +1,91 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed via a noop sink (no driver-side
+materialization of results — mirrors how a cluster job would terminate in
+a table write). One tiny warmup action absorbs JVM/codegen startup so the
+numbers measure the queries, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fluss_iceberg_spark import registry
+from fluss_iceberg_spark.session import get_spark
+
+# Curated headline set (extend as operators land). Anything listed here but
+# not (yet) registered is skipped, so bench.py never breaks mid-build.
+HEADLINE = [
+    "ref_enriched_orders",
+    "ref_nation_revenue",
+    "ref_top5_nations",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "window_top_customer_per_nation",
+    "agg_priority_distribution",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_dedup_latest",
+    "lake_upsert_customers",
+    "lake_union_read",
+    "stream_nation_revenue",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "text_lang_id",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def _execute(df) -> None:
+    """Run the full plan without collecting results to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark(app_name="fluss-iceberg-spark-bench")
+
+    # warmup: JVM / codegen / parquet footer caches
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _execute(registry.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,445 @@
+"""Snapshot-log Parquet table format (Iceberg-equivalent contract).
+
+Layout per table, under a catalog warehouse directory::
+
+    {warehouse}/{table}/
+        meta/table.json          # schema DDL, primary key, bucket count, props
+        meta/v{N}.json           # snapshot N: operation, file list, counters
+        meta/VERSION             # current snapshot pointer (atomic os.replace)
+        data/s{N}/...parquet     # files added by snapshot N (immutable)
+        hot/batch={B}/...parquet # staged stream batches not yet tiered
+
+Semantics mirrored from the reference:
+
+- **Log table** (no PK): append-only; each commit adds files
+  (fluss_order, README.md:141-149).
+- **PK table**: MERGE upsert keyed by the primary key — later writes win
+  (``PRIMARY KEY ... NOT ENFORCED``, README.md:160,168,199). Implemented
+  as *bucketed copy-on-write*: rows are hash-bucketed by PK
+  (``pmod(hash(pk), n_buckets)``); a merge rewrites only the buckets that
+  contain updated keys and carries the untouched buckets' files forward
+  into the new snapshot. At 100 TB this bounds a merge's I/O to
+  (table_size / n_buckets) × touched_buckets instead of a full rewrite,
+  and reads stay file-pruned per bucket.
+- **NOT NULL enforcement = DROP** (sql-client.sql:50): rows with NULLs in
+  declared not-null columns are silently dropped at the sink.
+- **Snapshot metadata** (``t$snapshots``, README.md:274-275): the
+  ``snapshots()`` DataFrame; **time travel** via ``read(version=N)``.
+- **Hot∪cold union read** (README.md:296-316): ``write_hot_batch`` stages
+  stream micro-batches; ``tier()`` drains staged batches ≤ a new watermark
+  into the lake atomically with the snapshot commit; ``union_read()``
+  returns lake ∪ still-hot batches. The watermark lives *inside* the
+  snapshot json, so the dedup boundary is exactly-once: a batch is visible
+  either via the lake (batch ≤ watermark) or via hot (batch > watermark),
+  never both (SURVEY §4 "hardest correctness spot").
+
+Commit protocol: data files are written first, then the snapshot json,
+then the VERSION pointer flips via ``os.replace`` (atomic on POSIX). This
+is single-writer per table — the role a real deployment gives the Iceberg
+REST catalog's CAS (docker-compose.yml:126-137); swapping the pointer
+flip for a catalog-service CAS is the only change a cluster needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+def _list_parquet(d: str) -> list[str]:
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    committed_at_ms: int
+    operation: str  # append | merge | overwrite | tier
+    files: list[str]  # table-relative data file paths
+    total_rows: int
+    added_rows: int
+    hot_watermark: int  # highest hot batch id tiered into this snapshot
+    summary: dict
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        return Snapshot(**json.loads(s))
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "meta", "table.json")) as f:
+            meta = json.load(f)
+        self.name: str = meta["name"]
+        self.schema: T.StructType = T.StructType.fromJson(meta["schema"])
+        self.primary_key: list[str] = meta.get("primary_key") or []
+        self.n_buckets: int = meta.get("n_buckets", 16)
+        self.not_null: list[str] = meta.get("not_null") or []
+        self.properties: dict = meta.get("properties") or {}
+
+    # ---------- snapshot log ----------
+
+    def _meta(self, *parts: str) -> str:
+        return os.path.join(self.path, "meta", *parts)
+
+    def current_version(self) -> int:
+        vf = self._meta("VERSION")
+        if not os.path.exists(vf):
+            return -1
+        with open(vf) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot | None:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            return None
+        with open(self._meta(f"v{v}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def _commit(
+        self,
+        operation: str,
+        files: list[str],
+        total_rows: int,
+        added_rows: int,
+        hot_watermark: int | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        parent = self.snapshot()
+        version = self.current_version() + 1
+        snap = Snapshot(
+            snapshot_id=version,
+            committed_at_ms=int(time.time() * 1000),
+            operation=operation,
+            files=files,
+            total_rows=total_rows,
+            added_rows=added_rows,
+            hot_watermark=(
+                hot_watermark
+                if hot_watermark is not None
+                else (parent.hot_watermark if parent else -1)
+            ),
+            summary=summary or {},
+        )
+        _atomic_write(self._meta(f"v{version}.json"), snap.to_json())
+        _atomic_write(self._meta("VERSION"), str(version))
+        return snap
+
+    # ---------- writes ----------
+
+    def _enforce_not_null(self, df: DataFrame) -> DataFrame:
+        """S16: sink not-null enforcer = DROP (sql-client.sql:50)."""
+        cols = [c for c in self.not_null if c in df.columns]
+        return df.na.drop(subset=cols) if cols else df
+
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.hash(*[F.col(k) for k in self.primary_key]), F.lit(self.n_buckets))
+
+    def _write_files(self, df: DataFrame, snapshot_id: int, bucketed: bool) -> list[str]:
+        """Write df as parquet under data/s{snapshot_id}; returns
+        table-relative paths. PK tables write one directory per PK-hash
+        bucket so merges can prune untouched buckets."""
+        rel = f"data/s{snapshot_id}"
+        out = os.path.join(self.path, rel)
+        if bucketed:
+            (
+                df.withColumn("__bucket", self._bucket_col())
+                .repartition(self.n_buckets, "__bucket")
+                .write.partitionBy("__bucket")
+                .mode("overwrite")
+                .parquet(out)
+            )
+            files = []
+            for b in os.listdir(out):
+                if b.startswith("__bucket="):
+                    files += [
+                        os.path.join(rel, b, f)
+                        for f in os.listdir(os.path.join(out, b))
+                        if f.endswith(".parquet")
+                    ]
+            return sorted(files)
+        df.write.mode("overwrite").parquet(out)
+        return [os.path.join(rel, os.path.basename(f)) for f in _list_parquet(out)]
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """Log-table append (S14 batch form). New snapshot = parent files +
+        newly written files; existing data is never rewritten."""
+        if self.primary_key:
+            raise ValueError(f"{self.name}: PK table requires merge(), not append()")
+        df = self._enforce_not_null(df.select(*self.schema.fieldNames()))
+        version = self.current_version() + 1
+        files = self._write_files(df, version, bucketed=False)
+        added = self._rows_in(files)
+        parent = self.snapshot()
+        all_files = (parent.files if parent else []) + files
+        total = (parent.total_rows if parent else 0) + added
+        return self._commit("append", all_files, total, added)
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        df = self._enforce_not_null(df.select(*self.schema.fieldNames()))
+        version = self.current_version() + 1
+        files = self._write_files(df, version, bucketed=bool(self.primary_key))
+        n = self._rows_in(files)
+        return self._commit("overwrite", files, n, n)
+
+    def merge(self, updates: DataFrame) -> Snapshot:
+        """PK-upsert (MERGE): last write per key wins (ST4, README.md:247-250).
+
+        Bucketed copy-on-write: only buckets containing updated keys are
+        rewritten (anti-join old ∪ new within the bucket); files of
+        untouched buckets carry forward into the new snapshot unchanged.
+        """
+        if not self.primary_key:
+            raise ValueError(f"{self.name}: merge() requires a primary key")
+        updates = self._enforce_not_null(updates.select(*self.schema.fieldNames()))
+        # collapse intra-batch duplicates: last occurrence per key wins is
+        # undefined without order, so use an arbitrary-but-deterministic
+        # max-by over all columns via row_number on a monotonic id
+        updates = updates.dropDuplicates(self.primary_key)
+
+        parent = self.snapshot()
+        version = self.current_version() + 1
+        upd = updates.withColumn("__bucket", self._bucket_col())
+        touched = [r["__bucket"] for r in upd.select("__bucket").distinct().collect()]
+
+        if parent is None or not parent.files:
+            files = self._write_files(updates, version, bucketed=True)
+            n = self._rows_in(files)
+            return self._commit("merge", files, n, n, summary={"touched_buckets": touched})
+
+        # split parent files into touched vs untouched buckets
+        def bucket_of(relpath: str) -> int | None:
+            for part in relpath.split(os.sep):
+                if part.startswith("__bucket="):
+                    return int(part.split("=", 1)[1])
+            return None
+
+        touched_set = set(touched)
+        keep_files = [f for f in parent.files if bucket_of(f) not in touched_set]
+        old_touched = [f for f in parent.files if bucket_of(f) in touched_set]
+
+        rel = f"data/s{version}"
+        out = os.path.join(self.path, rel)
+        if old_touched:
+            old_df = self.spark.read.schema(
+                T.StructType(self.schema.fields)
+            ).parquet(*[os.path.join(self.path, f) for f in old_touched])
+            survivors = old_df.join(
+                updates.select(*self.primary_key), on=self.primary_key, how="left_anti"
+            )
+            new_state = survivors.unionByName(updates)
+        else:
+            new_state = updates
+        (
+            new_state.withColumn("__bucket", self._bucket_col())
+            .repartition(len(touched_set) or 1, "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        new_files = []
+        for b in os.listdir(out):
+            if b.startswith("__bucket="):
+                new_files += [
+                    os.path.join(rel, b, f)
+                    for f in os.listdir(os.path.join(out, b))
+                    if f.endswith(".parquet")
+                ]
+        files = sorted(keep_files + new_files)
+        total = self._rows_in(files)
+        return self._commit(
+            "merge", files, total, self._rows_in(new_files), summary={"touched_buckets": touched}
+        )
+
+    def _rows_in(self, files: list[str]) -> int:
+        """Exact row count from parquet footers — no plan re-execution.
+        (The Iceberg analogue: manifest-recorded record counts.)"""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows for f in files
+        )
+
+    # ---------- reads ----------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (cold-only — the reference's Trino view,
+        README.md:257-292). ``version`` = time travel (M1-adjacent)."""
+        snap = self.snapshot(version)
+        if snap is None or not snap.files:
+            return self.spark.createDataFrame([], self.schema)
+        return (
+            self.spark.read.schema(T.StructType(self.schema.fields))
+            .parquet(*[os.path.join(self.path, f) for f in snap.files])
+            .select(*self.schema.fieldNames())
+        )
+
+    def snapshots(self) -> DataFrame:
+        """The ``t$snapshots`` metadata table (M1, README.md:274-275)."""
+        rows = []
+        for v in range(self.current_version() + 1):
+            s = self.snapshot(v)
+            rows.append(
+                (
+                    s.snapshot_id,
+                    s.committed_at_ms,
+                    s.operation,
+                    len(s.files),
+                    s.total_rows,
+                    s.added_rows,
+                    s.hot_watermark,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, committed_at_ms long, operation string, "
+            "n_files int, total_rows long, added_rows long, hot_watermark long",
+        )
+
+    # ---------- hot staging + tiering + union read ----------
+
+    def _hot_dir(self, batch_id: int) -> str:
+        return os.path.join(self.path, "hot", f"batch={batch_id}")
+
+    def hot_batches(self) -> list[int]:
+        hot = os.path.join(self.path, "hot")
+        if not os.path.isdir(hot):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(hot) if d.startswith("batch=")
+        )
+
+    def write_hot_batch(self, df: DataFrame, batch_id: int) -> None:
+        """Stage a stream micro-batch in the hot store (the Fluss role).
+        Idempotent per batch_id: a retried batch overwrites itself."""
+        df = self._enforce_not_null(df.select(*self.schema.fieldNames()))
+        df.write.mode("overwrite").parquet(self._hot_dir(batch_id))
+
+    def read_hot(self, after_watermark: int | None = None) -> DataFrame:
+        wm = (
+            after_watermark
+            if after_watermark is not None
+            else (self.snapshot().hot_watermark if self.snapshot() else -1)
+        )
+        batches = [b for b in self.hot_batches() if b > wm]
+        if not batches:
+            return self.spark.createDataFrame([], self.schema)
+        return (
+            self.spark.read.schema(T.StructType(self.schema.fields))
+            .parquet(*[self._hot_dir(b) for b in batches])
+            .select(*self.schema.fieldNames())
+        )
+
+    def tier(self, up_to_batch: int | None = None) -> Snapshot | None:
+        """Lake tiering (S17/ST5): drain staged hot batches ≤ up_to_batch
+        into the lake, advancing the watermark atomically with the commit.
+        Append semantics for log tables, MERGE for PK tables — matching
+        the reference tiering job (docker-compose.yml:95-111)."""
+        current_wm = self.snapshot().hot_watermark if self.snapshot() else -1
+        batches = [b for b in self.hot_batches() if b > current_wm]
+        if up_to_batch is not None:
+            batches = [b for b in batches if b <= up_to_batch]
+        if not batches:
+            return None
+        new_wm = max(batches)
+        df = (
+            self.spark.read.schema(T.StructType(self.schema.fields))
+            .parquet(*[self._hot_dir(b) for b in batches])
+            .select(*self.schema.fieldNames())
+        )
+        if self.primary_key:
+            snap = self.merge(df)
+        else:
+            snap = self.append(df)
+        # rewrite the snapshot with the advanced watermark (same commit id:
+        # merge/append above created vN; stamp watermark into it atomically)
+        snap.hot_watermark = new_wm
+        snap.operation = "tier"
+        _atomic_write(self._meta(f"v{snap.snapshot_id}.json"), snap.to_json())
+        return snap
+
+    def union_read(self) -> DataFrame:
+        """Hot∪cold union read (U1, README.md:296-316): lake snapshot plus
+        hot batches beyond the snapshot's watermark. The watermark makes
+        the boundary exactly-once: no dup, no gap."""
+        return self.read().unionByName(self.read_hot())
+
+
+class LakeCatalog:
+    """Directory-per-table catalog (the Iceberg-REST-catalog role, S8/S18)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.table_path(name), "meta", "table.json"))
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        primary_key: list[str] | None = None,
+        not_null: list[str] | None = None,
+        n_buckets: int = 16,
+        properties: dict | None = None,
+        replace: bool = False,
+    ) -> LakeTable:
+        """S9/S10/S11: CREATE TABLE (log / PK / datalake-enabled). Datalake
+        properties (freshness etc., README.md:189-190) go into
+        ``properties`` and drive the tiering scheduler."""
+        path = self.table_path(name)
+        if self.exists(name):
+            if not replace:
+                raise ValueError(f"table {name} already exists")
+            shutil.rmtree(path)
+        os.makedirs(os.path.join(path, "meta"), exist_ok=True)
+        meta = {
+            "name": name,
+            "schema": schema.jsonValue(),
+            "primary_key": primary_key or [],
+            "not_null": not_null or [],
+            "n_buckets": n_buckets,
+            "properties": properties or {},
+        }
+        _atomic_write(os.path.join(path, "meta", "table.json"), json.dumps(meta))
+        return LakeTable(self.spark, path)
+
+    def load(self, name: str) -> LakeTable:
+        if not self.exists(name):
+            raise KeyError(f"no such table: {name}")
+        return LakeTable(self.spark, self.table_path(name))
+
+    def drop(self, name: str) -> None:
+        if self.exists(name):
+            shutil.rmtree(self.table_path(name))

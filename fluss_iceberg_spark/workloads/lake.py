@@ -1,0 +1,161 @@
+"""Lake-layer queries: PK upsert, union read, time travel, snapshot metadata.
+
+Each query builds a scratch lake table under /tmp from the sf_dir testdata
+(idempotent per call — the scratch dir is recreated), then reads it back.
+The oracle expresses the *expected final state* in plain SQL over the
+source parquet, so the driver's differential check validates the whole
+write path: bucketing, copy-on-write merge, watermark boundary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.lake.table import LakeCatalog
+from fluss_iceberg_spark.registry import query
+from fluss_iceberg_spark.sources.tpch import load_table
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/fluss_lake_scratch/{tag}/{name}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _customer_updates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Base batch = full customer dim; update batch = every 5th key gets
+    acctbal+1000 and mktsegment='UPDATED' (deterministic, SQL-expressible)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nation_key"),
+        F.col("c_acctbal").cast("decimal(15,2)").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    updates = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").cast("int").alias("cust_key"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("int").alias("nation_key"),
+            (F.col("c_acctbal") + F.lit(1000.0)).cast("decimal(15,2)").alias("acctbal"),
+            F.lit("UPDATED").alias("mktsegment"),
+        )
+    )
+    return cust, updates
+
+
+@query(
+    "lake_upsert_customers",
+    oracle="""
+    SELECT CAST(c_custkey AS INT) AS cust_key,
+           c_name AS name,
+           CAST(c_nationkey AS INT) AS nation_key,
+           CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000.0
+                     ELSE c_acctbal END AS DECIMAL(15,2)) AS acctbal,
+           CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED'
+                ELSE c_mktsegment END AS mktsegment
+    FROM customer
+    """,
+)
+def lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/ST4 PK-upsert: MERGE base batch then update batch into a PK lake
+    table (bucketed copy-on-write); final state = last write per key
+    (README.md:153-169, 196-203)."""
+    cat = LakeCatalog(spark, _scratch(sf_dir, "upsert"))
+    base, updates = _customer_updates(spark, sf_dir)
+    t = cat.create_table(
+        "dim_customer",
+        base.schema,
+        primary_key=["cust_key"],
+        not_null=["cust_key"],
+        n_buckets=8,
+        replace=True,
+    )
+    t.merge(base)
+    t.merge(updates)
+    return t.read()
+
+
+_ORDER_COLS_SQL = """
+    SELECT o_orderkey AS order_key,
+           CAST(o_custkey AS INT) AS cust_key,
+           CAST(o_totalprice AS DECIMAL(15,2)) AS total_price,
+           o_orderpriority AS order_priority
+    FROM orders
+"""
+
+
+def _order_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").cast("int").alias("cust_key"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+        F.col("o_orderpriority").alias("order_priority"),
+    )
+
+
+def _build_union_table(spark: SparkSession, sf_dir: str):
+    """Cold: orderkey%3∈{1,2} appended in two commits, then batch 1 of hot
+    data tiered (watermark=1). Hot-but-untiered: batch 2. Union read must
+    return exactly the full orders table — no dup, no gap."""
+    cat = LakeCatalog(spark, _scratch(sf_dir, "union"))
+    o = _order_frame(spark, sf_dir)
+    t = cat.create_table("fluss_order", o.schema, replace=True)
+    t.append(o.filter(F.col("order_key") % 3 == 1))
+    t.append(o.filter(F.col("order_key") % 3 == 2))
+    hot = o.filter(F.col("order_key") % 3 == 0)
+    t.write_hot_batch(hot.filter(F.col("order_key") % 2 == 0), batch_id=1)
+    t.write_hot_batch(hot.filter(F.col("order_key") % 2 == 1), batch_id=2)
+    t.tier(up_to_batch=1)
+    return t
+
+
+@query("lake_union_read", oracle=_ORDER_COLS_SQL)
+def lake_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 hot∪cold union read (README.md:296-316): lake snapshot (incl. a
+    tiered batch) plus hot batches beyond the snapshot watermark."""
+    return _build_union_table(spark, sf_dir).union_read()
+
+
+@query(
+    "lake_time_travel",
+    oracle=f"SELECT * FROM ({_ORDER_COLS_SQL}) o WHERE order_key % 3 = 1",
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (Iceberg VERSION AS OF, SURVEY §2.7): read snapshot v0
+    of the union-read table = the first append only."""
+    return _build_union_table(spark, sf_dir).read(version=0)
+
+
+@query("lake_snapshots")  # metadata — no SQL oracle; driver rows-only check
+def lake_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 ``t$snapshots`` (README.md:274-275): commit history incl. the
+    tiering watermark advance."""
+    return _build_union_table(spark, sf_dir).snapshots()
+
+
+@query(
+    "lake_cold_vs_union_counts",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN order_key % 3 <> 0 OR (order_key % 3 = 0 AND order_key % 2 = 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS cold_cnt,
+           COUNT(1) AS union_cnt
+    FROM ({_ORDER_COLS_SQL}) o
+    """,
+)
+def lake_cold_vs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's observable tiering contract (README.md:307-316):
+    cold-only count (Trino view) ≤ union-read count (Flink view)."""
+    t = _build_union_table(spark, sf_dir)
+    cold = t.read().agg(F.count(F.lit(1)).alias("cold_cnt"))
+    union = t.union_read().agg(F.count(F.lit(1)).alias("union_cnt"))
+    return cold.crossJoin(union)

@@ -250,9 +250,16 @@ class LakeTable:
             old_df = self.spark.read.schema(
                 T.StructType(self.schema.fields)
             ).parquet(*[os.path.join(self.path, f) for f in old_touched])
-            survivors = old_df.join(
-                updates.select(*self.primary_key), on=self.primary_key, how="left_anti"
+            # null-safe key equality: NULL is a legal PK value (the
+            # reference's NULL nation group, FIXTURES.md invariant 3)
+            upd_keys = updates.select(
+                *[F.col(k).alias(f"__u_{k}") for k in self.primary_key]
             )
+            cond = None
+            for k in self.primary_key:
+                c = old_df[k].eqNullSafe(upd_keys[f"__u_{k}"])
+                cond = c if cond is None else (cond & c)
+            survivors = old_df.join(upd_keys, on=cond, how="left_anti")
             new_state = survivors.unionByName(updates)
         else:
             new_state = updates

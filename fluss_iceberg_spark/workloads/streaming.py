@@ -1,0 +1,163 @@
+"""Streaming-pipeline queries: incremental results must equal batch SQL.
+
+The driver's gate is batch/deterministic, so these queries run the
+streaming machinery to completion (deterministic micro-batch replay, or
+Structured Streaming with availableNow) and return the final table state.
+The oracle is the one-shot batch SQL — asserting the reference pipeline's
+core contract: incremental upsert aggregation == batch recompute
+(SURVEY §5.4, FIXTURES invariant 4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.lake.table import LakeCatalog
+from fluss_iceberg_spark.registry import query
+from fluss_iceberg_spark.sources import faker
+from fluss_iceberg_spark.sources.tpch import load_table
+from fluss_iceberg_spark.streaming.pipeline import ReferencePipeline
+from fluss_iceberg_spark.workloads.reference import _ENRICH_SQL, _reference_frames
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/fluss_stream_scratch/{tag}/{name}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def _run_pipeline(spark: SparkSession, sf_dir: str, name: str) -> ReferencePipeline:
+    """Deterministic replay: sf orders split into 4 micro-batches by
+    pmod(order_key, 4); batch 2 is deliberately replayed to exercise the
+    idempotence skip (ST5). Dim snapshots are fixed for the whole run —
+    the deterministic refinement of the processing-time lookup join."""
+    orders, customer, nation = _reference_frames(spark, sf_dir)
+    pipe = ReferencePipeline(spark, LakeCatalog(spark, _scratch(sf_dir, name)))
+    for batch_id in range(4):
+        batch = orders.filter(F.pmod("order_key", F.lit(4)) == batch_id)
+        applied = pipe.process_order_batch(batch, customer, nation, batch_id)
+        assert applied
+        if batch_id == 2:  # replay must be a no-op
+            assert not pipe.process_order_batch(batch, customer, nation, batch_id)
+        if batch_id % 2 == 1:  # tier every other batch; rest stays hot
+            pipe.tier_enriched()
+    return pipe
+
+
+@query(
+    "stream_nation_revenue",
+    oracle=f"""
+    SELECT nation_name, CAST(SUM(total_price) AS DOUBLE) AS revenue
+    FROM ({_ENRICH_SQL}) e
+    GROUP BY nation_name
+    """,
+)
+def stream_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/ST4: MERGE-delta upsert aggregation over 4 micro-batches (with a
+    replayed batch) == one-shot batch GROUP BY (README.md:247-250)."""
+    pipe = _run_pipeline(spark, sf_dir, "nation_revenue")
+    return pipe.revenue.read().select(
+        "nation_name", F.col("revenue").cast("double").alias("revenue")
+    )
+
+
+@query("stream_enriched_union", oracle=_ENRICH_SQL)
+def stream_enriched_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 through the pipeline: enriched_orders union read (tiered lake
+    commits ∪ still-hot batches) == batch enrichment of all orders
+    (README.md:296-316)."""
+    pipe = _run_pipeline(spark, sf_dir, "enriched_union")
+    return pipe.enriched.union_read()
+
+
+@query(
+    "stream_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming: file source → tumbling 1-hour window
+    aggregation (complete mode) → memory sink, driven to completion with
+    availableNow. Result equals the batch windowed aggregation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the file stream source requires a directory: expose the single
+    # parquet file through a scratch dir symlink
+    src_dir = _scratch(sf_dir, "events_src")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    sink = f"stream_events_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("window.start").alias("hour"), "event_type", "n_events", "sum_value"
+    )
+
+
+@query("faker_pipeline_top5")  # generator output: no SQL oracle (rows-only)
+def faker_pipeline_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo end-to-end on its own synthetic sources
+    (sql-client.sql domains): faker orders/customers/nations → dim upsert
+    (last write per key) → pipeline → top-5 nations (README.md:280-283).
+    Deterministic via hash-based generators, but not SQL-expressible."""
+    from pyspark.sql import Window
+
+    orders = faker.orders_batch(spark, 10_000)
+
+    def _latest_per_key(n_rows: int, columns, key: str) -> DataFrame:
+        # PK-upsert semantics on the generator stream: the row with the
+        # highest source id wins (sql-client.sql:27,42 PRIMARY KEY upsert)
+        rng = spark.range(n_rows)
+        df = rng.select(
+            F.col("id").alias("__id"),
+            *[e.alias(nm) for nm, e in columns(F.col("id")).items()],
+        )
+        w = Window.partitionBy(key).orderBy(F.desc("__id"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__id", "__rn")
+        )
+
+    customers = _latest_per_key(200, faker._customer_columns, "cust_key")
+    nations = _latest_per_key(100, faker._nation_columns, "nation_key")
+    pipe = ReferencePipeline(
+        spark, LakeCatalog(spark, _scratch("faker", "pipeline"))
+    )
+    pipe.process_order_batch(orders, customers, nations, 0)
+    return (
+        pipe.revenue.read()
+        .orderBy(F.desc_nulls_last("revenue"), F.asc_nulls_last("nation_name"))
+        .limit(5)
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators for training-data pipelines (SURVEY §7 phase 6).
+
+All hot-path expressions are JVM-side built-ins (split / regexp / length
+arithmetic) — no Python UDFs — so they stay inside whole-stage codegen and
+scale linearly with partitions. Formulas are chosen to be expressible
+identically in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword inventories per language for the heuristic language ID.
+# Word-boundary regexes work the same in Java regex (Spark) and RE2 (DuckDB).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+    "zh": ["de", "shi", "bu", "le", "zai"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish regex split)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_class_count(text: Column, pattern: str) -> Column:
+    """#chars matching a regex class, via length arithmetic (JVM-side)."""
+    return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """#occurrences of any of the given words (word-bounded)."""
+    return F.regexp_count(F.lower(text), F.lit(r"\b(" + "|".join(words) + r")\b"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token stats, character-class
+    ratios, stopword density — the standard pre-training quality filters."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        # mean token length = non-space chars / tokens
+        (char_class_count(t, r"\s").cast("double")).alias("n_spaces"),
+        ((n_chars - char_class_count(t, r"\s")).cast("double") / n_tokens).alias(
+            "avg_token_len"
+        ),
+        (char_class_count(t, r"[0-9]").cast("double") / n_chars).alias("digit_ratio"),
+        (char_class_count(t, r"[^a-zA-Z0-9\s]").cast("double") / n_chars).alias(
+            "punct_ratio"
+        ),
+        (stopword_hits(t, LANG_STOPWORDS["en"]).cast("double") / n_tokens).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: rewards stopword density and sane
+    token lengths, penalizes digit/punct noise. Deterministic arithmetic
+    only — mirrors the oracle SQL exactly."""
+    f = quality_features(df, text_col)
+    score = (
+        F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.4
+        + F.when((F.col("avg_token_len") >= 3.0) & (F.col("avg_token_len") <= 10.0), 0.3)
+        .otherwise(0.0)
+        + F.greatest(F.lit(0.0), F.lit(0.2) - F.col("digit_ratio") * 2.0)
+        + F.greatest(F.lit(0.0), F.lit(0.1) - F.col("punct_ratio"))
+    )
+    return f.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    ties broken by language code order, 'und' (undetermined) when no
+    stopword matches at all."""
+    t = F.col(text_col)
+    scores = lang_scores(t)
+    # argmax with deterministic tie-break: iterate langs in sorted order,
+    # keep the first with the maximal score
+    best = F.greatest(*[scores[g] for g in sorted(scores)])
+    pred = F.lit("und")
+    for g in sorted(scores, reverse=True):
+        pred = F.when(scores[g] == best, F.lit(g)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = [F.col("doc_id"), pred.alias("pred_lang")]
+    for g in sorted(scores):
+        out.append(scores[g].alias(f"score_{g}"))
+    return df.select(*out)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (md5 hex output is engine-portable)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,91 @@
+"""Deduplication queries over documents/embeddings (training-data ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fluss_iceberg_spark.operators import dedup as DD
+from fluss_iceberg_spark.registry import query
+from fluss_iceberg_spark.sources.tpch import load_table
+
+# exact pairwise n-gram Jaccard in DuckDB — the ground truth both the
+# exact query and the LSH query are gated against
+_JACCARD_SQL = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8
+"""
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(1) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text fingerprint."""
+    return DD.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (τ=0.8) via the inverted
+    shingle index — cost Σ bucket², not n²."""
+    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.8)
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_SQL)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16×4) candidates, exact-Jaccard verified (τ=0.8).
+    Gated against the *exact* pairwise ground truth: candidate recall at
+    J≥0.8 is ≈1-3e-4 per pair, so verified output equals the exact
+    result; the banded candidate join is what scales to 100 TB."""
+    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.8)
+
+
+@query("dedup_simhash")  # xxhash64 is not expressible in DuckDB → rows-only
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs, Hamming ≤ 3, via 16-bit chunk
+    banding (pigeonhole). Recall/precision asserted in unit tests against
+    the exact Jaccard pairs."""
+    return DD.simhash_near_pairs(load_table(spark, sf_dir, "documents"), 3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a,
+           b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+)
+def embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (τ=0.45), exact brute force —
+    the LSH-bucketed scale path is ann_lsh_topk."""
+    return DD.embedding_near_pairs(load_table(spark, sf_dir, "embeddings"), 0.45)

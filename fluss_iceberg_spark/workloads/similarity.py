@@ -1,0 +1,49 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.operators import similarity as SIM
+from fluss_iceberg_spark.registry import query
+from fluss_iceberg_spark.sources.tpch import load_table
+
+N_QUERIES = 8  # query set: vec_id < 8
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id,
+               n.vec_id AS nn_id,
+               round(list_dot_product(q.v, n.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))),
+                     4) AS cosine
+        FROM v q JOIN v n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, nn_id, cosine, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= 10
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 8 query vectors: queries are
+    broadcast, one scan over the vector table, window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), 10)
+
+
+@query("ann_lsh_topk")  # approximate → rows-only gate; recall tested in units
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-10: probe only the query's bucket.
+    The scale path — the bucket equi-join replaces the n×q cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), 10)

@@ -93,6 +93,11 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (complete mode) → memory sink, driven to completion with
     availableNow. Result equals the batch windowed aggregation."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming state shuffles use the session's shuffle.partitions; under
+    # a default session that is 200 — far too many for this state size.
+    # The state-store partition count is fixed per checkpoint (fresh here).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     raw_schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
@@ -119,7 +124,10 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select(
         F.col("window.start").alias("hour"), "event_type", "n_events", "sum_value"
     )

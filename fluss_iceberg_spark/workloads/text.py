@@ -1,0 +1,108 @@
+"""Text-analysis queries over the documents table (training-data ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.operators import text as TX
+from fluss_iceberg_spark.registry import query
+from fluss_iceberg_spark.sources.tpch import load_table
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           source,
+           COUNT(1) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rollup: whitespace tokens + chars per (lang, source).
+    Pure built-ins; the shuffle carries only group keys + partial sums."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+        F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+               length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace_removed,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+               CAST(length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(avg_token_len, 4) AS avg_token_len,
+           round(stopword_ratio, 4) AS stopword_ratio,
+           round(least(stopword_ratio * 4.0, 1.0) * 0.4
+                 + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+                        THEN 0.3 ELSE 0.0 END
+                 + greatest(0.0, 0.2 - digit_ratio * 2.0)
+                 + greatest(0.0, 0.1 - punct_ratio), 4) AS quality
+    FROM f
+    """,
+)
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (length/punct/stopword heuristics)."""
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|nicht)\\b')) AS INT) AS score_de,
+            CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS INT) AS score_en,
+            CAST(len(regexp_extract_all(lower(text), '\\b(el|la|que|de|es)\\b')) AS INT) AS score_es,
+            CAST(len(regexp_extract_all(lower(text), '\\b(le|la|et|est|les)\\b')) AS INT) AS score_fr,
+            CAST(len(regexp_extract_all(lower(text), '\\b(de|shi|bu|le|zai)\\b')) AS INT) AS score_zh
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           score_de, score_en, score_es, score_fr, score_zh
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID; ties broken alphabetically."""
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (hex-portable)."""
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,98 @@
+"""Unit tests for approximate dedup/similarity paths (no SQL oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.operators import dedup as DD
+from fluss_iceberg_spark.operators import multimodal as MM
+from fluss_iceberg_spark.operators import similarity as SIM
+
+BASE = (
+    "spark query engine shuffles data across partitions while the optimizer "
+    "prunes columns and pushes filters into the columnar scan layer"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("columnar", "vectorized")),  # near dup of 0
+        (3, "completely different text about cooking pasta with tomato sauce basil"),
+        (4, "another unrelated document mentions mountains rivers and weather today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_finds_near_dups(spark):
+    pairs = {
+        (r.d1, r.d2): r.hamming
+        for r in DD.simhash_near_pairs(_docs(spark), max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0  # identical → distance 0
+    assert (0, 2) in pairs  # one-word change → small distance
+    assert (3, 4) not in pairs  # unrelated stay apart
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.d1, r.d2): round(r.jaccard, 6)
+        for r in DD.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r.d1, r.d2): round(r.jaccard, 6)
+        for r in DD.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert exact == lsh
+    assert (0, 1) in exact and exact[(0, 1)] == 1.0
+
+
+def test_lsh_topk_finds_exact_duplicates(spark):
+    """Exact-duplicate vectors land in the same bucket with certainty and
+    must retrieve each other at rank 1 with cosine 1.0."""
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, base), (1, base)] + [
+        (i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(2, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 2), k=5, dim=64)
+    top = {
+        r.query_id: (r.nn_id, r.cosine)
+        for r in res.filter(F.col("rank") == 1).collect()
+    }
+    assert top[0] == (1, 1.0)
+    assert top[1] == (0, 1.0)
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark):
+    """Approximation contract: every LSH hit carries the same cosine the
+    brute force assigns that pair (only the candidate set is approximate)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = {
+        (r.query_id, r.nn_id): r.cosine
+        for r in SIM.brute_force_topk(emb, q, k=29).collect()
+    }
+    for r in SIM.lsh_topk(emb, q, k=10, dim=16).collect():
+        assert brute[(r.query_id, r.nn_id)] == r.cosine
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_real()
+
+
+def test_exact_dedup_groups(spark):
+    groups = {r.keep_doc_id: r.n_copies for r in DD.exact_duplicates(_docs(spark)).collect()}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1

@@ -31,8 +31,12 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_orders",
+    "sql_region_revenue",
     "window_top_customer_per_nation",
     "agg_priority_distribution",
     "events_hourly_rollup",
@@ -43,11 +47,15 @@ HEADLINE = [
     "stream_nation_revenue",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_quality_score",
     "text_lang_id",
+    "text_token_stats",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "multimodal_decode_features",
 ]
 
 

@@ -17,27 +17,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fluss_iceberg_spark.operators.dedup import embedding_cosine
+from fluss_iceberg_spark.operators.dedup import dot_expanded, vec_norm
 
 
 def _as_double(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Project to (vec_id, v: array<double>, nrm) — norms precomputed once
+    per vector so the O(n·q) pair loop only pays one dot product."""
     return emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nrm", vec_norm(F.col("v")))
 
 
 def brute_force_topk(
-    vectors: DataFrame, queries: DataFrame, k: int = 10
+    vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64
 ) -> DataFrame:
     """Exact cosine top-k per query. ``queries``/(``vectors``): DataFrames
     with (vec_id, embedding). Rank ties broken by neighbor id —
     deterministic across engines."""
-    v = _as_double(vectors).select(F.col("vec_id").alias("nn_id"), F.col("v").alias("vv"))
-    q = _as_double(queries).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    v = _as_double(vectors).select(
+        F.col("vec_id").alias("nn_id"), F.col("v").alias("vv"), F.col("nrm").alias("nv")
+    )
+    q = _as_double(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("nq")
+    )
     scored = (
         v.join(F.broadcast(q), F.col("nn_id") != F.col("query_id"))
-        .withColumn("cos", F.round(embedding_cosine(F.col("qv"), F.col("vv")), 4))
+        .withColumn(
+            "cos",
+            F.round(
+                dot_expanded(F.col("qv"), F.col("vv"), dim) / (F.col("nq") * F.col("nv")), 4
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))
     return (
@@ -79,17 +90,24 @@ def lsh_topk(
     v = _as_double(vectors).select(
         F.col("vec_id").alias("nn_id"),
         F.col("v").alias("vv"),
+        F.col("nrm").alias("nv"),
         _bucket_expr(F.col("v"), n_planes, dim).alias("bucket"),
     )
     q = _as_double(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
         _bucket_expr(F.col("v"), n_planes, dim).alias("bucket"),
     )
     scored = (
         v.join(F.broadcast(q), on="bucket")
         .filter(F.col("nn_id") != F.col("query_id"))
-        .withColumn("cos", F.round(embedding_cosine(F.col("qv"), F.col("vv")), 4))
+        .withColumn(
+            "cos",
+            F.round(
+                dot_expanded(F.col("qv"), F.col("vv"), dim) / (F.col("nq") * F.col("nv")), 4
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))
     return (

@@ -41,6 +41,7 @@ _WORKLOAD_MODULES = (
     "fluss_iceberg_spark.workloads.dedup",
     "fluss_iceberg_spark.workloads.similarity",
     "fluss_iceberg_spark.workloads.multimodal",
+    "fluss_iceberg_spark.workloads.engine_sql",
 )
 
 

@@ -105,27 +105,40 @@ class ReferencePipeline:
         if batch_id <= self.last_applied_batch():
             return False
 
-        enriched = enrich_orders(orders, customer_snapshot, nation_snapshot)
-        # stage into the hot store (the Fluss role); the tiering job commits
-        # it to the lake on its freshness schedule (S17)
-        self.enriched.write_hot_batch(enriched, batch_id)
+        # the enriched batch feeds two sinks (hot store + delta agg) —
+        # persist so the lookup joins run once per batch (multi-sink plan
+        # reuse, the reference's statement-set sharing, SURVEY §4)
+        enriched = enrich_orders(orders, customer_snapshot, nation_snapshot).persist()
+        try:
+            # stage into the hot store (the Fluss role); the tiering job
+            # commits it to the lake on its freshness schedule (S17)
+            self.enriched.write_hot_batch(enriched, batch_id)
 
-        # MERGE-delta: null-safe group key (NULL nation is a real group —
-        # FIXTURES invariant 3) — fold delta into existing revenue.
-        delta = enriched.groupBy("nation_name").agg(
-            F.sum("total_price").cast("decimal(15,2)").alias("__delta")
-        )
-        current = self.revenue.read()
-        merged = (
-            delta.join(current, on=[delta.nation_name.eqNullSafe(current.nation_name)], how="left")
-            .select(
-                delta.nation_name.alias("nation_name"),
-                (F.coalesce(current.revenue, F.lit(0).cast("decimal(15,2)")) + F.col("__delta"))
-                .cast("decimal(15,2)")
-                .alias("revenue"),
+            # MERGE-delta: null-safe group key (NULL nation is a real group
+            # — FIXTURES invariant 3) — fold delta into existing revenue.
+            delta = enriched.groupBy("nation_name").agg(
+                F.sum("total_price").cast("decimal(15,2)").alias("__delta")
             )
-        )
-        snap = self.revenue.merge(merged)
+            current = self.revenue.read()
+            merged = (
+                delta.join(
+                    current,
+                    on=[delta.nation_name.eqNullSafe(current.nation_name)],
+                    how="left",
+                )
+                .select(
+                    delta.nation_name.alias("nation_name"),
+                    (
+                        F.coalesce(current.revenue, F.lit(0).cast("decimal(15,2)"))
+                        + F.col("__delta")
+                    )
+                    .cast("decimal(15,2)")
+                    .alias("revenue"),
+                )
+            )
+            snap = self.revenue.merge(merged)
+        finally:
+            enriched.unpersist()
         # stamp idempotence marker into the commit (read before re-stamp is
         # safe: single-writer commit protocol)
         snap.summary["batch_id"] = batch_id

@@ -251,6 +251,128 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(1) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: EXISTS → left-semi join (no fact-side duplication, the
+    probe side short-circuits on first match)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1.0 - l.l_discount AS DECIMAL(12,2))
+                     ELSE CAST(0.0 AS DECIMAL(25,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1.0 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS promo_revenue_pct,
+           COUNT(1) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional aggregation over a broadcast dim join."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(12,2)"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(
+        F.lit(0.0).cast("decimal(25,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price).cast("double"))
+            .alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    SELECT c.c_name,
+           c.c_custkey,
+           o.o_orderkey,
+           o.o_orderdate,
+           CAST(o.o_totalprice AS DECIMAL(15,2)) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING subquery → aggregate-then-semi-join, top-20.
+
+    Scale: the HAVING pre-aggregate and the final aggregate share the
+    l_orderkey hash partitioning, so the semi join is co-located (no extra
+    exchange on the fact side)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        l.join(big, on="l_orderkey", how="left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 F.col("o_totalprice").cast("decimal(15,2)").alias("o_totalprice"))
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
     "window_top_customer_per_nation",
     oracle="""
     SELECT n_nationkey, nation_name, c_custkey, c_name, acctbal

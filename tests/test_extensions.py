@@ -81,7 +81,7 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
     q = emb.filter(F.col("vec_id") < 3)
     brute = {
         (r.query_id, r.nn_id): r.cosine
-        for r in SIM.brute_force_topk(emb, q, k=29).collect()
+        for r in SIM.brute_force_topk(emb, q, k=29, dim=16).collect()
     }
     for r in SIM.lsh_topk(emb, q, k=10, dim=16).collect():
         assert brute[(r.query_id, r.nn_id)] == r.cosine

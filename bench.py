@@ -48,11 +48,13 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_connected_components",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "text_quality_score",
     "text_lang_id",
     "text_token_stats",
+    "text_bpe_token_count",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "multimodal_decode_features",

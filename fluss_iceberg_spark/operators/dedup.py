@@ -224,6 +224,56 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into dedup groups: iterative min-label
+    propagation over the undirected pair graph (the standard distributed
+    connected-components loop — alternating large-star/small-star style).
+
+    Input: (d1, d2) edges. Output: (doc_id, component) where component =
+    min doc_id reachable. Each iteration is one groupBy-min over the edge
+    list joined with current labels; converges in O(log n) iterations for
+    near-dup graphs (components are tiny). The driver loop only checks a
+    convergence *count* per iteration — no data is collected.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # neighbor's current label, then min(own, neighbors')
+        neigh = (
+            edges.join(labels, edges.b == labels.node)
+            .select(F.col("a").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 def vec_norm(c) -> F.Column:
     """L2 norm of an array<double> column (sequential fold)."""
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))

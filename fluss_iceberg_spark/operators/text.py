@@ -23,8 +23,19 @@ LANG_STOPWORDS = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (the BPE-ish regex split)."""
+    """Whitespace tokenization."""
     return F.split(F.trim(text), r"\s+")
+
+
+# GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+# digit runs, punctuation runs (no lookarounds — portable to RE2/DuckDB).
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """#tokens under the BPE-ish pre-tokenizer regex — the standard
+    LLM-pipeline token estimator when the real tokenizer is unavailable."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
 
 
 def token_count(text: Column) -> Column:

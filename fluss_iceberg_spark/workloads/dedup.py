@@ -63,6 +63,35 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.8)
 
 
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp
+        FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, MIN(comp) AS component
+    FROM reach
+    GROUP BY node
+    """,
+)
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering: near-dup pairs (exact Jaccard τ=0.8) →
+    connected components via iterative min-label propagation; component =
+    the canonical (min) doc id. The oracle computes the same transitive
+    closure with a recursive CTE."""
+    pairs = DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.8)
+    return DD.connected_components(pairs)
+
+
 @query("dedup_simhash")  # xxhash64 is not expressible in DuckDB → rows-only
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs, Hamming ≤ 3, via 16-bit chunk

@@ -30,6 +30,60 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_REGION_REVENUE_SQL)
 
 
+_NATION_SQL = "SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name, CAST(n_regionkey AS INT) AS n_regionkey FROM nation"
+
+
+@query("source_csv_roundtrip", oracle=_NATION_SQL)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: write the nation dim as headered CSV, read back with an
+    explicit schema — typed values must survive the text round trip."""
+    import hashlib
+    import shutil
+
+    from fluss_iceberg_spark.sources import files
+    from fluss_iceberg_spark.sources.tpch import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/fluss_files_scratch/{tag}/nation_csv"
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    files.write_csv(n, path)
+    return files.read_csv(spark, path, n.schema)
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, CAST(o_custkey AS INT) AS o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate
+    FROM orders
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source: orders (incl. timestamp + double columns) through JSON
+    lines and back under an explicit schema, UTC session timezone."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fluss_iceberg_spark.sources import files
+    from fluss_iceberg_spark.sources.tpch import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/fluss_files_scratch/{tag}/orders_json"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    files.write_json(o, path)
+    return files.read_json(spark, path, o.schema)
+
+
 @query("engine_show_create")  # DDL introspection — rows-only
 def show_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 SHOW CREATE TABLE + M1 snapshots through the Engine facade."""

@@ -96,6 +96,28 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+                AS INT) AS n_bpe_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace and BPE-ish (GPT-2-style pre-tokenizer
+    regex) counts per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -70,6 +70,79 @@ def test_cold_le_union_and_monotonic(spark):
         assert cold1 == union1  # fully tiered now
 
 
+def test_event_time_watermark_drops_late_data(spark):
+    """Event-time semantics (beyond reference parity — the reference is
+    processing-time only, SURVEY §2.8): windowed agg with a 1-hour
+    watermark in append mode drops rows arriving later than the
+    watermark allows."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    import glob
+    import shutil
+
+    with tempfile.TemporaryDirectory() as src:
+
+        def write_one(df, name):
+            tmp = os.path.join(src, "_tmp")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.move(
+                glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                os.path.join(src, f"{name}.parquet"),
+            )
+            shutil.rmtree(tmp)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "id long, ts_s string, v double"
+            ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+
+        # file a: hours 0,1,2 + 10 → after this batch, watermark = 9:30
+        write_one(
+            mk([(i, f"2024-01-01 {h:02d}:30:00", 1.0) for i, h in enumerate([0, 1, 2, 10])]),
+            "a",
+        )
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+        # file b: on-time row → closes hours ≤ 9:30, advances wm to 10:30
+        write_one(mk([(100, "2024-01-01 11:30:00", 1.0)]), "b")
+        _time.sleep(1.1)
+        # file c: VERY late hour-0 row — its window is already finalized
+        write_one(mk([(101, "2024-01-01 00:00:00", 999.0)]), "c")
+
+        stream = (
+            spark.readStream.schema("id long, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+        name = "wm_test_sink"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = {
+            r["window"]["start"].hour: (r["n"], r["sv"])
+            for r in spark.table(name).collect()
+        }
+        # hours 0,1,2 closed by the watermark (10:30 - 1h) and emitted
+        assert out[0] == (1, 1.0) and out[1] == (1, 1.0) and out[2] == (1, 1.0)
+        # the late hour-0 row (v=999) arrived after the watermark passed:
+        # its window was already finalized without it
+        assert all(sv < 100 for _, sv in out.values())
+        # hours 10/11 windows not yet closed at end-of-stream → not emitted
+        assert 10 not in out and 11 not in out
+
+
 def test_structured_streaming_rate_pipeline(spark):
     """S2/S15/ST1: the real writeStream path — rate-limited faker orders
     through foreachBatch enrichment+aggregation, a few micro-batches."""

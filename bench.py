@@ -45,6 +45,7 @@ HEADLINE = [
     "lake_upsert_customers",
     "lake_union_read",
     "stream_nation_revenue",
+    "stream_stateful_sessions",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

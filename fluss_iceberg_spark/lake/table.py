@@ -391,6 +391,24 @@ class LakeTable:
         _atomic_write(self._meta(f"v{snap.snapshot_id}.json"), snap.to_json())
         return snap
 
+    def stream_appends(self) -> DataFrame:
+        """U2: subscribe to a log table as a stream — the reference's
+        streaming read of a Fluss log table (README.md:296-302). A parquet
+        file stream over the data directory picks up each append commit's
+        files as they land; exactly-once via the file-source log +
+        downstream checkpoints. Log tables only (PK tables rewrite bucket
+        files on merge, which would re-emit rows)."""
+        if self.primary_key:
+            raise ValueError(
+                f"{self.name}: changelog streaming of PK tables is not "
+                "supported (copy-on-write rewrites would re-emit rows)"
+            )
+        return (
+            self.spark.readStream.schema(T.StructType(self.schema.fields))
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(self.path, "data", "*"))
+        )
+
     def union_read(self) -> DataFrame:
         """Hot∪cold union read (U1, README.md:296-316): lake snapshot plus
         hot batches beyond the snapshot's watermark. The watermark makes

@@ -133,6 +133,71 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_stateful_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM flagged
+    ), rolled AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(1) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM rolled r
+    WHERE sid <> (SELECT MAX(sid) FROM rolled r2 WHERE r2.user_id = r.user_id)
+    """,
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): streaming
+    sessionization over the events stream. One availableNow batch closes
+    every session except each user's final one (still open in state) —
+    exactly what the batch oracle expresses."""
+    from fluss_iceberg_spark.streaming.stateful import streaming_sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    src_dir = _scratch(sf_dir, "stateful_src")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sink = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 @query("faker_pipeline_top5")  # generator output: no SQL oracle (rows-only)
 def faker_pipeline_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference demo end-to-end on its own synthetic sources

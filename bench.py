@@ -58,6 +58,7 @@ HEADLINE = [
     "text_bpe_token_count",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_decode_features",
 ]
 

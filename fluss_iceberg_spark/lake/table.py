@@ -329,6 +329,53 @@ class LakeTable:
             "n_files int, total_rows long, added_rows long, hot_watermark long",
         )
 
+    # ---------- maintenance ----------
+
+    def compact(self, target_file_rows: int = 1_000_000) -> Snapshot | None:
+        """Small-file compaction (the Iceberg rewrite_data_files role):
+        rewrite the current snapshot's files into ~target_file_rows-sized
+        files. Data is unchanged — only the file layout; time travel to
+        pre-compaction snapshots still sees the old files (file GC is a
+        separate, explicitly-invoked step on a real deployment).
+
+        Streaming lakehouses accrete small files from frequent commits
+        (30 s freshness → 2,880 commits/day); periodic compaction is what
+        keeps scan planning and open-file overhead bounded at scale.
+        """
+        snap = self.snapshot()
+        if snap is None or len(snap.files) <= 1:
+            return None
+        df = self.read()
+        n = snap.total_rows
+        n_files = max(1, -(-n // target_file_rows))
+        version = self.current_version() + 1
+        rel = f"data/s{version}"
+        out = os.path.join(self.path, rel)
+        if self.primary_key:
+            files = self._write_files(df, version, bucketed=True)
+        else:
+            df.coalesce(n_files).write.mode("overwrite").parquet(out)
+            files = [os.path.join(rel, os.path.basename(f)) for f in _list_parquet(out)]
+        return self._commit(
+            "compact", files, n, 0, summary={"files_before": len(snap.files)}
+        )
+
+    def add_column(self, name: str, dtype: T.DataType) -> None:
+        """Schema evolution: append a nullable column. Existing parquet
+        files simply lack the column — snapshot reads project it as NULL
+        (read-schema projection), exactly Iceberg's add-column semantics.
+        No data rewrite."""
+        if name in self.schema.fieldNames():
+            raise ValueError(f"column {name} already exists")
+        self.schema = T.StructType(
+            self.schema.fields + [T.StructField(name, dtype, True)]
+        )
+        meta_path = os.path.join(self.path, "meta", "table.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["schema"] = self.schema.jsonValue()
+        _atomic_write(meta_path, json.dumps(meta))
+
     # ---------- hot staging + tiering + union read ----------
 
     def _hot_dir(self, batch_id: int) -> str:

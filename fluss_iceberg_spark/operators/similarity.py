@@ -58,6 +58,95 @@ def brute_force_topk(
     )
 
 
+def _assign_clusters(v: DataFrame, centroids: DataFrame, dim: int, top_n: int = 1):
+    """Assign each vector to its top_n nearest centroids by cosine.
+    Centroids are broadcast; cost is |v| × K dot products, one scan."""
+    c = centroids.select(
+        F.col("cid"), F.col("cv"), vec_norm(F.col("cv")).alias("cn")
+    )
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "ccos", dot_expanded(F.col("v"), F.col("cv"), dim) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= top_n)
+        .drop("cv", "cn", "ccos", "crank")
+    )
+
+
+def train_ivf_centroids(
+    vectors: DataFrame, n_clusters: int = 16, n_iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """IVF coarse quantizer: deterministic seeds (first K vectors by id)
+    refined with Lloyd iterations, entirely in DataFrame ops — assignment
+    is a broadcast cross join, centroid update an element-wise mean via
+    posexplode + groupBy(cid, pos). No driver-side vectors."""
+    v = _as_double(vectors)
+    cent = (
+        v.orderBy("vec_id")
+        .limit(n_clusters)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(n_iters):
+        assigned = _assign_clusters(v, cent, dim)
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return cent
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: vectors are partitioned into K coarse
+    clusters; each query probes only its n_probe nearest clusters.
+
+    The 100 TB shape: the vector table is scanned once to build the
+    inverted lists (cluster-keyed), and query work is a cluster-equi-join
+    touching ~n_probe/K of the data. Recall is tuned by n_probe
+    (n_probe=K degenerates to exact brute force)."""
+    cent = train_ivf_centroids(vectors, n_clusters, dim=dim)
+    v = _assign_clusters(_as_double(vectors), cent, dim).select(
+        F.col("vec_id").alias("nn_id"), F.col("v").alias("vv"),
+        F.col("nrm").alias("nv"), "cid",
+    )
+    q = _assign_clusters(_as_double(queries), cent, dim, top_n=n_probe).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"), "cid",
+    )
+    scored = (
+        v.join(F.broadcast(q), on="cid")
+        .filter(F.col("nn_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot_expanded(F.col("qv"), F.col("vv"), dim) / (F.col("nq") * F.col("nv")), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", F.col("cos").alias("cosine"), "rank")
+    )
+
+
 # deterministic ±1 hyperplanes: plane p, dim j → sign from a fixed affine
 # hash (no RNG — reproducible everywhere)
 def _plane_sign(p: int, j: int) -> int:

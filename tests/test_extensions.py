@@ -87,6 +87,29 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
         assert brute[(r.query_id, r.nn_id)] == r.cosine
 
 
+def test_ivf_topk_finds_duplicates_and_matches_bruteforce_scores(spark):
+    """IVF: duplicate vectors share a cluster and retrieve each other at
+    rank 1; every returned score equals the brute-force score."""
+    import random
+
+    rnd = random.Random(5)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    rows = [(0, base), (1, base)] + [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(2, 60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2)
+    res = SIM.ivf_topk(emb, q, k=5, n_clusters=8, n_probe=3, dim=16)
+    top = {r.query_id: (r.nn_id, r.cosine) for r in res.filter(F.col("rank") == 1).collect()}
+    assert top[0] == (1, 1.0) and top[1] == (0, 1.0)
+    brute = {
+        (r.query_id, r.nn_id): r.cosine
+        for r in SIM.brute_force_topk(emb, q, k=59, dim=16).collect()
+    }
+    for r in res.collect():
+        assert brute[(r.query_id, r.nn_id)] == r.cosine
+
+
 def test_decode_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_real()

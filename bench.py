@@ -34,12 +34,27 @@ HEADLINE = [
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_inactive_customers",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
     "sql_region_revenue",
     "window_top_customer_per_nation",
+    "window_running_revenue",
+    "window_revenue_quartiles",
     "agg_priority_distribution",
+    "agg_rollup_status_priority",
+    "agg_pivot_status_by_priority",
     "events_hourly_rollup",
+    "events_asof_attribution",
+    "events_error_burst",
     "events_sessionize",
     "events_dedup_latest",
     "lake_upsert_customers",

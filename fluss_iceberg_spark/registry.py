@@ -34,6 +34,8 @@ ORACLES: dict[str, str] = {}
 _WORKLOAD_MODULES = (
     "fluss_iceberg_spark.workloads.reference",
     "fluss_iceberg_spark.workloads.tpch",
+    "fluss_iceberg_spark.workloads.tpch2",
+    "fluss_iceberg_spark.workloads.windows",
     "fluss_iceberg_spark.workloads.events",
     "fluss_iceberg_spark.workloads.lake",
     "fluss_iceberg_spark.workloads.streaming",

@@ -154,3 +154,86 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "events_asof_attribution",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, 0 AS is_left, event_id AS rid, ts AS rts,
+               CAST(NULL AS BIGINT) AS lid
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts, 1, NULL, NULL, event_id
+        FROM events WHERE event_type = 'click'
+    ), w AS (
+        SELECT *,
+            last_value(rid IGNORE NULLS) OVER win AS view_id,
+            last_value(rts IGNORE NULLS) OVER win AS view_ts
+        FROM tagged
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_left, rid NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT lid AS click_id, ts AS click_ts, user_id, view_id, view_ts
+    FROM w WHERE is_left = 1
+    """,
+)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (absent from both the reference and Spark built-ins):
+    each click attributed to the user's latest view at-or-before it.
+    operators/temporal.asof_join — union+window, one shuffle on user_id,
+    no pairwise blowup; the oracle is the same ANSI formulation DuckDB
+    executes independently."""
+    from fluss_iceberg_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    views = e.filter(F.col("event_type") == "view")
+    res = asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id", "ts"], right_id="event_id",
+    )
+    return res.select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+        F.col("asof_event_id").alias("view_id"),
+        F.col("asof_ts").alias("view_ts"),
+    )
+
+
+@query(
+    "events_error_burst",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_errors
+    FROM events c
+    LEFT JOIN events e
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error'
+     AND e.ts > c.ts
+     AND e.ts <= c.ts + INTERVAL 5 MINUTE
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id, c.user_id
+    """,
+)
+def error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-range (band) join: errors by the same user within 5 min
+    after each click. operators/temporal.range_count_join — time-bucketed
+    equi-join (bucket = window width, left explodes into 2 buckets) so
+    Catalyst hash-joins instead of a theta-join nested loop."""
+    from fluss_iceberg_spark.operators.temporal import range_count_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    errors = e.filter(F.col("event_type") == "error")
+    res = range_count_join(
+        clicks, errors, on="user_id", left_ts="ts", right_ts="ts",
+        window_seconds=300, left_id="event_id",
+    )
+    return res.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("n_in_range").alias("n_errors"),
+    )

@@ -119,3 +119,16 @@ def test_exact_dedup_groups(spark):
     groups = {r.keep_doc_id: r.n_copies for r in DD.exact_duplicates(_docs(spark)).collect()}
     assert groups[0] == 2  # docs 0 and 1 collapse
     assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+
+def test_approx_distinct_within_rsd_bound(spark):
+    """HLL++ with rsd=0.02 should land well within 5x the requested error
+    on a 5k-key domain (deterministic sketch, no flake)."""
+    from fluss_iceberg_spark.workloads.windows import approx_distinct_customers  # noqa: F401
+
+    df = spark.range(50_000).selectExpr("id % 5000 AS o_custkey")
+    row = df.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
+        F.countDistinct("o_custkey").alias("e"),
+    ).collect()[0]
+    assert abs(row.a - row.e) / row.e < 0.10

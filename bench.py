@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_connected_components",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "text_tfidf_top_terms",
     "text_quality_score",
     "text_lang_id",
     "text_token_stats",

@@ -5,9 +5,10 @@ Five strategies, all partition-parallel (no driver-side materialization):
 - **exact**: hash-groupBy on a normalized fingerprint. One shuffle keyed
   by the fingerprint — at 100 TB the exchange carries (doc_id, 16-byte
   hash), not the text.
-- **n-gram Jaccard** (exact pairwise): inverted shingle index → candidate
-  pairs sharing ≥1 shingle → shared-count aggregation → Jaccard filter.
-  The join is on the shingle key, so cost is Σ bucket², not n².
+- **n-gram Jaccard** (exact pairwise): prefix-filtered inverted index
+  (All-Pairs/PPJoin) — candidates only from each doc's rarest
+  ``n-⌈τ·n⌉+1`` shingles, then exact verification per candidate. Cost is
+  Σ(prefix-posting-list)², immune to hot-shingle df² blowup.
 - **MinHash + LSH** (scale path): shingle → 64 hash permutations
   (xxhash64 with per-permutation salt) → min per permutation → band the
   signature (16 bands × 4 rows) → candidate pairs join on band hash →
@@ -63,39 +64,91 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for every pair sharing ≥1 shingle, via the inverted
-    index. Returns (d1, d2, shared, n1, n2, jaccard)."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    shared = (
-        a.join(b, on="shingle")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+def shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shset: array<long>, n) — each doc's distinct word n-grams
+    hashed to int64, built entirely MAP-SIDE (no explode+distinct
+    shuffle; every downstream exchange carries 8-byte longs, not ~25-byte
+    shingle strings). Collision risk over a realistic shingle vocabulary
+    is ~|V|²/2⁶⁵ — immaterial even at 100 TB per-partition vocabularies.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    shset = F.transform(
+        F.array_distinct(F.filter(grams, lambda g: g != F.lit(""))),
+        lambda g: F.xxhash64(g),
+    )
+    return docs.select(
+        "doc_id", shset.alias("shset"), F.size(shset).alias("n")
+    )
+
+
+def _verify_candidates(sets: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (d1, d2) pairs only: join each side's
+    full shingle-hash array and intersect JVM-side. Cost is
+    O(|candidates| · doc length) — never the O(Σ df²) of a full
+    inverted-index self-join."""
+    s1 = sets.select(
+        F.col("doc_id").alias("d1"), F.col("shset").alias("set1"), F.col("n").alias("n1")
+    )
+    s2 = sets.select(
+        F.col("doc_id").alias("d2"), F.col("shset").alias("set2"), F.col("n").alias("n2")
     )
     return (
-        shared.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), on="d1")
-        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), on="d2")
+        cand.join(s1, on="d1")
+        .join(s2, on="d2")
+        .withColumn("shared", F.size(F.array_intersect("set1", "set2")).cast("long"))
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
             / (F.col("n1") + F.col("n2") - F.col("shared")),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
     )
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.8, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (the oracle-able baseline).
-    Shingle index persisted: it feeds sizes + both join sides."""
-    return (
-        _pair_jaccard(shingles(docs, text_col, n).persist())
-        .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "jaccard")
+    """Exact n-gram Jaccard near-dup pairs via prefix filtering
+    (All-Pairs/PPJoin): under a global rarest-first shingle order, two
+    sets with J ≥ τ must collide within their first
+    ``n_i - ⌈τ·n_i⌉ + 1`` shingles — so the candidate self-join runs on
+    that prefix slice of the index only (rare shingles ⇒ tiny posting
+    lists), and candidates are then exact-verified. Same result set as
+    the naive full self-join, minus its Σ df² blowup on hot shingles.
+    (+1 slack on the prefix bound guards ceil/float edges; precision is
+    exact either way because every candidate is verified.)"""
+    sets = shingle_sets(docs, text_col, n).persist()
+    index = sets.select("doc_id", F.explode("shset").alias("shingle"))
+    freq = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    k = F.greatest(
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 2, F.lit(1)
+    ).cast("int")
+    prefix = (
+        index.join(freq, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("df", "shingle")).alias("post"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.slice(F.array_sort("post"), F.lit(1), k)).alias("p"),
+        )
+        .select("doc_id", F.col("p.shingle").alias("shingle"))
     )
+    cand = (
+        prefix.select(F.col("doc_id").alias("d1"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("d2"), "shingle"), on="shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _verify_candidates(sets, cand, threshold)
 
 
 N_PERM = 64
@@ -103,14 +156,24 @@ BANDS = 16
 ROWS_PER_BAND = N_PERM // BANDS
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
+def minhash_signatures(sets: DataFrame) -> DataFrame:
     """64-permutation MinHash signature per doc: permutation k is
-    xxhash64(shingle, k); signature[k] = min over the doc's shingles."""
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
-        for k in range(N_PERM)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    xxhash64(shingle_hash, k); signature[k] = min over the doc's
+    shingles. Computed MAP-SIDE from the shingle-hash array (array_min
+    over a transform) — zero shuffles; the old groupBy formulation
+    shuffled the whole shingle index just to take mins."""
+    def _perm(k: int):
+        # one-positional-arg lambda: a default-arg closure would be read
+        # by pyspark as the two-arg (element, index) transform form
+        return lambda s: F.xxhash64(s, F.lit(k))
+
+    return sets.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("shset", _perm(k))).alias(f"h{k}")
+            for k in range(N_PERM)
+        ],
+    )
 
 
 def minhash_lsh_pairs(
@@ -122,13 +185,12 @@ def minhash_lsh_pairs(
     (16 bands × 4 rows), then candidate pairs are verified with the exact
     Jaccard — so precision is exact and recall ≈ 1 above the threshold.
 
-    The shingle index feeds four plan branches (signatures, sizes, and
-    both sides of the shared-count join) — persist it so the tokenize +
-    explode + distinct shuffle runs once; ContextCleaner unpersists it
-    when the plan is garbage collected.
+    The shingle-hash sets feed both the signature projection and the
+    candidate verification — persist them so tokenization runs once;
+    ContextCleaner unpersists when the plan is garbage collected.
     """
-    sh = shingles(docs, text_col, n).persist()
-    sig = minhash_signatures(sh)
+    sets = shingle_sets(docs, text_col, n).persist()
+    sig = minhash_signatures(sets)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -154,8 +216,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    verified = _pair_jaccard(sh).join(cand, on=["d1", "d2"], how="left_semi")
-    return verified.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
+    return _verify_candidates(sets, cand, threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:

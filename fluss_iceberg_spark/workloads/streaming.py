@@ -234,3 +234,75 @@ def faker_pipeline_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc_nulls_last("revenue"), F.asc_nulls_last("nation_name"))
         .limit(5)
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           v.event_id AS view_id,
+           c.user_id
+    FROM events c
+    JOIN events v
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL 2 HOUR
+     AND v.ts <= c.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (beyond the reference, which has no
+    stream-stream joins — SURVEY §2.3): clicks ⋈ views on user_id with a
+    2-hour event-time band, both sides watermarked. Runs as
+    StreamingSymmetricHashJoin partitioned on user_id; the watermark +
+    interval bound is what lets Spark evict join state at scale. Driven
+    to completion with availableNow; result equals the batch band join."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src_dir = _scratch(sf_dir, "interval_join_src")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+
+    def _side(kind: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(src_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_uid"),
+            )
+            .withWatermark(f"{prefix}_ts", "4 hours")
+        )
+
+    joined = _side("click", "click").join(
+        _side("view", "view"),
+        F.expr(
+            "click_uid = view_uid"
+            " AND view_ts >= click_ts - INTERVAL 2 HOURS"
+            " AND view_ts <= click_ts"
+        ),
+    )
+    sink = f"stream_interval_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        F.col("click_id"), F.col("view_id"), F.col("click_uid").alias("user_id")
+    )

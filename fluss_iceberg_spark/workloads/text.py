@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fluss_iceberg_spark.operators import text as TX
@@ -128,3 +128,55 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over normalized text (hex-portable)."""
     return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(1) AS tf FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, COUNT(1) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(1) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               (CAST(tf.tf AS DOUBLE) * n.n_docs) / dfreq.df AS score
+        FROM tf CROSS JOIN n JOIN dfreq ON dfreq.term = tf.term
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted top-3 terms per document (TF-IDF with a rational
+    weight tf·N/df instead of a log — bit-identical across engines, same
+    ordering). Scale shape: explode → two keyed aggs → broadcast of the
+    term-df reduction → per-doc window; no driver materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.crossJoin(F.broadcast(n))
+        .join(dfreq.withColumnRenamed("term", "df_term"), F.col("term") == F.col("df_term"))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf").cast("double") * F.col("n_docs")) / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("int").alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )

@@ -70,3 +70,56 @@ def test_sessionize_single_partitioning(spark):
 def test_q1_partial_aggregation(spark):
     """Scan-side partial aggregation (map-side combine) before exchange."""
     assert count_nodes(_q(spark, "tpch_q1_pricing_summary"), "HashAggregate") >= 2
+
+
+def test_rollup_is_single_shuffle_expand(spark):
+    """ROLLUP = Expand (grouping-set fan-out, map-side) + ONE exchange."""
+    df = _q(spark, "agg_rollup_status_priority")
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    assert count_nodes(df, "Exchange") == 1
+
+
+def test_pivot_two_phase_shuffles_only_reduced_data(spark):
+    """Explicit pivot value list → no distinct-values pre-job. Spark
+    plans pivot as two-phase agg: shuffle 1 reduces on (priority,status),
+    shuffle 2 moves only the ≤|priority×status| reduced rows — both fine
+    at scale; what must NOT appear is a third exchange or a sort."""
+    df = _q(spark, "agg_pivot_status_by_priority")
+    assert count_nodes(df, "Exchange") <= 2
+    assert "Sort " not in physical_plan(df)
+
+
+def test_asof_join_is_one_shuffle_no_join(spark):
+    """The as-of join must plan as union+window: exactly one hash
+    exchange on the key, no join operator at all (that's the point —
+    no pairwise blowup at 100 TB)."""
+    df = _q(spark, "events_asof_attribution")
+    plan = physical_plan(df)
+    assert count_nodes(df, "Exchange") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """Bucketing must turn the band join into an equi-join: any join
+    strategy but never a nested-loop/cartesian theta join."""
+    df = _q(spark, "events_error_burst")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunctive_keeps_broadcast(spark):
+    """OR-of-ANDs predicate must not force a shuffle join of the dim."""
+    df = _q(spark, "tpch_q19_disjunctive")
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+
+
+def test_window_running_revenue_single_shuffle(spark):
+    """Running-frame window: one exchange on o_custkey, nothing else."""
+    df = _q(spark, "window_running_revenue")
+    assert count_nodes(df, "Exchange") == 1

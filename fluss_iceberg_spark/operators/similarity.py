@@ -58,13 +58,21 @@ def brute_force_topk(
     )
 
 
-def _assign_clusters(v: DataFrame, centroids: DataFrame, dim: int, top_n: int = 1):
-    """Assign each vector to its top_n nearest centroids by cosine.
-    Centroids are broadcast; cost is |v| × K dot products, one scan."""
-    c = centroids.select(
-        F.col("cid"), F.col("cv"), vec_norm(F.col("cv")).alias("cn")
+def _centroids_df(spark, model: list) -> DataFrame:
+    """Materialize the K*dim centroid model as a tiny literal DataFrame
+    (cid, cv, cn) - truncates the Lloyd-loop lineage so downstream
+    assignments never recompute previous iterations."""
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv], float(cn)) for cid, cv, cn in model],
+        "cid long, cv array<double>, cn double",
     )
-    scored = v.crossJoin(F.broadcast(c)).withColumn(
+
+
+def _assign_clusters(v: DataFrame, cent: DataFrame, dim: int, top_n: int = 1):
+    """Assign each vector to its top_n nearest centroids by cosine.
+    Centroids are broadcast (constant-size model); cost is |v| * K dot
+    products in one scan + a top_n window keyed by vec_id."""
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
         "ccos", dot_expanded(F.col("v"), F.col("cv"), dim) / (F.col("nrm") * F.col("cn"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
@@ -77,20 +85,29 @@ def _assign_clusters(v: DataFrame, centroids: DataFrame, dim: int, top_n: int = 
 
 def train_ivf_centroids(
     vectors: DataFrame, n_clusters: int = 16, n_iters: int = 2, dim: int = 64
-) -> DataFrame:
+) -> list:
     """IVF coarse quantizer: deterministic seeds (first K vectors by id)
-    refined with Lloyd iterations, entirely in DataFrame ops — assignment
-    is a broadcast cross join, centroid update an element-wise mean via
-    posexplode + groupBy(cid, pos). No driver-side vectors."""
+    refined with Lloyd iterations. The K*dim centroid matrix -
+    constant-size model parameters, not data - is collected to the driver
+    after each iteration and re-broadcast as a literal table, so each
+    iteration's plan reads the source ONCE instead of replaying every
+    previous iteration's lineage. Returns [(cid, centroid, norm)]."""
     v = _as_double(vectors)
-    cent = (
+
+    def _collect(cent_df) -> list:
+        return [
+            (r.cid, list(r.cv), float(sum(x * x for x in r.cv) ** 0.5))
+            for r in cent_df.collect()
+        ]
+
+    model = _collect(
         v.orderBy("vec_id")
         .limit(n_clusters)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     for _ in range(n_iters):
-        assigned = _assign_clusters(v, cent, dim)
-        cent = (
+        assigned = _assign_clusters(v, _centroids_df(vectors.sparkSession, model), dim)
+        model = _collect(
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))
@@ -102,7 +119,7 @@ def train_ivf_centroids(
                 ).alias("cv")
             )
         )
-    return cent
+    return model
 
 
 def ivf_topk(
@@ -120,7 +137,8 @@ def ivf_topk(
     inverted lists (cluster-keyed), and query work is a cluster-equi-join
     touching ~n_probe/K of the data. Recall is tuned by n_probe
     (n_probe=K degenerates to exact brute force)."""
-    cent = train_ivf_centroids(vectors, n_clusters, dim=dim)
+    model = train_ivf_centroids(vectors, n_clusters, dim=dim)
+    cent = _centroids_df(vectors.sparkSession, model)
     v = _assign_clusters(_as_double(vectors), cent, dim).select(
         F.col("vec_id").alias("nn_id"), F.col("v").alias("vv"),
         F.col("nrm").alias("nv"), "cid",

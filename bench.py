@@ -99,6 +99,10 @@ def main() -> None:
         t0 = time.perf_counter()
         _execute(registry.QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # evict caches a query persisted for its own multi-branch plan —
+        # stale blocks otherwise pile up across the run and push later
+        # queries into eviction/recompute churn
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

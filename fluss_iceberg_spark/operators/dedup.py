@@ -296,6 +296,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     near-dup graphs (components are tiny). The driver loop only checks a
     convergence *count* per iteration — no data is collected.
     """
+    # persist the input first: both union branches read it, and without a
+    # cache the whole upstream pair-generation pipeline runs twice
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))

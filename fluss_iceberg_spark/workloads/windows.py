@@ -193,3 +193,43 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+
+
+@query(
+    "agg_price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS med,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99,
+           COUNT(1) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per priority — Spark `percentile`
+    and DuckDB `quantile_cont` share the linear-interpolation definition
+    and bit-match on doubles. The scale caveat: exact percentile buffers
+    each group's values; for heavy groups switch to approx_percentile
+    (t-digest, mergeable sketch) — shown in the rows-only twin below."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_price_percentiles_approx")
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the mergeable-sketch scale path for the same
+    question (bounded memory per group regardless of group size).
+    Approximate ⇒ rows-only gate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").alias(
+            "pcts"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -33,35 +33,19 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NATION_SQL = "SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name, CAST(n_regionkey AS INT) AS n_regionkey FROM nation"
 
 
-@query("source_csv_roundtrip", oracle=_NATION_SQL)
-def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV source: write the nation dim as headered CSV, read back with an
-    explicit schema — typed values must survive the text round trip."""
-    import hashlib
-    import shutil
-
-    from fluss_iceberg_spark.sources import files
-    from fluss_iceberg_spark.sources.tpch import load_table
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/fluss_files_scratch/{tag}/nation_csv"
-    shutil.rmtree(path, ignore_errors=True)
-    n = load_table(spark, sf_dir, "nation")
-    files.write_csv(n, path)
-    return files.read_csv(spark, path, n.schema)
-
-
 @query(
-    "source_json_roundtrip",
-    oracle="""
-    SELECT o_orderkey, CAST(o_custkey AS INT) AS o_custkey, o_orderstatus,
-           o_totalprice, o_orderdate
-    FROM orders
+    "source_formats_roundtrip",
+    oracle=f"""
+    SELECT 'csv' AS fmt, t.* FROM ({_NATION_SQL}) t
+    UNION ALL
+    SELECT 'json' AS fmt, t.* FROM ({_NATION_SQL}) t
     """,
 )
-def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON source: orders (incl. timestamp + double columns) through JSON
-    lines and back under an explicit schema, UTC session timezone."""
+def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source formats: the nation dim written out as headered CSV and
+    as JSON lines, each read back under an explicit schema and tagged with
+    its format — typed values must survive both text round trips. One
+    gated query covers both non-parquet batch sources (SURVEY §2.1)."""
     import hashlib
     import shutil
 
@@ -71,17 +55,20 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluss_iceberg_spark.sources.tpch import load_table
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/fluss_files_scratch/{tag}/orders_json"
-    shutil.rmtree(path, ignore_errors=True)
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").cast("int").alias("o_custkey"),
-        "o_orderstatus",
-        "o_totalprice",
-        "o_orderdate",
+    base = f"/tmp/fluss_files_scratch/{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
     )
-    files.write_json(o, path)
-    return files.read_json(spark, path, o.schema)
+    files.write_csv(n, f"{base}/nation_csv")
+    files.write_json(n, f"{base}/nation_json")
+    via_csv = files.read_csv(spark, f"{base}/nation_csv", n.schema)
+    via_json = files.read_json(spark, f"{base}/nation_json", n.schema)
+    return via_csv.select(F.lit("csv").alias("fmt"), "*").unionByName(
+        via_json.select(F.lit("json").alias("fmt"), "*")
+    )
 
 
 @query("engine_show_create")  # DDL introspection — rows-only

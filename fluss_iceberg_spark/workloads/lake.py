@@ -59,8 +59,8 @@ def _customer_updates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     SELECT CAST(c_custkey AS INT) AS cust_key,
            c_name AS name,
            CAST(c_nationkey AS INT) AS nation_key,
-           CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000.0
-                     ELSE c_acctbal END AS DECIMAL(15,2)) AS acctbal,
+           CAST(CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000.0
+                     ELSE c_acctbal END AS DECIMAL(15,2)) AS DOUBLE) AS acctbal,
            CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED'
                 ELSE c_mktsegment END AS mktsegment
     FROM customer
@@ -82,7 +82,9 @@ def lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(base)
     t.merge(updates)
-    return t.read()
+    # Lake storage stays DECIMAL-exact; the query output casts to DOUBLE
+    # (registry.py parity rule for final decimal columns).
+    return t.read().withColumn("acctbal", F.col("acctbal").cast("double"))
 
 
 _ORDER_COLS_SQL = """
@@ -119,21 +121,33 @@ def _build_union_table(spark: SparkSession, sf_dir: str):
     return t
 
 
-@query("lake_union_read", oracle=_ORDER_COLS_SQL)
+# Final-output form: decimal cast to DOUBLE (registry.py parity rule).
+_ORDER_COLS_D_SQL = f"""
+    SELECT order_key, cust_key, CAST(total_price AS DOUBLE) AS total_price,
+           order_priority
+    FROM ({_ORDER_COLS_SQL}) ob
+"""
+
+
+def _price_double(df: DataFrame) -> DataFrame:
+    return df.withColumn("total_price", F.col("total_price").cast("double"))
+
+
+@query("lake_union_read", oracle=_ORDER_COLS_D_SQL)
 def lake_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 hot∪cold union read (README.md:296-316): lake snapshot (incl. a
     tiered batch) plus hot batches beyond the snapshot watermark."""
-    return _build_union_table(spark, sf_dir).union_read()
+    return _price_double(_build_union_table(spark, sf_dir).union_read())
 
 
 @query(
     "lake_time_travel",
-    oracle=f"SELECT * FROM ({_ORDER_COLS_SQL}) o WHERE order_key % 3 = 1",
+    oracle=f"SELECT * FROM ({_ORDER_COLS_D_SQL}) o WHERE order_key % 3 = 1",
 )
 def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel (Iceberg VERSION AS OF, SURVEY §2.7): read snapshot v0
     of the union-read table = the first append only."""
-    return _build_union_table(spark, sf_dir).read(version=0)
+    return _price_double(_build_union_table(spark, sf_dir).read(version=0))
 
 
 @query("lake_snapshots")  # metadata — no SQL oracle; driver rows-only check

@@ -68,10 +68,26 @@ def enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_orders(o, c, n)
 
 
-@query("ref_enriched_orders", oracle=_ENRICH_SQL)
+@query(
+    "ref_enriched_orders",
+    oracle=f"""
+    SELECT order_key, cust_key,
+           CAST(total_price AS DOUBLE) AS total_price,
+           order_date, order_priority, cust_name,
+           CAST(cust_acctbal AS DOUBLE) AS cust_acctbal,
+           cust_mktsegment, nation_name
+    FROM ({_ENRICH_SQL}) e
+    """,
+)
 def q_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J2 cascaded LEFT lookup joins + P1 projection (README.md:222-239)."""
-    return enriched(spark, sf_dir)
+    """J1/J2 cascaded LEFT lookup joins + P1 projection (README.md:222-239).
+
+    Arithmetic stays DECIMAL-exact inside the join; the *final* decimal
+    columns are CAST to DOUBLE in both engines (registry.py parity rule)."""
+    e = enriched(spark, sf_dir)
+    return e.withColumn("total_price", F.col("total_price").cast("double")).withColumn(
+        "cust_acctbal", F.col("cust_acctbal").cast("double")
+    )
 
 
 @query(

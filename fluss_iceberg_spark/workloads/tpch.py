@@ -210,7 +210,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.c_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
                     * CAST(1.0 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
-           CAST(c.c_acctbal AS DECIMAL(15,2)) AS c_acctbal,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
            n.n_name AS nation_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -242,7 +242,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "revenue",
-            F.col("c_acctbal").cast("decimal(15,2)").alias("c_acctbal"),
+            F.col("c_acctbal").cast("decimal(15,2)").cast("double").alias("c_acctbal"),
             F.col("n_name").alias("nation_name"),
         )
         .orderBy(F.desc_nulls_last("revenue"), F.asc("c_custkey"))
@@ -375,7 +375,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_top_customer_per_nation",
     oracle="""
-    SELECT n_nationkey, nation_name, c_custkey, c_name, acctbal
+    SELECT n_nationkey, nation_name, c_custkey, c_name,
+           CAST(acctbal AS DOUBLE) AS acctbal
     FROM (
         SELECT n.n_nationkey,
                n.n_name AS nation_name,
@@ -408,7 +409,7 @@ def window_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
             "c_custkey",
             "c_name",
-            acct.alias("acctbal"),
+            acct.cast("double").alias("acctbal"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)

@@ -225,11 +225,23 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the mergeable-sketch scale path for the same
     question (bounded memory per group regardless of group size).
-    Approximate ⇒ rows-only gate."""
+    Approximate ⇒ rows-only gate. The sketch's array result is projected
+    into scalar p50/p90/p99 columns (array output crashes the driver's
+    pandas canonicalizer — CORRECTNESS_r01)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").alias(
-            "pcts"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").alias(
+                "pcts"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n",
+        )
     )

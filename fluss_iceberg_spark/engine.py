@@ -19,17 +19,80 @@ Spark temp view names reject it.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from fluss_iceberg_spark.lake.table import LakeCatalog, LakeTable
 from fluss_iceberg_spark.sources.tpch import register_views
 
+# Flink-DDL type names → Spark types (the reference's DDL vocabulary,
+# README.md:141-203 + sql-client.sql:1-48)
+_TYPE_MAP = {
+    "BIGINT": T.LongType(),
+    "INT": T.IntegerType(),
+    "INTEGER": T.IntegerType(),
+    "SMALLINT": T.ShortType(),
+    "TINYINT": T.ByteType(),
+    "STRING": T.StringType(),
+    "VARCHAR": T.StringType(),
+    "DOUBLE": T.DoubleType(),
+    "FLOAT": T.FloatType(),
+    "BOOLEAN": T.BooleanType(),
+    "DATE": T.DateType(),
+    "TIMESTAMP": T.TimestampType(),
+    "TIMESTAMP_LTZ": T.TimestampType(),
+    "BINARY": T.BinaryType(),
+    "BYTES": T.BinaryType(),
+}
+
+
+def _parse_type(s: str) -> T.DataType:
+    s = s.strip()
+    m = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s, re.I)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    base = re.match(r"([A-Za-z_]+)", s)
+    if base and base.group(1).upper() in _TYPE_MAP:
+        return _TYPE_MAP[base.group(1).upper()]
+    raise ValueError(f"unsupported DDL type: {s!r}")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (column list / WITH list)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_with_props(s: str | None) -> dict:
+    if not s:
+        return {}
+    return dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", s))
+
 
 class Engine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
+        self.warehouse = warehouse
         self.catalog = LakeCatalog(spark, warehouse)
+        # CREATE CATALOG name WITH (...) registers sibling warehouses
+        # (the reference's fluss vs iceberg catalogs, README.md:129-135);
+        # USE CATALOG switches self.catalog
+        self._catalogs: dict[str, LakeCatalog] = {"default": self.catalog}
 
     # ---- DDL (S8-S13) ----
 
@@ -75,9 +138,163 @@ class Engine:
             + (f" WITH (\n{with_clause}\n)" if with_clause else "")
         )
 
-    # ---- query surface ----
+    # ---- SQL surface (queries via Catalyst, DDL/DML via the lake layer) ----
 
     def sql(self, query: str) -> DataFrame:
-        """Spark SQL over attached testdata views + registered lake tables.
-        Catalyst plans it; nothing engine-specific in the path."""
-        return self.spark.sql(query)
+        """The engine's full SQL entry point, mirroring the reference's SQL
+        sessions (README.md:107-316): lake DDL (`CREATE TABLE ... PRIMARY
+        KEY ... WITH (...)`, `SHOW CREATE TABLE`, `DROP TABLE`, `CREATE/USE
+        CATALOG`), lake DML (`INSERT INTO t SELECT ...`, `EXECUTE STATEMENT
+        SET`), and plain queries (delegated to Catalyst over attached views
+        + registered lake tables)."""
+        q = query.strip().rstrip(";").strip()
+        u = q.upper()
+        if u.startswith("CREATE CATALOG"):
+            return self._sql_create_catalog(q)
+        if u.startswith("USE CATALOG"):
+            return self._sql_use_catalog(q)
+        if u.startswith("CREATE TABLE") or u.startswith("CREATE TEMPORARY TABLE"):
+            return self._sql_create_table(q)
+        if u.startswith("SHOW CREATE TABLE"):
+            name = q.split()[-1].strip("`")
+            return self.spark.createDataFrame(
+                [(self.show_create_table(name),)], "ddl string"
+            )
+        if u.startswith("DROP TABLE"):
+            name = q.split()[-1].strip("`")
+            self.catalog.drop(name)
+            self.spark.catalog.dropTempView(name)
+            self.spark.catalog.dropTempView(f"{name}__snapshots")
+            return self._ok("dropped", name)
+        if u.startswith("INSERT INTO"):
+            return self._sql_insert(q)
+        if u.startswith("EXECUTE STATEMENT SET"):
+            return self._sql_statement_set(q)
+        return self.spark.sql(q)
+
+    def _ok(self, op: str, name: str) -> DataFrame:
+        return self.spark.createDataFrame([(op, name)], "op string, name string")
+
+    def _sql_create_catalog(self, q: str) -> DataFrame:
+        m = re.match(r"CREATE\s+CATALOG\s+`?(\w+)`?\s*(?:WITH\s*\((.*)\))?$",
+                     q, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse CREATE CATALOG: {q!r}")
+        name = m.group(1)
+        props = _parse_with_props(m.group(2))
+        wh = props.get("warehouse", os.path.join(self.warehouse, f"_catalog_{name}"))
+        self._catalogs[name] = LakeCatalog(self.spark, wh)
+        return self._ok("create_catalog", name)
+
+    def _sql_use_catalog(self, q: str) -> DataFrame:
+        name = q.split()[-1].strip("`")
+        if name not in self._catalogs:
+            raise KeyError(f"no such catalog: {name}")
+        self.catalog = self._catalogs[name]
+        return self._ok("use_catalog", name)
+
+    def _sql_create_table(self, q: str) -> DataFrame:
+        m = re.match(
+            r"CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*\(",
+            q, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE: {q!r}")
+        if_not_exists = bool(m.group(2))
+        name = m.group(3).split(".")[-1]
+        # balanced-paren scan for the column block (a greedy regex would
+        # swallow the WITH clause)
+        start = m.end() - 1
+        depth, end = 0, -1
+        for i in range(start, len(q)):
+            if q[i] == "(":
+                depth += 1
+            elif q[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise ValueError(f"unbalanced parens in CREATE TABLE: {q!r}")
+        body = q[start + 1 : end]
+        rest = q[end + 1 :].strip()
+        wm = re.match(r"WITH\s*\((.*)\)$", rest, re.I | re.S)
+        props = _parse_with_props(wm.group(1) if wm else None)
+
+        fields, not_null, primary_key, computed = [], [], [], {}
+        for part in _split_top_level(body):
+            pk = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", part, re.I)
+            if pk:
+                primary_key = [c.strip().strip("`") for c in pk.group(1).split(",")]
+                continue
+            comp = re.match(r"`?(\w+)`?\s+AS\s+(.+)$", part, re.I)
+            if comp and "(" in comp.group(2):
+                # computed column (the reference's `ptime AS PROCTIME()`,
+                # README.md:148): typed timestamp, stamped at write time
+                computed[comp.group(1)] = comp.group(2).strip()
+                fields.append(T.StructField(comp.group(1), T.TimestampType(), True))
+                continue
+            cm = re.match(r"`?(\w+)`?\s+(.+?)(\s+NOT\s+NULL)?$", part, re.I | re.S)
+            if not cm:
+                raise ValueError(f"cannot parse column def: {part!r}")
+            cname, ctype, nn = cm.group(1), cm.group(2), cm.group(3)
+            fields.append(T.StructField(cname, _parse_type(ctype), nn is None))
+            if nn:
+                not_null.append(cname)
+        if primary_key:
+            not_null = sorted(set(not_null) | set(primary_key))
+
+        if self.catalog.exists(name) and if_not_exists:
+            self._register(self.catalog.load(name))
+            return self._ok("exists", name)
+        table_props = {
+            k: v
+            for k, v in props.items()
+            if k not in ("connector", "bucket.num", "engine.n-buckets")
+        }
+        for c, expr in computed.items():
+            table_props[f"engine.computed.{c}"] = expr
+        n_buckets = int(props.get("bucket.num", props.get("engine.n-buckets", 16)))
+        t = self.catalog.create_table(
+            name,
+            T.StructType(fields),
+            primary_key=primary_key or None,
+            not_null=not_null or None,
+            n_buckets=n_buckets,
+            properties=table_props,
+        )
+        self._register(t)
+        return self._ok("create_table", name)
+
+    def _sql_insert(self, q: str) -> DataFrame:
+        m = re.match(r"INSERT\s+INTO\s+`?([\w.]+)`?\s+(SELECT\b.*|VALUES\b.*)$",
+                     q, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse INSERT INTO: {q!r}")
+        name = m.group(1).split(".")[-1]
+        src = self.spark.sql(m.group(2)) if m.group(2).upper().startswith("SELECT") \
+            else self.spark.sql(f"SELECT * FROM {m.group(2)}")
+        if not self.catalog.exists(name):
+            raise KeyError(f"INSERT target is not a lake table: {name}")
+        t = self.catalog.load(name)
+        src = src.toDF(*t.schema.fieldNames()[: len(src.columns)])
+        if t.primary_key:
+            t.merge(src)
+        else:
+            t.append(src)
+        self._register(t)
+        return self._ok("insert", name)
+
+    def _sql_statement_set(self, q: str) -> DataFrame:
+        """S15 ``EXECUTE STATEMENT SET BEGIN ... END`` (README.md:211-216):
+        run every INSERT in the set (batch form — the streaming form is
+        streaming/pipeline.ReferencePipeline)."""
+        m = re.match(r"EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*)\s+END$", q, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse STATEMENT SET: {q!r}")
+        stmts = [s.strip() for s in m.group(1).split(";") if s.strip()]
+        for s in stmts:
+            self._sql_insert(s)
+        return self.spark.createDataFrame(
+            [(len(stmts),)], "n_statements int"
+        )

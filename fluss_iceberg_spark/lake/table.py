@@ -102,6 +102,8 @@ class LakeTable:
         self.n_buckets: int = meta.get("n_buckets", 16)
         self.not_null: list[str] = meta.get("not_null") or []
         self.properties: dict = meta.get("properties") or {}
+        # state the next _commit() folds into its atomic snapshot write
+        self._pending_commit_extra: dict | None = None
 
     # ---------- snapshot log ----------
 
@@ -133,6 +135,18 @@ class LakeTable:
     ) -> Snapshot:
         parent = self.snapshot()
         version = self.current_version() + 1
+        # A caller (tier(), the streaming pipeline) may ask the *next*
+        # commit to carry extra state — watermark advance, idempotence
+        # batch id — so it lands in the snapshot json in the same atomic
+        # write as the commit itself (no post-commit rewrite window in
+        # which a crash could double-expose or double-apply a batch).
+        extra = self._pending_commit_extra
+        self._pending_commit_extra = None
+        if extra:
+            operation = extra.get("operation", operation)
+            if hot_watermark is None:
+                hot_watermark = extra.get("hot_watermark")
+            summary = {**(summary or {}), **extra.get("summary", {})}
         snap = Snapshot(
             snapshot_id=version,
             committed_at_ms=int(time.time() * 1000),
@@ -157,6 +171,19 @@ class LakeTable:
         """S16: sink not-null enforcer = DROP (sql-client.sql:50)."""
         cols = [c for c in self.not_null if c in df.columns]
         return df.na.drop(subset=cols) if cols else df
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        """Project to the table schema, materializing computed columns a
+        write doesn't supply — e.g. a ``PROCTIME()`` column (README.md:148)
+        declared via DDL is stamped with the write's processing time."""
+        for f in self.schema.fieldNames():
+            if f not in df.columns:
+                expr = self.properties.get(f"engine.computed.{f}")
+                if expr and expr.upper() == "PROCTIME()":
+                    df = df.withColumn(f, F.current_timestamp())
+                elif expr:
+                    df = df.withColumn(f, F.expr(expr))
+        return df.select(*self.schema.fieldNames())
 
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.hash(*[F.col(k) for k in self.primary_key]), F.lit(self.n_buckets))
@@ -192,7 +219,7 @@ class LakeTable:
         newly written files; existing data is never rewritten."""
         if self.primary_key:
             raise ValueError(f"{self.name}: PK table requires merge(), not append()")
-        df = self._enforce_not_null(df.select(*self.schema.fieldNames()))
+        df = self._enforce_not_null(self._prepare(df))
         version = self.current_version() + 1
         files = self._write_files(df, version, bucketed=False)
         added = self._rows_in(files)
@@ -201,8 +228,24 @@ class LakeTable:
         total = (parent.total_rows if parent else 0) + added
         return self._commit("append", all_files, total, added)
 
+    def _check_rewrite_allowed(self, op: str) -> None:
+        """Log-table rewrites (compact/overwrite) re-emit existing rows to
+        any active ``stream_appends()`` file stream (the stream tails
+        ``data/*``). A table declared 'streaming.append-only' refuses them
+        so the stream's exactly-once contract can't be silently broken."""
+        if (
+            not self.primary_key
+            and self.properties.get("streaming.append-only") == "true"
+        ):
+            raise ValueError(
+                f"{self.name}: {op}() is disabled on a 'streaming.append-only' "
+                "table — rewritten files would be re-emitted by active "
+                "stream_appends() readers"
+            )
+
     def overwrite(self, df: DataFrame) -> Snapshot:
-        df = self._enforce_not_null(df.select(*self.schema.fieldNames()))
+        self._check_rewrite_allowed("overwrite")
+        df = self._enforce_not_null(self._prepare(df))
         version = self.current_version() + 1
         files = self._write_files(df, version, bucketed=bool(self.primary_key))
         n = self._rows_in(files)
@@ -217,7 +260,7 @@ class LakeTable:
         """
         if not self.primary_key:
             raise ValueError(f"{self.name}: merge() requires a primary key")
-        updates = self._enforce_not_null(updates.select(*self.schema.fieldNames()))
+        updates = self._enforce_not_null(self._prepare(updates))
         # collapse intra-batch duplicates: last occurrence per key wins is
         # undefined without order, so use an arbitrary-but-deterministic
         # max-by over all columns via row_number on a monotonic id
@@ -308,15 +351,35 @@ class LakeTable:
         )
 
     def snapshots(self) -> DataFrame:
-        """The ``t$snapshots`` metadata table (M1, README.md:274-275)."""
+        """The ``t$snapshots`` metadata table (M1, README.md:274-275).
+
+        Columns mirror Iceberg's ``$snapshots`` shape (the reference's
+        observability query, README.md:275): parent lineage, operation,
+        a manifest-list stand-in (the snapshot json path), and a summary
+        map (added/total counts + operation-specific keys), plus the
+        engine's tiering watermark."""
         rows = []
         for v in range(self.current_version() + 1):
             s = self.snapshot(v)
+            # summary serialized as a JSON string: nested map/array cells
+            # crash the driver's pandas canonicalizer (CORRECTNESS_r01)
+            summary = json.dumps(
+                {
+                    "added-records": str(s.added_rows),
+                    "total-records": str(s.total_rows),
+                    "total-data-files": str(len(s.files)),
+                    **{k: json.dumps(v2) for k, v2 in s.summary.items()},
+                },
+                sort_keys=True,
+            )
             rows.append(
                 (
                     s.snapshot_id,
+                    s.snapshot_id - 1 if s.snapshot_id > 0 else None,
                     s.committed_at_ms,
                     s.operation,
+                    self._meta(f"v{s.snapshot_id}.json"),
+                    summary,
                     len(s.files),
                     s.total_rows,
                     s.added_rows,
@@ -325,7 +388,8 @@ class LakeTable:
             )
         return self.spark.createDataFrame(
             rows,
-            "snapshot_id long, committed_at_ms long, operation string, "
+            "snapshot_id long, parent_id long, committed_at_ms long, "
+            "operation string, manifest_list string, summary string, "
             "n_files int, total_rows long, added_rows long, hot_watermark long",
         )
 
@@ -342,6 +406,7 @@ class LakeTable:
         (30 s freshness → 2,880 commits/day); periodic compaction is what
         keeps scan planning and open-file overhead bounded at scale.
         """
+        self._check_rewrite_allowed("compact")
         snap = self.snapshot()
         if snap is None or len(snap.files) <= 1:
             return None
@@ -392,10 +457,35 @@ class LakeTable:
     def write_hot_batch(self, df: DataFrame, batch_id: int) -> None:
         """Stage a stream micro-batch in the hot store (the Fluss role).
         Idempotent per batch_id: a retried batch overwrites itself."""
-        df = self._enforce_not_null(df.select(*self.schema.fieldNames()))
+        df = self._enforce_not_null(self._prepare(df))
         df.write.mode("overwrite").parquet(self._hot_dir(batch_id))
 
-    def read_hot(self, after_watermark: int | None = None) -> DataFrame:
+    def _read_hot_batches(self, batches: list[int], with_batch_id: bool) -> DataFrame:
+        """Read the given staged batches; optionally tag each row with its
+        batch id (one read per batch dir — batch counts are small by
+        construction, the tiering loop drains them every freshness tick)."""
+        schema = T.StructType(self.schema.fields)
+        if not with_batch_id:
+            return (
+                self.spark.read.schema(schema)
+                .parquet(*[self._hot_dir(b) for b in batches])
+                .select(*self.schema.fieldNames())
+            )
+        parts = [
+            self.spark.read.schema(schema)
+            .parquet(self._hot_dir(b))
+            .select(*self.schema.fieldNames())
+            .withColumn("__batch_id", F.lit(b))
+            for b in batches
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def read_hot(
+        self, after_watermark: int | None = None, with_batch_id: bool = False
+    ) -> DataFrame:
         wm = (
             after_watermark
             if after_watermark is not None
@@ -403,18 +493,26 @@ class LakeTable:
         )
         batches = [b for b in self.hot_batches() if b > wm]
         if not batches:
-            return self.spark.createDataFrame([], self.schema)
-        return (
-            self.spark.read.schema(T.StructType(self.schema.fields))
-            .parquet(*[self._hot_dir(b) for b in batches])
-            .select(*self.schema.fieldNames())
-        )
+            df = self.spark.createDataFrame([], self.schema)
+            return df.withColumn("__batch_id", F.lit(-1)) if with_batch_id else df
+        return self._read_hot_batches(batches, with_batch_id)
 
     def tier(self, up_to_batch: int | None = None) -> Snapshot | None:
         """Lake tiering (S17/ST5): drain staged hot batches ≤ up_to_batch
         into the lake, advancing the watermark atomically with the commit.
         Append semantics for log tables, MERGE for PK tables — matching
-        the reference tiering job (docker-compose.yml:95-111)."""
+        the reference tiering job (docker-compose.yml:95-111).
+
+        The watermark advance rides the merge/append commit itself (via
+        ``_pending_commit_extra``), so a crash can never leave a batch
+        visible in both the lake and the hot store: either the snapshot
+        (files + watermark) landed atomically, or neither did.
+
+        Cross-batch ordering: for PK tables the reference's tiering is
+        log-ordered — a key written in batch 5 and again in batch 7 must
+        end at batch 7's value. Duplicate keys are resolved by descending
+        batch id *before* the merge.
+        """
         current_wm = self.snapshot().hot_watermark if self.snapshot() else -1
         batches = [b for b in self.hot_batches() if b > current_wm]
         if up_to_batch is not None:
@@ -422,21 +520,28 @@ class LakeTable:
         if not batches:
             return None
         new_wm = max(batches)
-        df = (
-            self.spark.read.schema(T.StructType(self.schema.fields))
-            .parquet(*[self._hot_dir(b) for b in batches])
-            .select(*self.schema.fieldNames())
-        )
-        if self.primary_key:
-            snap = self.merge(df)
-        else:
-            snap = self.append(df)
-        # rewrite the snapshot with the advanced watermark (same commit id:
-        # merge/append above created vN; stamp watermark into it atomically)
-        snap.hot_watermark = new_wm
-        snap.operation = "tier"
-        _atomic_write(self._meta(f"v{snap.snapshot_id}.json"), snap.to_json())
-        return snap
+        df = self._read_hot_batches(batches, with_batch_id=bool(self.primary_key))
+        self._pending_commit_extra = {
+            "operation": "tier",
+            "hot_watermark": new_wm,
+            "summary": {"tiered_batches": batches},
+        }
+        try:
+            if self.primary_key:
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(*self.primary_key).orderBy(
+                    F.col("__batch_id").desc()
+                )
+                resolved = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .select(*self.schema.fieldNames())
+                )
+                return self.merge(resolved)
+            return self.append(df.select(*self.schema.fieldNames()))
+        finally:
+            self._pending_commit_extra = None
 
     def stream_appends(self) -> DataFrame:
         """U2: subscribe to a log table as a stream — the reference's
@@ -459,8 +564,28 @@ class LakeTable:
     def union_read(self) -> DataFrame:
         """Hot∪cold union read (U1, README.md:296-316): lake snapshot plus
         hot batches beyond the snapshot's watermark. The watermark makes
-        the boundary exactly-once: no dup, no gap."""
-        return self.read().unionByName(self.read_hot())
+        the boundary exactly-once: no dup, no gap.
+
+        Log tables: plain union. PK tables (the reference's
+        datalake-enabled ``nation_revenue``, README.md:196-203, 296-316):
+        last value per key — a key updated in a hot batch after tiering
+        must surface once, at its hot value. Resolution order: higher hot
+        batch id > lower > lake snapshot. One hash shuffle on the PK
+        (window + row_number); the lake side arrives pre-bucketed by PK
+        hash so at scale AQE can co-locate most of the exchange."""
+        cold = self.read()
+        if not self.primary_key:
+            return cold.unionByName(self.read_hot())
+        hot = self.read_hot(with_batch_id=True)
+        from pyspark.sql.window import Window
+
+        merged = cold.withColumn("__batch_id", F.lit(-1)).unionByName(hot)
+        w = Window.partitionBy(*self.primary_key).orderBy(F.col("__batch_id").desc())
+        return (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*self.schema.fieldNames())
+        )
 
 
 class LakeCatalog:

@@ -45,24 +45,22 @@ def decode_image_stub(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
     Real deployments replace the body with an actual decoder (PIL/ffmpeg)
     — the signature, Arrow batch shape and output schema stay identical.
-    Deterministic fake features: width/height derived from the first
-    payload bytes.
-    """
-    import hashlib
-
+    Deterministic fake features: width/height derived from the first/last
+    payload bytes (vectorized via the pandas bytes accessor — no per-row
+    Python lambdas). Metadata already computed JVM-side (n_bytes, sha256
+    from ``binarize_documents``) passes straight through instead of being
+    recomputed per row in Python (the r01 anti-pattern)."""
     for pdf in batch_iter:
         payloads = pdf["payload"]
+        first = payloads.str[0].fillna(-1).astype("int64")
+        last = payloads.str[-1].fillna(-1).astype("int64")
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int32"),
-                "sha256": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                "fake_width": payloads.map(
-                    lambda b: 1 + (b[0] if len(b) else 0)
-                ).astype("int32"),
-                "fake_height": payloads.map(
-                    lambda b: 1 + (b[-1] if len(b) else 0)
-                ).astype("int32"),
+                "n_bytes": pdf["n_bytes"].astype("int32"),
+                "sha256": pdf["sha256"],
+                "fake_width": (1 + first.where(first >= 0, 0)).astype("int32"),
+                "fake_height": (1 + last.where(last >= 0, 0)).astype("int32"),
             }
         )
         yield out

@@ -84,42 +84,48 @@ def _assign_clusters(v: DataFrame, cent: DataFrame, dim: int, top_n: int = 1):
 
 
 def train_ivf_centroids(
-    vectors: DataFrame, n_clusters: int = 16, n_iters: int = 2, dim: int = 64
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+    sample_rows: int = 65536,
 ) -> list:
-    """IVF coarse quantizer: deterministic seeds (first K vectors by id)
-    refined with Lloyd iterations. The K*dim centroid matrix -
-    constant-size model parameters, not data - is collected to the driver
-    after each iteration and re-broadcast as a literal table, so each
-    iteration's plan reads the source ONCE instead of replaying every
-    previous iteration's lineage. Returns [(cid, centroid, norm)]."""
-    v = _as_double(vectors)
+    """IVF coarse quantizer trained driver-side on a BOUNDED sample (the
+    FAISS pattern): the model is O(K·dim) parameters, and a coarse
+    quantizer does not need the full table — the sample is capped at
+    ``sample_rows`` regardless of table size, so driver memory stays
+    constant at any scale, while assignment of the full table remains
+    distributed (``_assign_clusters``). Replaces the former Spark-job
+    Lloyd loop (crossJoin+window+posexplode+groupBy+collect per
+    iteration — ~10 stages of pure scheduling overhead for a K×dim
+    model). Seeds: first K vectors by id; assignment by max cosine with
+    lowest-cid tie-break — both unchanged. Returns [(cid, centroid,
+    norm)]."""
+    import numpy as np
 
-    def _collect(cent_df) -> list:
-        return [
-            (r.cid, list(r.cv), float(sum(x * x for x in r.cv) ** 0.5))
-            for r in cent_df.collect()
-        ]
-
-    model = _collect(
-        v.orderBy("vec_id")
-        .limit(n_clusters)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    pdf = (
+        _as_double(vectors)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(sample_rows)
+        .toPandas()
     )
+    X = np.vstack(pdf["v"].to_numpy()).astype("float64")
+    ids = pdf["vec_id"].to_numpy()
+    k = min(n_clusters, len(X))
+    C = X[:k].copy()
     for _ in range(n_iters):
-        assigned = _assign_clusters(v, _centroids_df(vectors.sparkSession, model), dim)
-        model = _collect(
-            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-        )
-    return model
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = (Xn @ Cn.T).argmax(axis=1)  # ties → lowest index == lowest cid
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [
+        (int(ids[i]), [float(x) for x in C[i]], float(np.linalg.norm(C[i])))
+        for i in range(k)
+    ]
 
 
 def ivf_topk(

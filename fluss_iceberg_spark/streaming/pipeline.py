@@ -136,17 +136,14 @@ class ReferencePipeline:
                     .alias("revenue"),
                 )
             )
-            snap = self.revenue.merge(merged)
+            # the idempotence marker rides the merge commit's own atomic
+            # snapshot write — a crash can never commit the revenue delta
+            # without the batch_id, so a replayed batch is always detected
+            self.revenue._pending_commit_extra = {"summary": {"batch_id": batch_id}}
+            self.revenue.merge(merged)
         finally:
+            self.revenue._pending_commit_extra = None
             enriched.unpersist()
-        # stamp idempotence marker into the commit (read before re-stamp is
-        # safe: single-writer commit protocol)
-        snap.summary["batch_id"] = batch_id
-        from fluss_iceberg_spark.lake.table import _atomic_write
-
-        _atomic_write(
-            self.revenue._meta(f"v{snap.snapshot_id}.json"), snap.to_json()
-        )
         return True
 
     def tier_enriched(self) -> None:

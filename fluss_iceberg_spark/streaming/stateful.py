@@ -33,26 +33,52 @@ def _sessionize_fn(
     state: GroupState,
     gap_us: int,
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized session assembly: events are sorted once, segment
+    boundaries come from a diff-over-gap mask, and per-segment aggregates
+    from ``np.add.reduceat`` — no per-row Python loop (the r01
+    anti-pattern). State carries the open session across micro-batches."""
+    import numpy as np
+
     (user_id,) = key
-    if state.exists:
-        start, last, n, sv = state.get
-    else:
-        start = last = None
-        n, sv = 0, 0.0
+    carried = state.get if state.exists else None
+    chunks = list(pdfs)
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(pdf) == 0:
+        # no new events: state (and any open session) is unchanged
+        if carried is not None:
+            state.update(carried)
+        return
+    pdf = pdf.sort_values(["ts", "event_id"])
+    ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    vals = pdf["value"].to_numpy(dtype="float64")
+
+    # segment starts: position 0 plus every position whose gap from the
+    # previous event exceeds the inactivity gap
+    ibrk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
+    offsets = np.concatenate([[0], ibrk])
+    seg_start = ts_us[offsets]
+    seg_end = ts_us[np.concatenate([ibrk - 1, [len(ts_us) - 1]])]
+    seg_n = np.diff(np.concatenate([offsets, [len(ts_us)]]))
+    seg_sv = np.add.reduceat(vals, offsets)
+
     closed: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts, val in zip(pdf["ts"], pdf["value"]):
-            ts_us = int(ts.value // 1000)  # pandas ns → µs
-            if last is not None and ts_us - last > gap_us:
-                closed.append((user_id, start, last, n, sv))
-                start, n, sv = ts_us, 0, 0.0
-            if start is None:
-                start = ts_us
-            last = ts_us
-            n += 1
-            sv += float(val)
-    state.update((start, last, n, sv))
+    if carried is not None:
+        c_start, c_last, c_n, c_sv = carried
+        if ts_us[0] - c_last <= gap_us:
+            # first segment continues the carried session
+            seg_start[0] = c_start
+            seg_n[0] += c_n
+            seg_sv[0] += c_sv
+        else:
+            closed.append((user_id, c_start, c_last, c_n, c_sv))
+    # all segments but the last are closed by a following gap
+    closed += [
+        (user_id, int(seg_start[s]), int(seg_end[s]), int(seg_n[s]), float(seg_sv[s]))
+        for s in range(len(seg_start) - 1)
+    ]
+    state.update(
+        (int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1]), float(seg_sv[-1]))
+    )
     if closed:
         out = pd.DataFrame(
             closed,

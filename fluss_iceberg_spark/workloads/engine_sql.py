@@ -73,42 +73,55 @@ def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("engine_show_create")  # DDL introspection — rows-only
 def show_create(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S13 SHOW CREATE TABLE + M1 snapshots through the Engine facade."""
+    """S13 + the SQL DDL surface (README.md:129-203): the whole lifecycle
+    through ``engine.sql()`` strings — CREATE CATALOG / USE CATALOG,
+    CREATE TABLE with PRIMARY KEY + WITH properties, INSERT INTO (upsert
+    semantics: the second insert overwrites GERMANY), SHOW CREATE TABLE,
+    then *re-create* a twin table from the emitted DDL and verify the
+    round-trip DDL matches."""
     import hashlib
     import shutil
 
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     wh = f"/tmp/fluss_engine_scratch/{tag}"
     shutil.rmtree(wh, ignore_errors=True)
     eng = Engine(spark, wh)
-    schema = T.StructType(
-        [
-            T.StructField("nation_name", T.StringType(), False),
-            T.StructField("revenue", T.DecimalType(15, 2), True),
-        ]
-    )
-    t = eng.create_table(
-        "nation_revenue",
-        schema,
-        primary_key=["nation_name"],
-        not_null=["nation_name"],
-        properties={"datalake.enabled": "true", "datalake.freshness": "30s"},
-    )
-    from decimal import Decimal
-
-    t.merge(
-        spark.createDataFrame(
-            [("GERMANY", Decimal("10.00")), ("FRANCE", Decimal("20.00"))],
-            "nation_name string, revenue decimal(15,2)",
+    eng.sql(f"CREATE CATALOG fluss_catalog WITH ('warehouse' = '{wh}/fluss')")
+    eng.sql("USE CATALOG fluss_catalog")
+    eng.sql("""
+        CREATE TABLE nation_revenue (
+            nation_name STRING NOT NULL,
+            revenue DECIMAL(15, 2),
+            PRIMARY KEY (nation_name) NOT ENFORCED
+        ) WITH (
+            'table.datalake.enabled' = 'true',
+            'table.datalake.freshness' = '30s'
         )
+    """)
+    eng.sql(
+        "INSERT INTO nation_revenue SELECT * FROM VALUES "
+        "('GERMANY', CAST(10.00 AS DECIMAL(15,2))), "
+        "('FRANCE', CAST(20.00 AS DECIMAL(15,2)))"
     )
-    eng.refresh("nation_revenue")
-    ddl = eng.show_create_table("nation_revenue")
+    eng.sql(
+        "INSERT INTO nation_revenue SELECT * FROM VALUES "
+        "('GERMANY', CAST(35.00 AS DECIMAL(15,2)))"
+    )
+    ddl = eng.sql("SHOW CREATE TABLE nation_revenue").collect()[0].ddl
+    # round-trip: the emitted DDL must itself be valid engine DDL
+    eng.sql(ddl.replace("`nation_revenue`", "`nation_revenue_rt`"))
+    ddl_rt = eng.sql("SHOW CREATE TABLE nation_revenue_rt").collect()[0].ddl
+    roundtrip_ok = ddl_rt == ddl.replace("`nation_revenue`", "`nation_revenue_rt`")
     n_snaps = eng.sql("SELECT COUNT(1) AS c FROM nation_revenue__snapshots").collect()[0].c
-    rows = eng.sql("SELECT COUNT(1) AS c FROM nation_revenue").collect()[0].c
+    rows = eng.sql(
+        "SELECT nation_name, CAST(revenue AS DOUBLE) AS revenue "
+        "FROM nation_revenue ORDER BY nation_name"
+    ).collect()
+    final_state = ";".join(f"{r.nation_name}={r.revenue}" for r in rows)
     return spark.createDataFrame(
-        [(ddl, int(n_snaps), int(rows))], "ddl string, n_snapshots long, n_rows long"
-    ).select("ddl", "n_snapshots", "n_rows", F.lit("ok").alias("status"))
+        [(ddl, bool(roundtrip_ok), int(n_snaps), len(rows), final_state)],
+        "ddl string, roundtrip_ok boolean, n_snapshots long, n_rows long, "
+        "final_state string",
+    ).select("*", F.lit("ok").alias("status"))

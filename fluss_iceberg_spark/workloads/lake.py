@@ -150,6 +150,55 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _price_double(_build_union_table(spark, sf_dir).read(version=0))
 
 
+@query(
+    "lake_pk_union_read",
+    oracle="""
+    SELECT CAST(c_custkey AS INT) AS cust_key,
+           c_name AS name,
+           CAST(c_nationkey AS INT) AS nation_key,
+           CAST(CAST(CASE WHEN c_custkey % 14 = 0 THEN c_acctbal + 900.0
+                          WHEN c_custkey % 7 = 0 THEN c_acctbal + 500.0
+                          ELSE c_acctbal END AS DECIMAL(15,2)) AS DOUBLE) AS acctbal,
+           CASE WHEN c_custkey % 14 = 0 THEN 'HOT2'
+                WHEN c_custkey % 7 = 0 THEN 'HOT'
+                ELSE c_mktsegment END AS mktsegment
+    FROM customer
+    """,
+)
+def lake_pk_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 on a PK table (the reference's datalake-enabled ``nation_revenue``,
+    README.md:196-203, 296-316): after the base dim is tiered to the lake,
+    two hot batches update overlapping key subsets. The union read must
+    return exactly one row per key at its *latest* value — hot beats lake,
+    higher batch id beats lower (log-ordered upsert semantics)."""
+    cat = LakeCatalog(spark, _scratch(sf_dir, "pk_union"))
+    base, _ = _customer_updates(spark, sf_dir)
+    t = cat.create_table(
+        "dim_customer_hot",
+        base.schema,
+        primary_key=["cust_key"],
+        not_null=["cust_key"],
+        n_buckets=8,
+        replace=True,
+    )
+    t.write_hot_batch(base, batch_id=1)
+    t.tier(up_to_batch=1)  # lake now holds the base snapshot
+    src = load_table(spark, sf_dir, "customer")
+
+    def _upd(mod: int, bump: float, seg: str) -> DataFrame:
+        return src.filter(F.col("c_custkey") % mod == 0).select(
+            F.col("c_custkey").cast("int").alias("cust_key"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("int").alias("nation_key"),
+            (F.col("c_acctbal") + F.lit(bump)).cast("decimal(15,2)").alias("acctbal"),
+            F.lit(seg).alias("mktsegment"),
+        )
+
+    t.write_hot_batch(_upd(7, 500.0, "HOT"), batch_id=2)
+    t.write_hot_batch(_upd(14, 900.0, "HOT2"), batch_id=3)
+    return t.union_read().withColumn("acctbal", F.col("acctbal").cast("double"))
+
+
 @query("lake_snapshots")  # metadata — no SQL oracle; driver rows-only check
 def lake_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 ``t$snapshots`` (README.md:274-275): commit history incl. the

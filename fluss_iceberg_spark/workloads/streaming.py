@@ -68,13 +68,27 @@ def stream_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_enriched_union", oracle=_ENRICH_SQL)
+@query(
+    "stream_enriched_union",
+    oracle=f"""
+    SELECT order_key, cust_key,
+           CAST(total_price AS DOUBLE) AS total_price,
+           order_date, order_priority, cust_name,
+           CAST(cust_acctbal AS DOUBLE) AS cust_acctbal,
+           cust_mktsegment, nation_name
+    FROM ({_ENRICH_SQL}) e
+    """,
+)
 def stream_enriched_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 through the pipeline: enriched_orders union read (tiered lake
     commits ∪ still-hot batches) == batch enrichment of all orders
     (README.md:296-316)."""
     pipe = _run_pipeline(spark, sf_dir, "enriched_union")
-    return pipe.enriched.union_read()
+    return (
+        pipe.enriched.union_read()
+        .withColumn("total_price", F.col("total_price").cast("double"))
+        .withColumn("cust_acctbal", F.col("cust_acctbal").cast("double"))
+    )
 
 
 @query(
@@ -231,6 +245,7 @@ def faker_pipeline_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe.process_order_batch(orders, customers, nations, 0)
     return (
         pipe.revenue.read()
+        .withColumn("revenue", F.col("revenue").cast("double"))
         .orderBy(F.desc_nulls_last("revenue"), F.asc_nulls_last("nation_name"))
         .limit(5)
     )

@@ -334,7 +334,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.c_custkey,
            o.o_orderkey,
            o.o_orderdate,
-           CAST(o.o_totalprice AS DECIMAL(15,2)) AS o_totalprice,
+           CAST(CAST(o.o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS o_totalprice,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -365,7 +365,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 F.col("o_totalprice").cast("decimal(15,2)").alias("o_totalprice"))
+                 F.col("o_totalprice").cast("decimal(15,2)").cast("double")
+                 .alias("o_totalprice"))
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
         .orderBy(F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)

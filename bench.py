@@ -59,8 +59,14 @@ HEADLINE = [
     "events_dedup_latest",
     "lake_upsert_customers",
     "lake_union_read",
+    "lake_pk_union_read",
+    "lake_time_travel",
     "stream_nation_revenue",
     "stream_stateful_sessions",
+    "stream_enriched_union",
+    "stream_events_hourly",
+    "stream_interval_join",
+    "faker_pipeline_top5",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -76,6 +82,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_decode_features",
+    "agg_price_percentiles",
+    "agg_price_percentiles_approx",
+    "agg_approx_distinct_customers",
+    "source_formats_roundtrip",
+    "engine_show_create",
 ]
 
 

@@ -85,6 +85,9 @@ HEADLINE = [
     "agg_price_percentiles",
     "agg_price_percentiles_approx",
     "agg_approx_distinct_customers",
+    "text_pii_scrub",
+    "text_pack_sequences",
+    "dedup_semantic_representatives",
     "source_formats_roundtrip",
     "engine_show_create",
 ]

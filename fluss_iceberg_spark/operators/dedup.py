@@ -497,3 +497,36 @@ def embedding_near_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+def semantic_representatives(
+    emb: DataFrame, threshold: float = 0.45, dim: int = 64
+) -> DataFrame:
+    """Semantic dedup: cluster embedding near-dup pairs (cosine ≥ τ) into
+    components and elect the min vec_id as each cluster's representative;
+    singletons represent themselves. The canonical keep/drop decision of
+    an embedding-level dedup pass:
+
+        keep = (vec_id == representative)
+
+    Composition of the two scale paths above: block-matrix pair
+    generation + min-label-propagation clustering; the final left join is
+    a broadcast of the (tiny) non-singleton label set.
+    """
+    pairs = embedding_near_pairs(emb, threshold, dim)
+    labels = connected_components(
+        pairs.select(F.col("id_a").alias("d1"), F.col("id_b").alias("d2"))
+    )
+    ids = emb.select("vec_id")
+    return (
+        ids.join(
+            F.broadcast(labels.withColumnRenamed("doc_id", "vec_id")),
+            on="vec_id",
+            how="left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("representative"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("representative"))
+    )

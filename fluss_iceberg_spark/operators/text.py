@@ -127,3 +127,78 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (md5 hex output is engine-portable)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no lookarounds, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII occurrence counts (JVM regex, no Python)."""
+    return {k: F.regexp_count(text, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact PII in place: each category replaced by its [TAG]. Order is
+    fixed (email → phone → ip) so scrubbing is deterministic; emails are
+    scrubbed first because their pattern can contain digit runs."""
+    out = text
+    for k in ("email", "phone", "ip"):
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"[{k.upper()}]")
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The standard pre-training redaction pass: per-doc PII counts plus
+    an md5 fingerprint of the scrubbed text (fingerprint, not the text
+    itself, so the gated output stays narrow at any document size)."""
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    return df.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}s") for k in sorted(counts)],
+        F.md5(scrub_pii(t)).alias("scrubbed_fp"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Greedy sequence packing for context-window batching: docs are
+    streamed in doc_id order *within each shard* and cut into bins of
+    ``budget`` tokens (a doc lands in the bin its running-total start
+    falls into).
+
+    Scale shape: packing is inherently sequential, so it is parallelized
+    per shard — one window partition per ``shard_col`` value (at 100 TB:
+    one packing stream per input shard/file-group, never a global
+    single-partition sort). Pure window arithmetic, identical in ANSI SQL.
+    """
+    from pyspark.sql import Window
+
+    n = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        df.select(shard_col, "doc_id", n.alias("n_tokens"))
+        .withColumn("cum_before", cum_before)
+        .select(
+            F.col(shard_col).alias("shard"),
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("cum_before") / budget).cast("long").alias("bin"),
+            (F.col("cum_before") % budget).cast("long").alias("offset_in_bin"),
+        )
+    )

@@ -87,11 +87,10 @@ _PRIORITY = [
     "ref_top5_nations",
     "ref_max_orderdate",
     "ref_notnull_drop",
-    # TPC-H J3/A-class gates (the rest are demoted below the window)
+    # TPC-H J3/A-class gates (the rest are demoted below the window; the
+    # J3/A classes are additionally gated by the ref_* and lake_* rows)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
-    "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
     # window / aggregation operator families
     "window_top_customer_per_nation",
@@ -99,7 +98,6 @@ _PRIORITY = [
     "agg_pivot_status_by_priority",
     "agg_price_percentiles",
     "agg_price_percentiles_approx",
-    "agg_approx_distinct_customers",
     # event-log operators (event-time rollup, sessionize, JSON, as-of)
     "events_hourly_rollup",
     "events_sessionize",
@@ -120,12 +118,14 @@ _PRIORITY = [
     "stream_interval_join",
     # synthetic sources (S1-S7)
     "faker_pipeline_top5",
-    # text analysis
+    # text analysis / curation
     "text_quality_score",
     "text_lang_id",
     "text_bpe_token_count",
     "text_fingerprint",
     "text_tfidf_top_terms",
+    "text_pii_scrub",
+    "text_pack_sequences",
     # deduplication
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
@@ -133,6 +133,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_semantic_representatives",
     # similarity search
     "ann_cosine_topk",
     "ann_ivf_topk",

@@ -118,3 +118,38 @@ def embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (τ=0.45), exact brute force —
     the LSH-bucketed scale path is ann_lsh_topk."""
     return DD.embedding_near_pairs(load_table(spark, sf_dir, "embeddings"), 0.45)
+
+
+@query(
+    "dedup_semantic_representatives",
+    oracle="""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              >= 0.45
+    ), edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ), reach(node, comp) AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ), labels AS (
+        SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    )
+    SELECT e.vec_id,
+           COALESCE(l.component, e.vec_id) AS representative,
+           e.vec_id = COALESCE(l.component, e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.node
+    """,
+)
+def semantic_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: embedding near-dup pairs (cosine ≥ 0.45)
+    → connected components → min-id representative per cluster; every
+    vector gets a keep/drop decision (singletons keep themselves)."""
+    return DD.semantic_representatives(load_table(spark, sf_dir, "embeddings"), 0.45)

@@ -180,3 +180,59 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("int").alias("rk"))
         .filter(F.col("rk") <= 3)
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g')) AS scrubbed_fp
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the standard pre-training scrub pass):
+    per-doc counts per category and a fingerprint of the scrubbed text.
+    The synthetic corpus is PII-free (counts are 0 — the gate validates
+    plumbing + the scrub being an md5-stable no-op); detection itself is
+    unit-tested on literal documents containing each PII category."""
+    return TX.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT source AS shard, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT shard, doc_id, n_tokens,
+           cum_before // 2048 AS bin,
+           cum_before % 2048 AS offset_in_bin
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 2048-token context bins, parallel per
+    source shard (window cumsum — one exchange on the shard key, never a
+    global single-partition sort)."""
+    return TX.pack_sequences(load_table(spark, sf_dir, "documents"), 2048)

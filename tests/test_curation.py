@@ -1,0 +1,79 @@
+"""Unit tests for the curation operators (PII scrub, sequence packing,
+semantic representatives) — detection proven on literal documents, since
+the synthetic corpus is PII-free."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.operators import dedup as DD
+from fluss_iceberg_spark.operators import text as TX
+
+
+def test_pii_detects_and_scrubs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+spam@example.co.uk or 555-867-5309 ok"),
+            (2, "server at 10.0.42.7 responded"),
+            (3, "no pii here at all"),
+            (4, "two mails a@b.io c@d.org and ip 192.168.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TX.pii_scrub(docs).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (1, 1, 0)
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 0, 1)
+    assert (rows[3].n_emails, rows[3].n_phones, rows[3].n_ips) == (0, 0, 0)
+    assert (rows[4].n_emails, rows[4].n_phones, rows[4].n_ips) == (2, 0, 1)
+
+    scrubbed = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", TX.scrub_pii(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert scrubbed[1] == "contact me at [EMAIL] or [PHONE] ok"
+    assert scrubbed[2] == "server at [IP] responded"
+    assert scrubbed[3] == "no pii here at all"
+    assert scrubbed[4] == "two mails [EMAIL] [EMAIL] and ip [IP]"
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    # shard A: docs of 3, 4, 5 tokens with budget 6 →
+    # cum_before 0, 3, 7 → bins 0, 0, 1; offsets 0, 3, 1
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "A"),
+            (2, "a b c d", "A"),
+            (3, "a b c d e", "A"),
+            (10, "x y", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.doc_id: r for r in TX.pack_sequences(docs, budget=6).collect()}
+    assert (rows[1].bin, rows[1].offset_in_bin) == (0, 0)
+    assert (rows[2].bin, rows[2].offset_in_bin) == (0, 3)
+    assert (rows[3].bin, rows[3].offset_in_bin) == (1, 1)
+    # shards pack independently
+    assert (rows[10].bin, rows[10].offset_in_bin) == (0, 0)
+
+
+def test_semantic_representatives_clusters_and_singletons(spark):
+    # 1≈2≈3 (identical direction), 4 orthogonal singleton
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.999, 0.01]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in DD.semantic_representatives(emb, 0.9, dim=2).collect()
+    }
+    assert rows[1].representative == 1 and rows[1].keep
+    assert rows[2].representative == 1 and not rows[2].keep
+    assert rows[3].representative == 1 and not rows[3].keep
+    assert rows[4].representative == 4 and rows[4].keep

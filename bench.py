@@ -87,6 +87,7 @@ HEADLINE = [
     "agg_approx_distinct_customers",
     "text_pii_scrub",
     "text_pack_sequences",
+    "text_stratified_sample",
     "dedup_semantic_representatives",
     "source_formats_roundtrip",
     "engine_show_create",

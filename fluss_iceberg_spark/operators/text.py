@@ -202,3 +202,40 @@ def pack_sequences(
             (F.col("cum_before") % budget).cast("long").alias("offset_in_bin"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the data-mixing
+    primitive (sample stratum s at rates[s]%, default 0). A doc's sample
+    bucket is the first 8 hex chars of md5(salt ‖ id) mod 100: stable
+    across runs/engines (no RNG), re-mixable by changing the salt, and
+    embarrassingly parallel (pure map-side expression, zero shuffles —
+    at 100 TB the sample decision rides the scan)."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(0)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            h.alias("sample_bucket"),
+            rate.alias("sample_rate"),
+        )
+        .filter(F.col("sample_bucket") < F.col("sample_rate"))
+    )

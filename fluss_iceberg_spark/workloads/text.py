@@ -236,3 +236,30 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     source shard (window cumsum — one exchange on the shard key, never a
     global single-partition sort)."""
     return TX.pack_sequences(load_table(spark, sf_dir, "documents"), 2048)
+
+
+_MIX_RATES = {"en": 60, "de": 25, "fr": 25, "es": 25, "zh": 15}
+
+
+@query(
+    "text_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang AS stratum,
+               CAST(('0x' || substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS sample_bucket,
+               CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
+                         WHEN 'es' THEN 25 WHEN 'zh' THEN 15 ELSE 0 END AS sample_rate
+        FROM documents
+    )
+    SELECT doc_id, stratum, sample_bucket, sample_rate
+    FROM h WHERE sample_bucket < sample_rate
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: deterministic hash-based stratified sampling per
+    language (en 60%, de/fr/es 25%, zh 15%) — stable across engines, no
+    RNG, decided map-side during the scan."""
+    return TX.stratified_sample(
+        load_table(spark, sf_dir, "documents"), _MIX_RATES
+    )

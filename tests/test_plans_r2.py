@@ -101,3 +101,32 @@ def test_union_read_pk_single_shuffle(spark, tmp_path):
     df = t.union_read()
     assert count_nodes(df, "Exchange") == 1
     assert "Join" not in physical_plan(df)
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    """PII scrub is a pure map-side expression pipeline."""
+    from fluss_iceberg_spark.operators import text as TX
+
+    df = TX.pii_scrub(load_table(spark, SF, "documents"))
+    assert count_nodes(df, "Exchange") == 0
+
+
+def test_stratified_sample_zero_shuffle(spark):
+    """The sampling decision rides the scan — no exchange anywhere."""
+    from fluss_iceberg_spark.operators import text as TX
+
+    df = TX.stratified_sample(
+        load_table(spark, SF, "documents"), {"en": 50, "de": 20}
+    )
+    assert count_nodes(df, "Exchange") == 0
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """Packing parallelizes per shard: exactly one hash exchange on the
+    shard key (never a global single-partition sort)."""
+    from fluss_iceberg_spark.operators import text as TX
+
+    df = TX.pack_sequences(load_table(spark, SF, "documents"), 2048)
+    assert count_nodes(df, "Exchange") == 1
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan

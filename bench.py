@@ -89,6 +89,7 @@ HEADLINE = [
     "text_pack_sequences",
     "text_stratified_sample",
     "dedup_semantic_representatives",
+    "join_skew_salted",
     "source_formats_roundtrip",
     "engine_show_create",
 ]

@@ -237,3 +237,46 @@ def error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n_in_range").alias("n_errors"),
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.user_id,
+           e.event_type,
+           COUNT(1) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (
+        SELECT DISTINCT user_id, user_id % 5 AS cohort FROM events
+    ) d ON e.user_id = d.user_id
+    WHERE d.cohort = 0
+    GROUP BY e.user_id, e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, oracled against the plain join it must equal:
+    the (power-law) events fact joins a small user-cohort dim with the
+    fact side salted over 16 sub-keys, so a hot user never bottlenecks a
+    single reducer. Salting must be result-invariant — the oracle is the
+    unsalted ANSI join."""
+    from fluss_iceberg_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 5)
+        .filter(F.col("cohort") == 0)
+    )
+    return (
+        salted_join(e, d, on="user_id")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

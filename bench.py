@@ -82,6 +82,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_features",
     "agg_price_percentiles",
     "agg_price_percentiles_approx",
     "agg_approx_distinct_customers",

@@ -78,3 +78,73 @@ def decode_real(*_args, **_kwargs):
 def decoded_features(docs: DataFrame) -> DataFrame:
     """Binary ingest → mapInPandas decode (stub) over Arrow batches."""
     return binarize_documents(docs).mapInPandas(decode_image_stub, DECODED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_offset int, frame_hash string"
+
+
+def sample_frames_kernel(n_frames: int = 4, frame_bytes: int = 16):
+    """mapInPandas kernel factory: N evenly spaced byte-range "frames" per
+    payload, each hashed (sha256 hex) as the stand-in frame feature. A
+    real video pipeline swaps the slice+hash for a codec frame-grab —
+    signature, Arrow batch shape and output schema stay identical. The
+    per-row loop over ≤ n_frames tiny slices is the honest shape here:
+    frame extraction is inherently per-frame work."""
+    import hashlib
+
+    def kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            ids, idxs, offs, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    hashes.append(
+                        hashlib.sha256(b[off : off + frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return kernel
+
+
+def sampled_frames(
+    docs: DataFrame, n_frames: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Frame sampling over multimodal payloads (binary ingest →
+    mapInPandas kernel): one row per (doc, frame)."""
+    return binarize_documents(docs).mapInPandas(
+        sample_frames_kernel(n_frames, frame_bytes), FRAMES_SCHEMA
+    )
+
+
+def resize_features(
+    decoded: DataFrame, max_w: int = 64, max_h: int = 64
+) -> DataFrame:
+    """Resize planning on decoded dimensions: aspect-preserving clamp to
+    (max_w, max_h). Pure column arithmetic — a real pipeline applies the
+    computed scale inside the decode kernel; the dimension math itself
+    belongs JVM-side."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_w)) / F.col("fake_width"),
+        F.lit(float(max_h)) / F.col("fake_height"),
+    )
+    return decoded.select(
+        "doc_id",
+        "fake_width",
+        "fake_height",
+        F.round(scale, 6).alias("scale"),
+        F.greatest(F.lit(1), F.floor(F.col("fake_width") * scale)).cast("int").alias("new_width"),
+        F.greatest(F.lit(1), F.floor(F.col("fake_height") * scale)).cast("int").alias("new_height"),
+    )

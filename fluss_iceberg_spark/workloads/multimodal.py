@@ -26,3 +26,49 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash, and header-derived fake features all survive the
     binary→Arrow→pandas round trip."""
     return MM.decoded_features(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST((i * n) // 4 AS INT) AS frame_offset,
+           sha256(substr(text, CAST((i * n) // 4 AS INT) + 1, 16)) AS frame_hash
+    FROM d, UNNEST(range(0, 4)) AS t(i)
+    """,
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: 4 evenly spaced 16-byte payload "frames"
+    per doc, hashed inside the Arrow kernel (the codec frame-grab
+    stand-in). Oracle-exact because the corpus is ASCII (byte slice ==
+    char substring; both engines sha256 the same bytes)."""
+    return MM.sampled_frames(load_table(spark, sf_dir, "documents"), 4, 16)
+
+
+@query(
+    "multimodal_resize_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               1 + ascii(substr(text, 1, 1)) AS w,
+               1 + ascii(substr(text, length(text), 1)) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS fake_width,
+           CAST(h AS INT) AS fake_height,
+           round(LEAST(1.0, 64.0 / w, 64.0 / h), 6) AS scale,
+           CAST(GREATEST(1, FLOOR(w * LEAST(1.0, 64.0 / w, 64.0 / h))) AS INT) AS new_width,
+           CAST(GREATEST(1, FLOOR(h * LEAST(1.0, 64.0 / w, 64.0 / h))) AS INT) AS new_height
+    FROM d
+    """,
+)
+def resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over decoded dims: aspect-preserving clamp to
+    64×64 (column arithmetic; the decode kernel applies the scale in a
+    real pipeline)."""
+    return MM.resize_features(
+        MM.decoded_features(load_table(spark, sf_dir, "documents")), 64, 64
+    )

@@ -43,6 +43,8 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
     "tpch_q22_inactive_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
     "sql_region_revenue",

@@ -497,3 +497,115 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    mn AS (SELECT l_partkey, MIN(supplycost) AS min_cost FROM ps GROUP BY l_partkey)
+    SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal,
+           s.s_name,
+           n.n_name,
+           p.p_partkey,
+           CAST(ps.supplycost AS DOUBLE) AS supplycost
+    FROM ps
+    JOIN mn ON ps.l_partkey = mn.l_partkey AND ps.supplycost = mn.min_cost
+    JOIN part p     ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size <= 15 AND p.p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (reference README TPC-H family): min-cost supplier
+    per part via a correlated-MIN scalar subquery, decorrelated into a
+    per-part MIN aggregate + equi-filter back — the standard Spark
+    rewrite (no per-row subquery execution). The part↔supplier relation
+    is derived from lineitem (testdata has no partsupp); MIN over DOUBLE
+    is exact in both engines so the cost equality filter is parity-safe.
+    The per-part min is a window MIN over the already-aggregated
+    (part, supplier) rows, so lineitem is scanned and shuffled exactly
+    once — a decorrelating self-join would scan the fact table twice.
+    Dims broadcast; top-100 via TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    return (
+        ps.withColumn(
+            "min_cost", F.min("supplycost").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    ),
+    t AS (SELECT SUM(value) AS total FROM v)
+    SELECT v.l_partkey, CAST(v.value AS DOUBLE) AS value
+    FROM v, t
+    WHERE v.value * 1000 > t.total
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for one nation's suppliers,
+    HAVING value above a fraction of the global total (scalar aggregate
+    subquery -> broadcast cross join; the threshold compare stays in
+    exact decimal cents so both engines agree bit-for-bit). One fact
+    shuffle for the per-part aggregate; the global total re-aggregates
+    the small per-part result, not the fact table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    v = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+    )
+    total = v.agg(F.sum("value").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )

@@ -92,6 +92,8 @@ HEADLINE = [
     "text_pii_scrub",
     "text_pack_sequences",
     "text_stratified_sample",
+    "text_repetition_filter",
+    "dedup_decontaminate",
     "dedup_semantic_representatives",
     "join_skew_salted",
     "source_formats_roundtrip",

@@ -530,3 +530,37 @@ def semantic_representatives(
         )
         .withColumn("keep", F.col("vec_id") == F.col("representative"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Test-set decontamination: flag training documents that share any
+    word n-gram with a benchmark/eval corpus (the standard pre-training
+    hygiene pass — benchmark overlap inflates eval scores).
+
+    Scale shape: the benchmark shingle vocabulary is DISTINCT'd (one
+    small shuffle — eval sets are bounded) and BROADCAST; training-doc
+    shingles are built map-side by ``shingles()`` and probe the broadcast
+    hash relation with a LEFT join, so the only fact-side shuffle is the
+    final per-doc count. Shingles stay as strings here for cross-engine
+    exactness; at 100 TB swap ``shingles`` for ``shingle_sets``'s int64
+    hashes — identical plan, 8-byte probe keys."""
+    bench_sh = (
+        shingles(benchmark, text_col, n).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_sh = shingles(docs, text_col, n)
+    return (
+        doc_sh.join(F.broadcast(bench_sh), on="shingle", how="left")
+        .groupBy("doc_id")
+        .agg(F.sum("hit").alias("n_shared"))
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("int").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

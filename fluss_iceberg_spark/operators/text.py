@@ -239,3 +239,74 @@ def stratified_sample(
         )
         .filter(F.col("sample_bucket") < F.col("sample_rate"))
     )
+
+
+def _ngram_array(toks: str, n: int) -> str:
+    """SQL expr: array of space-joined n-grams of ``toks`` (0-based
+    subscripts), empty when the doc has fewer than n tokens (guards the
+    descending-sequence trap: sequence(0, -1) counts DOWN)."""
+    parts = ", ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    distinct tokens (map-side), and the fraction of all 2-grams / 3-grams
+    taken by the single most frequent one (repetitive boilerplate scores
+    high). One explode covers both gram sizes (grams are tagged with
+    their n before the explode), so the whole operator costs two
+    shuffles: (doc, gram) count, then per-doc conditional max/sum. The
+    map-side token stats ride along the exploded rows as constants
+    instead of joining back. ``passes_gopher`` applies the standard
+    keep thresholds."""
+    toks = tokens(F.col(text_col))
+    # tagged gram array, one per n (tag = "<n>\x01<gram>") — concatenated
+    # so a single explode covers both gram sizes
+    tagged2 = f"transform({_ngram_array('toks', 2)}, g -> concat('2', char(1), g))"
+    tagged3 = f"transform({_ngram_array('toks', 3)}, g -> concat('3', char(1), g))"
+    exploded = (
+        df.select(
+            "doc_id",
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size(F.col("toks")).cast("int").alias("n_tokens"),
+            F.size(F.array_distinct(F.col("toks"))).cast("int").alias("n_distinct"),
+            F.explode(F.expr(f"concat({tagged2}, {tagged3})")).alias("tg"),
+        )
+    )
+    counts = exploded.groupBy(
+        "doc_id", "tg"
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct"),
+    )
+    is2 = F.substring("tg", 1, 1) == "2"
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.max(F.when(is2, F.col("c"))).alias("max2"),
+        F.sum(F.when(is2, F.col("c"))).alias("tot2"),
+        F.max(F.when(~is2, F.col("c"))).alias("max3"),
+        F.sum(F.when(~is2, F.col("c"))).alias("tot3"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    out = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (d("n_distinct") / d("n_tokens")).alias("distinct_frac"),
+        (d("max2") / d("tot2")).alias("top2gram_frac"),
+        (d("max3") / d("tot3")).alias("top3gram_frac"),
+    )
+    return out.withColumn(
+        "passes_gopher",
+        (F.col("distinct_frac") > 0.3)
+        & (F.col("top2gram_frac") < 0.20)
+        & (F.col("top3gram_frac") < 0.18),
+    )

@@ -153,3 +153,33 @@ def semantic_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     → connected components → min-id representative per cluster; every
     vector gets a keep/drop decision (singletons keep themselves)."""
     return DD.semantic_representatives(load_table(spark, sf_dir, "embeddings"), 0.45)
+
+
+@query(
+    "dedup_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+        FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+    ), bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(b.shingle) AS INT) AS n_shared,
+           COUNT(b.shingle) > 0 AS contaminated
+    FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: every 37th document stands in for the
+    benchmark corpus; training docs sharing any word 4-gram with it are
+    flagged. Benchmark shingle vocab broadcast; one fact-side shuffle."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    return DD.decontaminate(docs, benchmark, n=4)

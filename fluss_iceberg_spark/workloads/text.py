@@ -263,3 +263,56 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.stratified_sample(
         load_table(spark, sf_dir, "documents"), _MIX_RATES
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    base AS (
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS INT) AS n_distinct, t
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, n_tokens, n_distinct,
+               '2' || chr(1) || t[i] || ' ' || t[i+1] AS tg
+        FROM base, UNNEST(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+        UNION ALL
+        SELECT doc_id, n_tokens, n_distinct,
+               '3' || chr(1) || t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tg
+        FROM base, UNNEST(range(1, len(t) - 1)) AS r(i)
+        WHERE len(t) >= 3
+    ),
+    counts AS (
+        SELECT doc_id, tg, COUNT(*) AS c,
+               MAX(n_tokens) AS n_tokens, MAX(n_distinct) AS n_distinct
+        FROM grams GROUP BY doc_id, tg
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               MAX(n_tokens) AS n_tokens, MAX(n_distinct) AS n_distinct,
+               MAX(CASE WHEN tg LIKE '2%' THEN c END) AS max2,
+               SUM(CASE WHEN tg LIKE '2%' THEN c END) AS tot2,
+               MAX(CASE WHEN tg NOT LIKE '2%' THEN c END) AS max3,
+               SUM(CASE WHEN tg NOT LIKE '2%' THEN c END) AS tot3
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_frac,
+           CAST(max2 AS DOUBLE) / CAST(tot2 AS DOUBLE) AS top2gram_frac,
+           CAST(max3 AS DOUBLE) / CAST(tot3 AS DOUBLE) AS top3gram_frac,
+           (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.3
+            AND CAST(max2 AS DOUBLE) / CAST(tot2 AS DOUBLE) < 0.20
+            AND CAST(max3 AS DOUBLE) / CAST(tot3 AS DOUBLE) < 0.18) AS passes_gopher
+    FROM per_doc
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: distinct-token fraction
+    plus top-2gram/top-3gram mass fractions, one tagged explode for both
+    gram sizes (two shuffles total)."""
+    return TX.repetition_features(load_table(spark, sf_dir, "documents"))

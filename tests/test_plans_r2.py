@@ -130,3 +130,70 @@ def test_pack_sequences_single_shard_exchange(spark):
     assert count_nodes(df, "Exchange") == 1
     plan = physical_plan(df)
     assert "SinglePartition" not in plan
+
+
+def test_q2_single_fact_scan(spark):
+    """Q2's correlated-MIN decorrelation must read lineitem once: the
+    window-MIN rewrite keeps one scan + two exchanges; a self-join
+    decorrelation (two fact scans) fails here."""
+    from fluss_iceberg_spark.workloads.tpch2 import q2
+
+    df = q2(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_two_shuffles(spark):
+    """Both gram sizes ride one tagged explode: exactly two exchanges
+    ((doc, gram) count then per-doc conditional agg) — a per-n pipeline
+    would double that."""
+    from fluss_iceberg_spark.operators import text as TX
+
+    df = TX.repetition_features(load_table(spark, SF, "documents"))
+    assert count_nodes(df, "Exchange") == 2
+
+
+def test_repetition_matches_python_reference(spark):
+    """Signal values equal a straightforward Python recomputation."""
+    from collections import Counter
+
+    from fluss_iceberg_spark.operators import text as TX
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    got = {r.doc_id: r for r in TX.repetition_features(docs).collect()}
+    for row in docs.collect():
+        toks = row.text.strip().split()
+        g2 = Counter(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+        g3 = Counter(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+        r = got[row.doc_id]
+        assert r.n_tokens == len(toks)
+        assert abs(r.distinct_frac - len(set(toks)) / len(toks)) < 1e-12
+        assert abs(r.top2gram_frac - max(g2.values()) / sum(g2.values())) < 1e-12
+        assert abs(r.top3gram_frac - max(g3.values()) / sum(g3.values())) < 1e-12
+
+
+def test_decontaminate_broadcast_no_fact_side_join_shuffle(spark):
+    """The benchmark shingle vocabulary must reach the probe side as a
+    broadcast: the only hash exchange in the plan is the final per-doc
+    aggregate (plus the benchmark-side distinct), never a fact-side
+    sort-merge join."""
+    from fluss_iceberg_spark.operators import dedup as DDx
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    df = DDx.decontaminate(docs, bench)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_self_benchmark_all_contaminated(spark):
+    """Decontaminating a corpus against itself flags every doc that has
+    at least one shingle (each shares all its shingles with itself)."""
+    from fluss_iceberg_spark.operators import dedup as DDx
+
+    docs = load_table(spark, SF, "documents")
+    out = DDx.decontaminate(docs, docs)
+    assert out.filter(~F.col("contaminated")).count() == 0
+    assert out.count() == docs.count()

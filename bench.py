@@ -65,6 +65,7 @@ HEADLINE = [
     "lake_time_travel",
     "stream_nation_revenue",
     "stream_stateful_sessions",
+    "stream_exact_dedup",
     "stream_enriched_union",
     "stream_events_hourly",
     "stream_interval_join",
@@ -94,6 +95,7 @@ HEADLINE = [
     "text_stratified_sample",
     "text_repetition_filter",
     "dedup_decontaminate",
+    "text_unigram_lm_score",
     "dedup_semantic_representatives",
     "join_skew_salted",
     "source_formats_roundtrip",

@@ -310,3 +310,41 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("top2gram_frac") < 0.20)
         & (F.col("top3gram_frac") < 0.18),
     )
+
+
+def unigram_scores(
+    df: DataFrame, text_col: str = "text", rare_df: int = 2
+) -> DataFrame:
+    """Unigram-LM quality scoring, the classifier-free stand-in for a
+    perplexity filter: "train" the LM by counting every token occurrence
+    corpus-wide, then score each document by the average corpus
+    frequency of its tokens (low ⇒ unusual/noisy text) plus the fraction
+    of rare tokens (corpus count ≤ ``rare_df``). All arithmetic stays in
+    exact integers until the final divisions, so the scores bit-match
+    any engine (no logs — libm rounding differs across engines).
+
+    Scale shape: one explode of the token stream, one shuffle to count
+    the vocabulary, one shuffled join token→count (AQE handles the hot
+    stopword keys), one per-doc aggregate. The vocabulary table is
+    Zipf-small relative to the corpus and never collects to the driver."""
+    tok_rows = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("w"))
+    freq = tok_rows.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        tok_rows.join(freq, on="w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_c"),
+            F.sum(F.when(F.col("c") <= rare_df, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("sum_c").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "avg_token_freq"
+        ),
+        (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "rare_token_frac"
+        ),
+    )

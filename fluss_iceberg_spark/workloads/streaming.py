@@ -321,3 +321,51 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         F.col("click_id"), F.col("view_id"), F.col("click_uid").alias("user_id")
     )
+
+
+@query(
+    "stream_exact_dedup",
+    oracle="""
+    SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        AS fingerprint
+    FROM documents
+    """,
+)
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: documents arrive over 4 micro-batches
+    (maxFilesPerTrigger=1 over 4 source files) and flow through
+    streaming ``dropDuplicates`` on the normalized-text fingerprint —
+    the state store carries seen fingerprints ACROSS micro-batches, the
+    property a per-batch dedup gets wrong. Only the fingerprint column
+    is emitted (which physical row survives is nondeterministic under
+    parallelism; the surviving fingerprint SET is not). Equals batch
+    SELECT DISTINCT. At scale the state is one 16-byte key per distinct
+    doc, partitioned by fingerprint; with event-time + watermark the
+    same plan ages state out (dropDuplicatesWithinWatermark)."""
+    from fluss_iceberg_spark.operators.text import fingerprint as _fp
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    src_dir = _scratch(sf_dir, "dedup_src")
+    docs = load_table(spark, sf_dir, "documents")
+    # 4 source files -> 4 micro-batches (state must persist across them)
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    deduped = _fp(stream).dropDuplicates(["fingerprint"]).select("fingerprint")
+    sink = f"stream_exact_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)

@@ -316,3 +316,27 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus top-2gram/top-3gram mass fractions, one tagged explode for both
     gram sizes (two shuffles total)."""
     return TX.repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_unigram_lm_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           CAST(SUM(f.c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_token_freq,
+           CAST(SUM(CASE WHEN f.c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS rare_token_frac
+    FROM tok t JOIN freq f ON t.w = f.w
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (perplexity-filter stand-in): average
+    corpus token frequency + rare-token fraction per document, exact
+    integer arithmetic until the final division."""
+    return TX.unigram_scores(load_table(spark, sf_dir, "documents"))

@@ -63,6 +63,8 @@ HEADLINE = [
     "lake_union_read",
     "lake_pk_union_read",
     "lake_time_travel",
+    "lake_maintenance_lifecycle",
+    "lake_incremental_read",
     "stream_nation_revenue",
     "stream_stateful_sessions",
     "stream_exact_dedup",
@@ -100,6 +102,7 @@ HEADLINE = [
     "join_skew_salted",
     "source_formats_roundtrip",
     "engine_show_create",
+    "engine_time_travel_sql",
 ]
 
 

@@ -170,7 +170,29 @@ class Engine:
             return self._sql_insert(q)
         if u.startswith("EXECUTE STATEMENT SET"):
             return self._sql_statement_set(q)
+        q = self._rewrite_time_travel(q)
         return self.spark.sql(q)
+
+    _TIME_TRAVEL_RE = re.compile(
+        r"\b(FROM|JOIN)\s+`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(\d+)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_time_travel(self, q: str) -> str:
+        """Spark/Iceberg ``SELECT ... FROM t VERSION AS OF n`` over lake
+        tables: each versioned reference is materialized as a snapshot
+        temp view (snapshot reads are immutable, so the view is stable)
+        and the query text is rewritten to it before Catalyst sees it."""
+
+        def sub(m: re.Match) -> str:
+            kw, name, version = m.group(1), m.group(2), int(m.group(3))
+            if not self.catalog.exists(name):
+                return m.group(0)  # not a lake table — leave for Catalyst
+            view = f"{name}__v{version}"
+            self.catalog.load(name).read(version=version).createOrReplaceTempView(view)
+            return f"{kw} {view}"
+
+        return self._TIME_TRAVEL_RE.sub(sub, q)
 
     def _ok(self, op: str, name: str) -> DataFrame:
         return self.spark.createDataFrame([(op, name)], "op string, name string")

@@ -121,8 +121,25 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v < 0:
             return None
-        with open(self._meta(f"v{v}.json")) as f:
-            return Snapshot.from_json(f.read())
+        try:
+            with open(self._meta(f"v{v}.json")) as f:
+                return Snapshot.from_json(f.read())
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {v} does not exist (expired or never committed); "
+                f"retained: {self.snapshot_versions()}"
+            ) from None
+
+    def snapshot_versions(self) -> list[int]:
+        """Versions whose snapshot metadata still exists (expiry leaves
+        holes below the newest retained version)."""
+        out = []
+        meta_dir = self._meta()
+        if os.path.isdir(meta_dir):
+            for f in os.listdir(meta_dir):
+                if f.startswith("v") and f.endswith(".json"):
+                    out.append(int(f[1:-5]))
+        return sorted(out)
 
     def _commit(
         self,
@@ -359,7 +376,9 @@ class LakeTable:
         map (added/total counts + operation-specific keys), plus the
         engine's tiering watermark."""
         rows = []
-        for v in range(self.current_version() + 1):
+        versions = self.snapshot_versions()
+        retained = set(versions)
+        for v in versions:
             s = self.snapshot(v)
             # summary serialized as a JSON string: nested map/array cells
             # crash the driver's pandas canonicalizer (CORRECTNESS_r01)
@@ -375,7 +394,11 @@ class LakeTable:
             rows.append(
                 (
                     s.snapshot_id,
-                    s.snapshot_id - 1 if s.snapshot_id > 0 else None,
+                    (
+                        s.snapshot_id - 1
+                        if s.snapshot_id > 0 and s.snapshot_id - 1 in retained
+                        else None
+                    ),
                     s.committed_at_ms,
                     s.operation,
                     self._meta(f"v{s.snapshot_id}.json"),
@@ -424,6 +447,91 @@ class LakeTable:
         return self._commit(
             "compact", files, n, 0, summary={"files_before": len(snap.files)}
         )
+
+    def incremental_read(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental append scan (the Iceberg ``incremental read``
+        role): rows ADDED strictly after ``from_version`` up to and
+        including ``to_version``. Implemented as the file-set difference
+        of the two snapshots — planning cost is O(#files) metadata only,
+        and the scan reads exactly the delta files, never the table.
+        Raises if the range crosses a non-append commit (overwrite /
+        merge / compact rewrite history, so "added rows" is not defined
+        by file difference there) — Iceberg's incremental scan refuses
+        replace/overwrite snapshots the same way."""
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        for v in self.snapshot_versions():
+            if from_version < v <= to_v and self.snapshot(v).operation != "append":
+                raise ValueError(
+                    f"incremental read range crosses non-append snapshot "
+                    f"{v} ({self.snapshot(v).operation})"
+                )
+        base = set(self.snapshot(from_version).files) if from_version >= 0 else set()
+        delta = [f for f in self.snapshot(to_v).files if f not in base]
+        if not delta:
+            return self.spark.createDataFrame([], self.schema)
+        return (
+            self.spark.read.schema(T.StructType(self.schema.fields))
+            .parquet(*[os.path.join(self.path, f) for f in delta])
+            .select(*self.schema.fieldNames())
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """The Iceberg ``expire_snapshots`` role: drop all but the newest
+        ``keep_last`` snapshots' metadata, then delete data files no
+        retained snapshot references. Time travel to an expired version
+        raises; the current snapshot (and everything it references) is
+        never touched. Metadata and file deletion are driver-side O(#files)
+        operations on this table's directory — no data is read.
+
+        Expiry order is crash-safe: a metadata json is removed before its
+        newly-unreferenced files, so a crash mid-expiry can leave garbage
+        files (cleaned by ``remove_orphan_files``) but never a retained
+        snapshot with missing files."""
+        versions = self.snapshot_versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        expired = versions[:-keep_last]
+        retained = versions[len(expired):]
+        keep_files = set()
+        for v in retained:
+            keep_files.update(self.snapshot(v).files)
+        removed_files = []
+        for v in expired:
+            snap = self.snapshot(v)
+            os.remove(self._meta(f"v{v}.json"))
+            for f in snap.files:
+                if f not in keep_files:
+                    p = os.path.join(self.path, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+                    removed_files.append(f)
+        return {
+            "expired_snapshots": expired,
+            "retained_snapshots": retained,
+            "removed_files": sorted(set(removed_files)),
+        }
+
+    def remove_orphan_files(self) -> list[str]:
+        """The Iceberg ``remove_orphan_files`` role: delete parquet files
+        under ``data/`` that no existing snapshot references — debris
+        from writes whose commit never landed (the commit protocol writes
+        files first, metadata last) or from a crash mid-expiry. Hot
+        staging batches live under ``hot/`` and are never candidates."""
+        referenced = set()
+        for v in self.snapshot_versions():
+            referenced.update(self.snapshot(v).files)
+        data_dir = os.path.join(self.path, "data")
+        removed = []
+        for dirpath, _dirs, files in os.walk(data_dir):
+            for fname in files:
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, self.path)
+                if fname.endswith(".parquet") and rel not in referenced:
+                    os.remove(full)
+                    removed.append(rel)
+        return sorted(removed)
 
     def add_column(self, name: str, dtype: T.DataType) -> None:
         """Schema evolution: append a nullable column. Existing parquet

@@ -92,12 +92,14 @@ _PRIORITY = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q21_waiting_suppliers",
-    # window / aggregation operator families
+    # window / aggregation operator families (pivot + approx-percentile
+    # twins demoted: their machinery is gated by rollup/exact-percentiles)
     "window_top_customer_per_nation",
     "agg_rollup_status_priority",
-    "agg_pivot_status_by_priority",
     "agg_price_percentiles",
-    "agg_price_percentiles_approx",
+    # curation scoring (unigram LM + Gopher repetition)
+    "text_unigram_lm_score",
+    "text_repetition_filter",
     # event-log operators (event-time rollup, sessionize, JSON, as-of)
     "events_hourly_rollup",
     "events_sessionize",
@@ -109,7 +111,7 @@ _PRIORITY = [
     "lake_pk_union_read",
     "lake_time_travel",
     "lake_snapshots",
-    "lake_cold_vs_union_counts",
+    "lake_maintenance_lifecycle",
     # streaming (A1/ST*, S11, U2, stateful, stream-stream)
     "stream_nation_revenue",
     "stream_enriched_union",
@@ -133,7 +135,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_semantic_representatives",
+    "dedup_decontaminate",
     # similarity search
     "ann_cosine_topk",
     "ann_ivf_topk",

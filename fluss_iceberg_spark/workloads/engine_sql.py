@@ -125,3 +125,59 @@ def show_create(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ddl string, roundtrip_ok boolean, n_snapshots long, n_rows long, "
         "final_state string",
     ).select("*", F.lit("ok").alias("status"))
+
+
+@query(
+    "engine_time_travel_sql",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name,
+           'v0' AS at_version
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name,
+           'v1' AS at_version
+    FROM nation
+    """,
+)
+def time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT ... FROM t VERSION AS OF n`` through ``engine.sql()``:
+    v0 (first append: keys < 10) and v1 (all keys) queried side by side
+    from the same SQL string — the engine rewrites each versioned
+    reference to an immutable snapshot view before Catalyst plans it."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fluss_iceberg_spark.sources.tpch import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = f"/tmp/fluss_engine_scratch/{tag}/time_travel"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = Engine(spark, wh)
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("nation_key"),
+        F.col("n_name").alias("name"),
+    )
+    t = eng.create_table(
+        "nations_tt",
+        T.StructType(
+            [
+                T.StructField("nation_key", T.IntegerType(), False),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+    )
+    t.append(nat.filter(F.col("nation_key") < 10))  # v0
+    t.append(nat.filter(F.col("nation_key") >= 10))  # v1
+    eng.refresh("nations_tt")
+    return eng.sql(
+        """
+        SELECT nation_key, name, 'v0' AS at_version
+        FROM nations_tt VERSION AS OF 0
+        UNION ALL
+        SELECT nation_key, name, 'v1' AS at_version
+        FROM nations_tt VERSION AS OF 1
+        """
+    )

@@ -222,3 +222,75 @@ def lake_cold_vs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     cold = t.read().agg(F.count(F.lit(1)).alias("cold_cnt"))
     union = t.union_read().agg(F.count(F.lit(1)).alias("union_cnt"))
     return cold.crossJoin(union)
+
+
+@query(
+    "lake_maintenance_lifecycle",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name
+    FROM nation
+    """,
+)
+def maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full maintenance cycle on a log table: 5 small appends →
+    compact (rewrite_data_files role) → expire_snapshots(keep_last=1)
+    (drops pre-compaction metadata AND the small files it alone
+    referenced) → remove_orphan_files (no-op after a clean expiry).
+    The surviving table must still read back exactly the appended data —
+    proving maintenance touches layout and history, never content."""
+    from pyspark.sql import types as T
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "maintenance"))
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("nation_key"),
+        F.col("n_name").alias("name"),
+    )
+    t = cat.create_table(
+        "nations_m",
+        T.StructType(
+            [
+                T.StructField("nation_key", T.IntegerType(), False),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+    )
+    for i in range(5):
+        t.append(nat.filter(F.col("nation_key") % 5 == i))
+    t.compact()
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"], "expiry must drop pre-compaction history"
+    assert t.remove_orphan_files() == []
+    return t.read()
+
+
+@query(
+    "lake_incremental_read",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name
+    FROM nation WHERE n_nationkey % 5 IN (3, 4)
+    """,
+)
+def incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (Iceberg incremental-read role): 5 appends
+    commit nation keys by residue class; reading the delta AFTER v2 must
+    return exactly the rows of appends 4 and 5 — planned from the
+    snapshot file-set difference, scanning only the delta files."""
+    from pyspark.sql import types as T
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "incremental"))
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("nation_key"),
+        F.col("n_name").alias("name"),
+    )
+    t = cat.create_table(
+        "nations_inc",
+        T.StructType(
+            [
+                T.StructField("nation_key", T.IntegerType(), False),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+    )
+    for i in range(5):
+        t.append(nat.filter(F.col("nation_key") % 5 == i))
+    return t.incremental_read(from_version=2)

@@ -95,3 +95,93 @@ def test_salted_join_equals_plain_join(spark):
     p2 = sorted(map(tuple, large2.join(small, on="key", how="left").select("key", "payload", "name").collect()), key=repr)
     s2 = sorted(map(tuple, salted_join(large2, small, "key", how="left").select("key", "payload", "name").collect()), key=repr)
     assert p2 == s2
+
+
+def test_expire_snapshots_log_table(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("exp", SCHEMA)
+        for i in range(4):
+            t.append(spark.createDataFrame([(i, f"v{i}")], SCHEMA))
+        res = t.expire_snapshots(keep_last=2)
+        assert res["expired_snapshots"] == [0, 1]
+        assert res["retained_snapshots"] == [2, 3]
+        # appends share files: everything an expired snapshot referenced
+        # is still referenced by a retained one -> no data deleted
+        assert res["removed_files"] == []
+        assert t.read().count() == 4
+        assert t.read(version=2).count() == 3
+        with pytest.raises(ValueError, match="expired"):
+            t.read(version=0)
+        # $snapshots skips the holes; the oldest retained has no parent
+        snaps = {r.snapshot_id: r for r in t.snapshots().collect()}
+        assert sorted(snaps) == [2, 3]
+        assert snaps[2].parent_id is None
+        assert snaps[3].parent_id == 2
+
+
+def test_expire_after_compact_deletes_rewritten_files(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("expc", SCHEMA)
+        for i in range(3):
+            t.append(spark.createDataFrame([(i, f"v{i}")], SCHEMA))
+        t.compact()
+        res = t.expire_snapshots(keep_last=1)
+        # pre-compaction files are only referenced by expired snapshots
+        assert len(res["removed_files"]) >= 3
+        assert sorted(r.k for r in t.read().collect()) == [0, 1, 2]
+        # expiry left nothing dangling
+        assert t.remove_orphan_files() == []
+
+
+def test_remove_orphan_files(spark):
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("orph", SCHEMA)
+        t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+        orphan = os.path.join(t.path, "data", "s99", "junk.parquet")
+        os.makedirs(os.path.dirname(orphan), exist_ok=True)
+        with open(orphan, "wb") as f:
+            f.write(b"not a real parquet")
+        removed = t.remove_orphan_files()
+        assert removed == [os.path.join("data", "s99", "junk.parquet")]
+        assert t.read().count() == 1
+        # second pass is a no-op
+        assert t.remove_orphan_files() == []
+
+
+def test_incremental_read_deltas_and_guards(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("inc", SCHEMA)
+        for i in range(4):
+            t.append(spark.createDataFrame([(i, f"v{i}")], SCHEMA))
+        # delta after v1 = appends v2+v3
+        assert sorted(r.k for r in t.incremental_read(1).collect()) == [2, 3]
+        # bounded range
+        assert sorted(r.k for r in t.incremental_read(0, 2).collect()) == [1, 2]
+        # from -1 = everything
+        assert t.incremental_read(-1).count() == 4
+        # empty delta
+        assert t.incremental_read(3).count() == 0
+        # crossing a compact (rewrite) commit is refused
+        t.compact()
+        with pytest.raises(ValueError, match="non-append"):
+            t.incremental_read(2)
+        # but a range strictly before the rewrite still works
+        assert sorted(r.k for r in t.incremental_read(1, 3).collect()) == [2, 3]
+
+
+def test_sql_time_travel_rewrite_leaves_non_lake_tables(spark):
+    from fluss_iceberg_spark.engine import Engine
+
+    with tempfile.TemporaryDirectory() as d:
+        eng = Engine(spark, d)
+        t = eng.create_table("tt", SCHEMA)
+        t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+        t.append(spark.createDataFrame([(2, "b")], SCHEMA))
+        eng.refresh("tt")
+        assert eng.sql("SELECT k FROM tt VERSION AS OF 0").collect()[0].k == 1
+        assert eng.sql("SELECT COUNT(1) AS c FROM tt VERSION AS OF 1").collect()[0].c == 2
+        # plain queries pass through to Catalyst untouched
+        spark.range(3).createOrReplaceTempView("plain_view")
+        assert eng.sql("SELECT COUNT(1) AS c FROM plain_view").collect()[0].c == 3

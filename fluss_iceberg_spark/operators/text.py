@@ -323,19 +323,31 @@ def unigram_scores(
     exact integers until the final divisions, so the scores bit-match
     any engine (no logs — libm rounding differs across engines).
 
-    Scale shape: one explode of the token stream, one shuffle to count
-    the vocabulary, one shuffled join token→count (AQE handles the hot
-    stopword keys), one per-doc aggregate. The vocabulary table is
-    Zipf-small relative to the corpus and never collects to the driver."""
+    Scale shape: the raw token stream is first reduced to per-(doc, word)
+    counts — partial aggregation absorbs within-doc repeats map-side and
+    the one fact-sized shuffle keys on (doc, word), which a hot stopword
+    cannot skew the way a plain word key would. Corpus frequencies and
+    per-doc scores both derive from that reduced table (sum of cnt·freq
+    ≡ sum over the raw stream), so the corpus is scanned and exploded
+    exactly once — the textbook explode→join-on-word plan scans it twice
+    and shuffles every token row by its stopword-skewed word key. The
+    vocabulary table is Zipf-small and never collects to the driver."""
     tok_rows = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("w"))
-    freq = tok_rows.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # dc feeds BOTH the vocabulary count and the scoring join (a diamond):
+    # persist it or each branch re-runs the scan + explode
+    dc = (
+        tok_rows.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    freq = dc.groupBy("w").agg(F.sum("cnt").alias("c"))
     per_doc = (
-        tok_rows.join(freq, on="w")
+        dc.join(freq, on="w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("c").alias("sum_c"),
-            F.sum(F.when(F.col("c") <= rare_df, 1).otherwise(0)).alias("n_rare"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("c")).alias("sum_c"),
+            F.sum(F.when(F.col("c") <= rare_df, F.col("cnt")).otherwise(0)).alias(
+                "n_rare"
+            ),
         )
     )
     return per_doc.select(

@@ -592,8 +592,9 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING value above a fraction of the global total (scalar aggregate
     subquery -> broadcast cross join; the threshold compare stays in
     exact decimal cents so both engines agree bit-for-bit). One fact
-    shuffle for the per-part aggregate; the global total re-aggregates
-    the small per-part result, not the fact table."""
+    shuffle for the per-part aggregate; the per-part result feeds both
+    the global total and the final filter (a diamond), so it is
+    persisted — otherwise each branch re-runs the fact scan + join."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -602,6 +603,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+        .persist()
     )
     total = v.agg(F.sum("value").alias("total"))
     return (

@@ -197,3 +197,15 @@ def test_decontaminate_self_benchmark_all_contaminated(spark):
     out = DDx.decontaminate(docs, docs)
     assert out.filter(~F.col("contaminated")).count() == 0
     assert out.count() == docs.count()
+
+
+def test_unigram_single_corpus_scan(spark):
+    """The unigram LM must derive vocabulary counts and per-doc scores
+    from one persisted per-(doc, word) reduction — never scan + explode
+    the corpus once per branch."""
+    from fluss_iceberg_spark.operators import text as TX
+
+    df = TX.unigram_scores(load_table(spark, SF, "documents"))
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") <= 1  # cached branch may hide it
+    assert "InMemoryTableScan" in plan

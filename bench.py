@@ -55,6 +55,8 @@ HEADLINE = [
     "agg_rollup_status_priority",
     "agg_pivot_status_by_priority",
     "events_hourly_rollup",
+    "events_sliding_rollup",
+    "events_session_window_builtin",
     "events_asof_attribution",
     "events_error_burst",
     "events_sessionize",

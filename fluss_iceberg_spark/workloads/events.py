@@ -280,3 +280,98 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "events_sliding_rollup",
+    oracle="""
+    WITH win AS (
+        SELECT make_timestamp(((epoch_us(ts) // 900000000) - i) * 900000000)
+                   AS window_start,
+               event_type, value
+        FROM events, UNNEST(range(0, 4)) AS r(i)
+    )
+    SELECT window_start, event_type,
+           COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM win
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows every 15 minutes (each
+    event lands in 4 overlapping windows). Spark's window() expands the
+    windows before the one grouped exchange — the same plan Structured
+    Streaming uses for sliding event-time aggs; the oracle expands them
+    with an explicit 0..3 bucket-offset UNNEST (both anchored at the
+    epoch, which is a whole number of 15-minute buckets)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_session_window_builtin",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window (30-min gap) must equal the
+    lag/cumsum gaps-and-islands sessionization: window.start = first
+    event, window.end = last event + gap (so MAX(ts) = end - gap).
+    Boundary semantics differ only on an exactly-30:00.000000 gap
+    (builtin splits, islands keeps) — the fixture has none, and real
+    micro-timestamped streams make the tie measure-zero. Session windows
+    are the one windowed agg whose key is data-dependent; Spark merges
+    them in the same single keyed exchange."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (F.col("session_window.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )

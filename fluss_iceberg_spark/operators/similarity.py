@@ -228,3 +228,20 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", F.col("cos").alias("cosine"), "rank")
     )
+
+
+def embedding_hygiene(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Embedding-table hygiene pass (the pre-index sanity filter every
+    vector pipeline runs): per-vector dimensionality, L2 norm, and
+    zero-vector flag. Pure map-side JVM expressions — a full-table scan
+    with no exchange, so it rides along any other pass over the vectors.
+    Norms use the sequential fold (cross-engine bit-exact; sqrt is
+    IEEE-correctly-rounded in both engines)."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = vec_norm(v)
+    return emb.select(
+        "vec_id",
+        F.size(F.col(vec_col)).cast("int").alias("dim"),
+        norm.alias("l2_norm"),
+        (norm == 0.0).alias("is_zero"),
+    )

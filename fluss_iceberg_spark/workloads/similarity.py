@@ -58,3 +58,21 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path — the bucket equi-join replaces the n×q cross product."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), 10)
+
+
+@query(
+    "ann_embedding_hygiene",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS l2_norm,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) = 0.0 AS is_zero
+    FROM embeddings
+    """,
+)
+def embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-table hygiene: dims, exact L2 norms, zero-vector flags —
+    map-side only, no exchange."""
+    return SIM.embedding_hygiene(load_table(spark, sf_dir, "embeddings"))

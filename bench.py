@@ -67,6 +67,7 @@ HEADLINE = [
     "lake_time_travel",
     "lake_maintenance_lifecycle",
     "lake_incremental_read",
+    "lake_file_skipping",
     "stream_nation_revenue",
     "stream_stateful_sessions",
     "stream_exact_dedup",
@@ -88,6 +89,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_embedding_hygiene",
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_resize_features",

@@ -112,6 +112,8 @@ class Engine:
         # `t__snapshots`
         t.read().createOrReplaceTempView(t.name)
         t.snapshots().createOrReplaceTempView(f"{t.name}__snapshots")
+        t.files().createOrReplaceTempView(f"{t.name}__files")
+        t.history().createOrReplaceTempView(f"{t.name}__history")
 
     def refresh(self, name: str) -> None:
         """Re-register views after a write (snapshot reads are immutable)."""
@@ -164,7 +166,8 @@ class Engine:
             name = q.split()[-1].strip("`")
             self.catalog.drop(name)
             self.spark.catalog.dropTempView(name)
-            self.spark.catalog.dropTempView(f"{name}__snapshots")
+            for suffix in ("__snapshots", "__files", "__history"):
+                self.spark.catalog.dropTempView(f"{name}{suffix}")
             return self._ok("dropped", name)
         if u.startswith("INSERT INTO"):
             return self._sql_insert(q)

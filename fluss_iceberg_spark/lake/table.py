@@ -47,7 +47,9 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+import datetime
+import decimal
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +73,151 @@ def _list_parquet(d: str) -> list[str]:
     )
 
 
+def _stat_encode(v):
+    """Encode a parquet-footer min/max value as a JSON-safe tagged value.
+    Dates/timestamps become ISO strings (lexicographic == chronological),
+    decimals keep their exact digits as strings. Unsupported types (bytes,
+    nested) encode as None = "no stat", which pruning treats as
+    "may contain anything"."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return {"d": str(v)}
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return {"t": v.isoformat()}
+    return None
+
+
+def _stat_decode(v):
+    """Decode to a Python value comparable against a user literal run
+    through ``_stat_canon``."""
+    if isinstance(v, dict):
+        return decimal.Decimal(v["d"]) if "d" in v else v["t"]
+    return v
+
+
+def _stat_canon(lit):
+    """Canonicalize a predicate literal into the ``_stat_decode`` domain."""
+    if isinstance(lit, (datetime.datetime, datetime.date)):
+        return lit.isoformat()
+    if isinstance(lit, float):
+        # never compare float against exact Decimal bounds — widen to the
+        # Decimal domain so boundary equality stays conservative
+        return decimal.Decimal(str(lit))
+    return lit
+
+
+def _file_column_stats(abspath: str) -> dict:
+    """Per-file metadata from the parquet footer: row count, byte size, and
+    per-column [min, max] aggregated across row groups — the record an
+    Iceberg manifest entry carries (lower_bounds/upper_bounds). Reading is
+    footer-only (O(KB) per file, no data pages). On a cluster the writer
+    tasks would report these with the commit message; the stand-in reads
+    the footer at commit time, which is still O(#new files) metadata I/O.
+    parquet-mr truncates long binary stats but keeps them valid bounds, so
+    pruning against them stays conservative."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abspath).metadata
+    cols = [md.schema.column(i) for i in range(md.num_columns)]
+    names = [c.name for c in cols]
+    # pyarrow can't logically cast DECIMAL stats (raises); decode the raw
+    # unscaled representation (INT64 or big-endian FLBA) ourselves
+    dec_scale = {
+        c.name: c.scale for c in cols if c.logical_type.type == "DECIMAL"
+    }
+
+    def _decode_raw_decimal(raw, scale: int) -> decimal.Decimal:
+        unscaled = (
+            int.from_bytes(raw, "big", signed=True) if isinstance(raw, bytes) else raw
+        )
+        return decimal.Decimal(unscaled).scaleb(-scale)
+
+    mins: dict = {}
+    maxs: dict = {}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i, name in enumerate(names):
+            try:
+                st = rg.column(i).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no stats")
+                if name in dec_scale:
+                    lo = _stat_encode(_decode_raw_decimal(st.min_raw, dec_scale[name]))
+                    hi = _stat_encode(_decode_raw_decimal(st.max_raw, dec_scale[name]))
+                else:
+                    lo, hi = _stat_encode(st.min), _stat_encode(st.max)
+            except Exception:  # stats not extractable for this physical type
+                mins[name] = maxs[name] = None
+                continue
+            if lo is None or hi is None or name in mins and mins[name] is None:
+                mins[name] = maxs[name] = None
+                continue
+            if name not in mins:
+                mins[name], maxs[name] = lo, hi
+            else:
+                mins[name] = min(mins[name], lo, key=_stat_decode_key)
+                maxs[name] = max(maxs[name], hi, key=_stat_decode_key)
+    stats = {
+        n: [mins[n], maxs[n]] for n in names if mins.get(n) is not None
+    }
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(abspath),
+        "stats": stats,
+    }
+
+
+def _stat_decode_key(v):
+    return _stat_decode(v)
+
+
+def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
+    """Conservative file-skip test: False only when the footer min/max
+    range PROVES no row can satisfy ``col op lit``. Files with no stats
+    for the column (all-null, unsupported type, pre-stats snapshot) are
+    kept. NULL rows never satisfy a comparison predicate, so ignoring
+    them (as parquet stats do) is sound."""
+    stats = (meta or {}).get("stats", {}).get(col)
+    if not stats:
+        return True
+    lo, hi = _stat_decode(stats[0]), _stat_decode(stats[1])
+    v = _stat_canon(lit)
+    try:
+        if op == "=":
+            return lo <= v <= hi
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+    except TypeError:
+        return True  # incomparable literal/stat types — never prune
+    raise ValueError(f"unsupported scan predicate op: {op!r}")
+
+
+def _where_filter(where: list[tuple]) -> F.Column:
+    """The Spark filter for a scan predicate — always applied to the
+    scanned rows, so results are independent of how well pruning did."""
+    cond = None
+    for col, op, lit in where:
+        c = F.col(col)
+        e = {
+            "=": c == F.lit(lit),
+            "<": c < F.lit(lit),
+            "<=": c <= F.lit(lit),
+            ">": c > F.lit(lit),
+            ">=": c >= F.lit(lit),
+        }[op]
+        cond = e if cond is None else cond & e
+    return cond
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -81,13 +228,18 @@ class Snapshot:
     added_rows: int
     hot_watermark: int  # highest hot batch id tiered into this snapshot
     summary: dict
+    # per-file {"rows", "bytes", "stats": {col: [min, max]}} — the
+    # manifest-entry record backing file skipping and the $files table
+    file_meta: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":
-        return Snapshot(**json.loads(s))
+        d = json.loads(s)
+        d.setdefault("file_meta", {})
+        return Snapshot(**d)
 
 
 class LakeTable:
@@ -164,6 +316,13 @@ class LakeTable:
             if hot_watermark is None:
                 hot_watermark = extra.get("hot_watermark")
             summary = {**(summary or {}), **extra.get("summary", {})}
+        # manifest stats: unchanged files carry their entry forward; only
+        # files new to this snapshot get a footer scan (O(#added files))
+        prev_meta = parent.file_meta if parent else {}
+        file_meta = {
+            f: prev_meta.get(f) or _file_column_stats(os.path.join(self.path, f))
+            for f in files
+        }
         snap = Snapshot(
             snapshot_id=version,
             committed_at_ms=int(time.time() * 1000),
@@ -177,6 +336,7 @@ class LakeTable:
                 else (parent.hot_watermark if parent else -1)
             ),
             summary=summary or {},
+            file_meta=file_meta,
         )
         _atomic_write(self._meta(f"v{version}.json"), snap.to_json())
         _atomic_write(self._meta("VERSION"), str(version))
@@ -355,17 +515,52 @@ class LakeTable:
 
     # ---------- reads ----------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, where: list[tuple] | None = None
+    ) -> DataFrame:
         """Snapshot read (cold-only — the reference's Trino view,
-        README.md:257-292). ``version`` = time travel (M1-adjacent)."""
+        README.md:257-292). ``version`` = time travel (M1-adjacent).
+
+        ``where`` = optional conjunctive scan predicate
+        ``[(col, op, literal), ...]`` with op in ``= < <= > >=``. Files
+        whose manifest min/max range provably excludes the predicate are
+        skipped before Spark ever sees them (the Iceberg manifest-pruning
+        role): planning cost O(#files) of in-memory metadata, zero footer
+        or data I/O for skipped files. The same predicate is then applied
+        to the scanned rows, so the result is exact regardless of how
+        coarse the surviving files' ranges are."""
         snap = self.snapshot(version)
-        if snap is None or not snap.files:
-            return self.spark.createDataFrame([], self.schema)
-        return (
+        files = self.plan_scan(where, snapshot=snap) if snap is not None else []
+        if not files:
+            df = self.spark.createDataFrame([], self.schema)
+            return df.filter(_where_filter(where)) if where else df
+        df = (
             self.spark.read.schema(T.StructType(self.schema.fields))
-            .parquet(*[os.path.join(self.path, f) for f in snap.files])
+            .parquet(*[os.path.join(self.path, f) for f in files])
             .select(*self.schema.fieldNames())
         )
+        return df.filter(_where_filter(where)) if where else df
+
+    def plan_scan(
+        self,
+        where: list[tuple] | None = None,
+        snapshot: Snapshot | None = None,
+    ) -> list[str]:
+        """The file list a ``read(where=...)`` would scan, after manifest
+        min/max pruning — exposed for observability and tests."""
+        snap = snapshot if snapshot is not None else self.snapshot()
+        if snap is None:
+            return []
+        if not where:
+            return list(snap.files)
+        return [
+            f
+            for f in snap.files
+            if all(
+                _file_may_match(snap.file_meta.get(f), col, op, lit)
+                for col, op, lit in where
+            )
+        ]
 
     def snapshots(self) -> DataFrame:
         """The ``t$snapshots`` metadata table (M1, README.md:274-275).
@@ -416,9 +611,58 @@ class LakeTable:
             "n_files int, total_rows long, added_rows long, hot_watermark long",
         )
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """The ``t$files`` metadata table (Iceberg's per-data-file view):
+        one row per data file in the snapshot with its manifest-recorded
+        row count, byte size, and column bounds. ``column_stats`` is the
+        {col: [min, max]} map serialized as a JSON string (nested cells
+        crash the driver's canonicalizer — CORRECTNESS_r01)."""
+        snap = self.snapshot(version)
+        rows = []
+        for f in snap.files if snap else []:
+            m = snap.file_meta.get(f) or {}
+            rows.append(
+                (
+                    f,
+                    int(m.get("bytes", -1)),
+                    int(m.get("rows", -1)),
+                    json.dumps(m.get("stats", {}), sort_keys=True),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, file_size_bytes long, record_count long, "
+            "column_stats string",
+        )
+
+    def history(self) -> DataFrame:
+        """The ``t$history`` metadata table: the commit log as Iceberg
+        reports it — when each snapshot became current and whether it is
+        an ancestor of the current table state (always true here: the
+        stand-in has no branch/rollback, history is linear)."""
+        cur = self.current_version()
+        rows = [
+            (
+                self.snapshot(v).committed_at_ms,
+                v,
+                v - 1 if v - 1 in set(self.snapshot_versions()) else None,
+                v == cur,
+            )
+            for v in self.snapshot_versions()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current boolean",
+        )
+
     # ---------- maintenance ----------
 
-    def compact(self, target_file_rows: int = 1_000_000) -> Snapshot | None:
+    def compact(
+        self,
+        target_file_rows: int = 1_000_000,
+        sort_by: list[str] | None = None,
+    ) -> Snapshot | None:
         """Small-file compaction (the Iceberg rewrite_data_files role):
         rewrite the current snapshot's files into ~target_file_rows-sized
         files. Data is unchanged — only the file layout; time travel to
@@ -428,10 +672,17 @@ class LakeTable:
         Streaming lakehouses accrete small files from frequent commits
         (30 s freshness → 2,880 commits/day); periodic compaction is what
         keeps scan planning and open-file overhead bounded at scale.
-        """
+
+        ``sort_by`` (log tables): range-partition + sort the rewrite on
+        the given columns (Iceberg's sort-order rewrite strategy). Files
+        then hold disjoint key ranges, so the manifest min/max bounds
+        turn ``read(where=...)`` file skipping from best-effort into
+        near-exact — the clustering that makes a 100 TB time-range scan
+        touch only its slice. A single compaction shuffle buys every
+        subsequent scan's pruning."""
         self._check_rewrite_allowed("compact")
         snap = self.snapshot()
-        if snap is None or len(snap.files) <= 1:
+        if snap is None or (len(snap.files) <= 1 and not sort_by):
             return None
         df = self.read()
         n = snap.total_rows
@@ -440,13 +691,25 @@ class LakeTable:
         rel = f"data/s{version}"
         out = os.path.join(self.path, rel)
         if self.primary_key:
+            if sort_by:
+                raise ValueError(
+                    f"{self.name}: sort_by compaction applies to log tables; "
+                    "PK tables are clustered by bucket"
+                )
             files = self._write_files(df, version, bucketed=True)
         else:
-            df.coalesce(n_files).write.mode("overwrite").parquet(out)
+            if sort_by:
+                df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+                    *sort_by
+                )
+                df.write.mode("overwrite").parquet(out)
+            else:
+                df.coalesce(n_files).write.mode("overwrite").parquet(out)
             files = [os.path.join(rel, os.path.basename(f)) for f in _list_parquet(out)]
-        return self._commit(
-            "compact", files, n, 0, summary={"files_before": len(snap.files)}
-        )
+        summary = {"files_before": len(snap.files)}
+        if sort_by:
+            summary["sort_by"] = sort_by
+        return self._commit("compact", files, n, 0, summary=summary)
 
     def incremental_read(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental append scan (the Iceberg ``incremental read``

@@ -294,3 +294,65 @@ def incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(5):
         t.append(nat.filter(F.col("nation_key") % 5 == i))
     return t.incremental_read(from_version=2)
+
+
+@query(
+    "lake_file_skipping",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    GROUP BY order_year
+    """,
+)
+def file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max file skipping over a sort-compacted log table
+    (the Iceberg manifest-pruning + sort-order-rewrite roles): orders
+    land in three date-sliced appends, a ``sort_by`` compaction
+    range-clusters them on order_date, and the 1997+ scan prunes every
+    file whose [min,max] date range ends before the predicate — at
+    100 TB the difference between touching a time slice and the table.
+    The same predicate is re-applied to scanned rows, so the result is
+    exact whatever the pruning ratio; correctness is gated against the
+    plain filtered aggregate on the source parquet."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "fileskip"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("order_key"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+    )
+    t = cat.create_table(
+        "orders_log",
+        T.StructType(
+            [
+                T.StructField("order_key", T.IntegerType(), False),
+                T.StructField("order_date", T.DateType(), True),
+                T.StructField("total_price", T.DecimalType(15, 2), True),
+            ]
+        ),
+    )
+    yr = F.year("order_date")
+    t.append(orders.filter(yr <= 1994))
+    t.append(orders.filter((yr >= 1995) & (yr <= 1996)))
+    t.append(orders.filter(yr >= 1997))
+    t.compact(
+        target_file_rows=max(250, t.snapshot().total_rows // 12),
+        sort_by=["order_date"],
+    )
+    cut = datetime.date(1997, 1, 1)
+    # pruning effectiveness on controlled layouts is asserted in
+    # tests/test_file_skipping.py; here the scan must stay exact at any SF
+    return (
+        t.read(where=[("order_date", ">=", cut)])
+        .groupBy(F.year("order_date").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total_price").cast("double").alias("revenue"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Manifest file stats, min/max scan pruning, sorted compaction, and the
+$files/$history metadata tables."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluss_iceberg_spark.lake.table import (
+    LakeCatalog,
+    _file_may_match,
+    _stat_canon,
+    _stat_decode,
+    _stat_encode,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("d", T.DateType(), True),
+        T.StructField("price", T.DecimalType(15, 2), True),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+
+def _rows(lo: int, hi: int):
+    return [
+        (
+            i,
+            datetime.date(1995, 1, 1) + datetime.timedelta(days=i),
+            decimal.Decimal(f"{i}.25"),
+            f"name{i:04d}",
+        )
+        for i in range(lo, hi)
+    ]
+
+
+def test_commit_records_file_stats(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("stats", SCHEMA)
+        t.append(spark.createDataFrame(_rows(0, 100), SCHEMA))
+        snap = t.snapshot()
+        assert snap.files and all(f in snap.file_meta for f in snap.files)
+        total = sum(m["rows"] for m in snap.file_meta.values())
+        assert total == 100
+        # aggregate min/max across files covers the full key range
+        ks = [m["stats"]["k"] for m in snap.file_meta.values() if "k" in m["stats"]]
+        assert min(lo for lo, _ in ks) == 0 and max(hi for _, hi in ks) == 99
+        # typed stats survive the JSON round trip
+        m = snap.file_meta[snap.files[0]]
+        assert _stat_decode(m["stats"]["d"][0]) == "1995-01-01" or isinstance(
+            _stat_decode(m["stats"]["d"][0]), str
+        )
+        assert isinstance(_stat_decode(m["stats"]["price"][0]), decimal.Decimal)
+
+
+def test_stats_carry_forward_on_append(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("carry", SCHEMA)
+        t.append(spark.createDataFrame(_rows(0, 10), SCHEMA))
+        first_meta = dict(t.snapshot().file_meta)
+        t.append(spark.createDataFrame(_rows(10, 20), SCHEMA))
+        snap = t.snapshot()
+        for f, m in first_meta.items():
+            assert snap.file_meta[f] == m  # carried, not recomputed
+
+
+def test_pruned_read_is_exact(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("exact", SCHEMA)
+        # three disjoint key-range appends → prunable layout
+        for lo in (0, 100, 200):
+            t.append(spark.createDataFrame(_rows(lo, lo + 100), SCHEMA))
+        where = [("k", ">=", 150)]
+        assert len(t.plan_scan(where)) < len(t.snapshot().files)
+        got = sorted(r.k for r in t.read(where=where).collect())
+        want = sorted(
+            r.k for r in t.read().filter(F.col("k") >= 150).collect()
+        )
+        assert got == want
+        # point lookup on a date column prunes to one slice
+        day = datetime.date(1995, 1, 1) + datetime.timedelta(days=250)
+        got = t.read(where=[("d", "=", day)]).collect()
+        assert [r.k for r in got] == [250]
+        # predicate selecting nothing returns empty but valid schema
+        assert t.read(where=[("k", ">", 10_000)]).count() == 0
+
+
+def test_sorted_compaction_tightens_pruning(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("sorted", SCHEMA)
+        # interleaved appends: every file spans the whole key range,
+        # so nothing can be pruned before the sorted rewrite
+        for r in range(4):
+            t.append(
+                spark.createDataFrame(
+                    [row for row in _rows(0, 400) if row[0] % 4 == r], SCHEMA
+                ).coalesce(1)
+            )
+        where = [("k", ">=", 300)]
+        assert len(t.plan_scan(where)) == len(t.snapshot().files)
+        snap = t.compact(target_file_rows=100, sort_by=["k"])
+        assert snap.operation == "compact" and snap.summary["sort_by"] == ["k"]
+        assert len(snap.files) >= 3
+        scanned = t.plan_scan(where)
+        assert len(scanned) < len(snap.files)
+        got = sorted(r.k for r in t.read(where=where).collect())
+        assert got == list(range(300, 400))
+
+
+def test_sort_by_rejected_on_pk_table(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table(
+            "pksort", SCHEMA, primary_key=["k"], n_buckets=4
+        )
+        t.merge(spark.createDataFrame(_rows(0, 10), SCHEMA))
+        with pytest.raises(ValueError, match="sort_by"):
+            t.compact(sort_by=["k"])
+
+
+def test_files_and_history_metadata_tables(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("meta", SCHEMA)
+        t.append(spark.createDataFrame(_rows(0, 50), SCHEMA))
+        t.append(spark.createDataFrame(_rows(50, 60), SCHEMA))
+        files = t.files().collect()
+        assert len(files) == len(t.snapshot().files)
+        assert sum(r.record_count for r in files) == 60
+        assert all(r.file_size_bytes > 0 for r in files)
+        stats = json.loads(files[0].column_stats)
+        assert "k" in stats and len(stats["k"]) == 2
+        hist = t.history().orderBy("snapshot_id").collect()
+        assert [r.snapshot_id for r in hist] == [0, 1]
+        assert [r.is_current for r in hist] == [False, True]
+        assert hist[1].parent_id == 0
+
+
+def test_stat_predicate_algebra():
+    meta = {"stats": {"k": [10, 20], "s": ["bbb", "ddd"]}}
+    assert _file_may_match(meta, "k", "=", 15)
+    assert not _file_may_match(meta, "k", "=", 9)
+    assert not _file_may_match(meta, "k", ">", 20)
+    assert _file_may_match(meta, "k", ">=", 20)
+    assert not _file_may_match(meta, "k", "<", 10)
+    assert _file_may_match(meta, "k", "<=", 10)
+    assert _file_may_match(meta, "s", ">=", "ccc")
+    assert not _file_may_match(meta, "s", ">", "ddd")
+    # missing stats / missing meta / incomparable literal → never prune
+    assert _file_may_match(meta, "other", "=", 1)
+    assert _file_may_match(None, "k", "=", 1)
+    assert _file_may_match(meta, "k", "=", "not-a-number")
+    with pytest.raises(ValueError):
+        _file_may_match(meta, "k", "!=", 1)
+    # float literals compare exactly against decimal bounds
+    dec = {"stats": {"p": [_stat_encode(decimal.Decimal("1.10")), _stat_encode(decimal.Decimal("2.20"))]}}
+    assert _file_may_match(dec, "p", "=", 2.2)
+    assert not _file_may_match(dec, "p", ">", 2.2)
+    assert _stat_canon(2.2) == decimal.Decimal("2.2")

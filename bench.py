@@ -68,6 +68,7 @@ HEADLINE = [
     "lake_maintenance_lifecycle",
     "lake_incremental_read",
     "lake_file_skipping",
+    "lake_row_level_ops",
     "stream_nation_revenue",
     "stream_stateful_sessions",
     "stream_exact_dedup",
@@ -102,6 +103,7 @@ HEADLINE = [
     "text_repetition_filter",
     "dedup_decontaminate",
     "text_unigram_lm_score",
+    "text_budget_mixing",
     "dedup_semantic_representatives",
     "join_skew_salted",
     "source_formats_roundtrip",

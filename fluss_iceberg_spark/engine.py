@@ -171,6 +171,10 @@ class Engine:
             return self._ok("dropped", name)
         if u.startswith("INSERT INTO"):
             return self._sql_insert(q)
+        if u.startswith("DELETE FROM"):
+            return self._sql_delete(q)
+        if u.startswith("UPDATE "):
+            return self._sql_update(q)
         if u.startswith("EXECUTE STATEMENT SET"):
             return self._sql_statement_set(q)
         q = self._rewrite_time_travel(q)
@@ -290,6 +294,73 @@ class Engine:
         )
         self._register(t)
         return self._ok("create_table", name)
+
+    _PRED_RE = re.compile(
+        r"^`?(\w+)`?\s*(<=|>=|=|<|>)\s*"
+        r"(DATE\s*'[^']*'|TIMESTAMP\s*'[^']*'|'[^']*'|-?\d+(?:\.\d+)?)$",
+        re.I,
+    )
+
+    def _parse_where(self, s: str) -> list[tuple]:
+        """Conjunctive ``col op literal`` predicates (the file-skippable
+        subset — the same shape ``LakeTable.read(where=...)`` prunes on).
+        Literals: numbers, 'strings', DATE/TIMESTAMP 'iso'."""
+        import datetime
+
+        out = []
+        for part in re.split(r"\s+AND\s+", s.strip(), flags=re.I):
+            m = self._PRED_RE.match(part.strip())
+            if not m:
+                raise ValueError(f"cannot parse predicate: {part.strip()!r}")
+            col, op, raw = m.group(1), m.group(2), m.group(3)
+            ru = raw.upper()
+            if ru.startswith("DATE"):
+                lit = datetime.date.fromisoformat(raw.split("'")[1])
+            elif ru.startswith("TIMESTAMP"):
+                lit = datetime.datetime.fromisoformat(raw.split("'")[1])
+            elif raw.startswith("'"):
+                lit = raw[1:-1]
+            else:
+                lit = float(raw) if "." in raw else int(raw)
+            out.append((col, op, lit))
+        return out
+
+    def _sql_delete(self, q: str) -> DataFrame:
+        """Row-level ``DELETE FROM t WHERE ...`` → stats-bounded
+        copy-on-write rewrite (LakeTable.delete)."""
+        m = re.match(r"DELETE\s+FROM\s+`?(\w+)`?\s+WHERE\s+(.*)$", q, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {q!r}")
+        name = m.group(1)
+        snap = self.catalog.load(name).delete(self._parse_where(m.group(2)))
+        self.refresh(name)
+        return self.spark.createDataFrame(
+            [(name, snap.summary.get("files_rewritten", 0))],
+            "name string, files_rewritten int",
+        )
+
+    def _sql_update(self, q: str) -> DataFrame:
+        """Row-level ``UPDATE t SET col = expr, ... WHERE ...`` →
+        copy-on-write rewrite (LakeTable.update). SET expressions are
+        arbitrary Spark SQL scalar expressions over the row's columns."""
+        m = re.match(
+            r"UPDATE\s+`?(\w+)`?\s+SET\s+(.*?)\s+WHERE\s+(.*)$", q, re.I | re.S
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {q!r}")
+        name = m.group(1)
+        set_exprs = {}
+        for part in _split_top_level(m.group(2)):
+            col, _, expr = part.partition("=")
+            if not expr:
+                raise ValueError(f"cannot parse SET clause: {part.strip()!r}")
+            set_exprs[col.strip().strip("`")] = expr.strip()
+        snap = self.catalog.load(name).update(set_exprs, self._parse_where(m.group(3)))
+        self.refresh(name)
+        return self.spark.createDataFrame(
+            [(name, snap.summary.get("files_rewritten", 0))],
+            "name string, files_rewritten int",
+        )
 
     def _sql_insert(self, q: str) -> DataFrame:
         m = re.match(r"INSERT\s+INTO\s+`?([\w.]+)`?\s+(SELECT\b.*|VALUES\b.*)$",

@@ -504,6 +504,88 @@ class LakeTable:
             "merge", files, total, self._rows_in(new_files), summary={"touched_buckets": touched}
         )
 
+    def delete(self, where: list[tuple]) -> Snapshot:
+        """Row-level DELETE (the Iceberg copy-on-write v2 role): remove
+        rows matching the conjunctive predicate ``[(col, op, lit), ...]``.
+
+        Manifest-stats-bounded rewrite: files whose min/max bounds PROVE
+        no row matches carry forward into the new snapshot untouched;
+        only intersecting files are read back, anti-filtered, and
+        rewritten. On a date-clustered 100 TB table a retention delete
+        rewrites one time slice, not the table. SQL NULL semantics: rows
+        where the predicate is NULL survive (DELETE removes only TRUE)."""
+        return self._row_level_rewrite("delete", where, set_exprs=None)
+
+    def update(self, set_exprs: dict[str, str], where: list[tuple]) -> Snapshot:
+        """Row-level UPDATE ... SET (copy-on-write): apply the SET
+        expressions (Spark SQL strings, e.g. ``{"price": "price * 2"}``)
+        to rows matching the predicate; same stats-bounded rewrite as
+        ``delete``. PK columns cannot be updated (bucket layout is keyed
+        on them — Iceberg likewise forbids identity-partition mutation)."""
+        bad = [c for c in set_exprs if c in self.primary_key]
+        if bad:
+            raise ValueError(f"{self.name}: cannot UPDATE primary-key columns {bad}")
+        unknown = [c for c in set_exprs if c not in self.schema.fieldNames()]
+        if unknown:
+            raise ValueError(f"{self.name}: UPDATE of unknown columns {unknown}")
+        return self._row_level_rewrite("update", where, set_exprs=set_exprs)
+
+    def _row_level_rewrite(
+        self, op: str, where: list[tuple], set_exprs: dict[str, str] | None
+    ) -> Snapshot:
+        self._check_rewrite_allowed(op)
+        if not where:
+            raise ValueError(f"{self.name}: {op}() requires a predicate")
+        snap = self.snapshot()
+        if snap is None or not snap.files:
+            return self._commit(op, [], 0, 0, summary={"files_rewritten": 0})
+        touched = self.plan_scan(where, snapshot=snap)
+        touched_set = set(touched)
+        keep = [f for f in snap.files if f not in touched_set]
+        if not touched:
+            return self._commit(
+                op,
+                list(snap.files),
+                snap.total_rows,
+                0,
+                summary={"files_rewritten": 0, "files_skipped": len(keep)},
+            )
+        old = (
+            self.spark.read.schema(T.StructType(self.schema.fields))
+            .parquet(*[os.path.join(self.path, f) for f in touched])
+            .select(*self.schema.fieldNames())
+        )
+        matched = F.coalesce(_where_filter(where), F.lit(False))
+        if op == "delete":
+            new_df = old.filter(~matched)
+        else:
+            # SET results cast back to the declared column type so the
+            # physical schema never drifts (e.g. decimal widening in *2)
+            new_df = old.select(
+                *[
+                    F.when(matched, F.expr(set_exprs[f.name]))
+                    .otherwise(F.col(f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+        version = self.current_version() + 1
+        new_files = self._write_files(
+            new_df, version, bucketed=bool(self.primary_key)
+        )
+        files = sorted(keep + new_files)
+        total = self._rows_in(files)
+        return self._commit(
+            op,
+            files,
+            total,
+            self._rows_in(new_files),
+            summary={"files_rewritten": len(touched), "files_skipped": len(keep)},
+        )
+
     def _rows_in(self, files: list[str]) -> int:
         """Exact row count from parquet footers — no plan re-execution.
         (The Iceberg analogue: manifest-recorded record counts.)"""
@@ -658,10 +740,46 @@ class LakeTable:
 
     # ---------- maintenance ----------
 
+    def _zorder_col(self, df: DataFrame, cols: list[str], bits: int = 10) -> F.Column:
+        """Z-value (Morton code) over numeric columns: per-column uniform
+        bucket id in [0, 2^bits) from a single min/max aggregate (a tiny
+        driver-side model, like the IVF centroids), bit-interleaved so
+        nearby (c1, c2, …) tuples get nearby z-values. Pure JVM arithmetic
+        — the only extra job is the one-row min/max agg."""
+        n = 1 << bits
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).first()
+        z = F.lit(0).cast("long")
+        for idx, c in enumerate(cols):
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or hi is None or hi == lo:
+                continue  # constant / all-null column adds no ordering bits
+            bucket = F.least(
+                F.lit(n - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo))
+                        / F.lit((hi - lo))
+                        * n
+                    ),
+                ),
+            ).cast("long")
+            bucket = F.coalesce(bucket, F.lit(0))
+            for b in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + idx,
+                )
+        return z
+
     def compact(
         self,
         target_file_rows: int = 1_000_000,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot | None:
         """Small-file compaction (the Iceberg rewrite_data_files role):
         rewrite the current snapshot's files into ~target_file_rows-sized
@@ -679,10 +797,19 @@ class LakeTable:
         turn ``read(where=...)`` file skipping from best-effort into
         near-exact — the clustering that makes a 100 TB time-range scan
         touch only its slice. A single compaction shuffle buys every
-        subsequent scan's pruning."""
+        subsequent scan's pruning.
+
+        ``zorder_by`` (log tables, numeric columns): cluster by the
+        interleaved-bit Morton code instead (the Delta/Iceberg OPTIMIZE
+        ZORDER role) — every listed column's min/max bounds tighten
+        per-file, so predicates on ANY of them prune, where a plain sort
+        only serves its leading column."""
         self._check_rewrite_allowed("compact")
+        if sort_by and zorder_by:
+            raise ValueError(f"{self.name}: sort_by and zorder_by are exclusive")
+        cluster = sort_by or zorder_by
         snap = self.snapshot()
-        if snap is None or (len(snap.files) <= 1 and not sort_by):
+        if snap is None or (len(snap.files) <= 1 and not cluster):
             return None
         df = self.read()
         n = snap.total_rows
@@ -691,14 +818,22 @@ class LakeTable:
         rel = f"data/s{version}"
         out = os.path.join(self.path, rel)
         if self.primary_key:
-            if sort_by:
+            if cluster:
                 raise ValueError(
-                    f"{self.name}: sort_by compaction applies to log tables; "
-                    "PK tables are clustered by bucket"
+                    f"{self.name}: sort_by/zorder_by compaction applies to log "
+                    "tables; PK tables are clustered by bucket"
                 )
             files = self._write_files(df, version, bucketed=True)
         else:
-            if sort_by:
+            if zorder_by:
+                df = (
+                    df.withColumn("__z", self._zorder_col(df, zorder_by))
+                    .repartitionByRange(n_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .select(*self.schema.fieldNames())
+                )
+                df.write.mode("overwrite").parquet(out)
+            elif sort_by:
                 df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
                     *sort_by
                 )
@@ -709,6 +844,8 @@ class LakeTable:
         summary = {"files_before": len(snap.files)}
         if sort_by:
             summary["sort_by"] = sort_by
+        if zorder_by:
+            summary["zorder_by"] = zorder_by
         return self._commit("compact", files, n, 0, summary=summary)
 
     def incremental_read(self, from_version: int, to_version: int | None = None) -> DataFrame:

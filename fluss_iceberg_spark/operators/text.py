@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Minimal stopword inventories per language for the heuristic language ID.
 # Word-boundary regexes work the same in Java regex (Spark) and RE2 (DuckDB).
@@ -52,14 +53,18 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
     return F.regexp_count(F.lower(text), F.lit(r"\b(" + "|".join(words) + r")\b"))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document quality features: length, token stats, character-class
-    ratios, stopword density — the standard pre-training quality filters."""
+    ratios, stopword density — the standard pre-training quality filters.
+    ``keep`` = extra input columns carried through (e.g. a grouping key)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
     return df.select(
         "doc_id",
+        *keep,
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         # mean token length = non-space chars / tokens
@@ -77,11 +82,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Scalar quality score in [0,1]: rewards stopword density and sane
     token lengths, penalizes digit/punct noise. Deterministic arithmetic
     only — mirrors the oracle SQL exactly."""
-    f = quality_features(df, text_col)
+    f = quality_features(df, text_col, keep=keep)
     score = (
         F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.4
         + F.when((F.col("avg_token_len") >= 3.0) & (F.col("avg_token_len") <= 10.0), 0.3)
@@ -91,11 +98,44 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return f.select(
         "doc_id",
+        *keep,
         "n_chars",
         "n_tokens",
         F.round("avg_token_len", 4).alias("avg_token_len"),
         F.round("stopword_ratio", 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality"),
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    token_budget: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget curation (the data-mixing step of a pretraining
+    pipeline): per ``group_col`` (language/domain), keep the
+    highest-quality documents whose cumulative token count fits
+    ``token_budget`` — i.e. "give me the best N tokens per domain".
+
+    Exact greedy semantics via one window: rank docs by (quality DESC,
+    doc_id) within the group, running SUM(n_tokens), keep rows with
+    cum_tokens ≤ budget. One shuffle on the group key. At 100 TB a single
+    domain's partition is a giant sort; the scale path is a two-phase
+    threshold: histogram quality per group (map-side combine), pick the
+    quality cutoff whose token mass reaches the budget, filter map-side,
+    and window-sort only the boundary bucket — same result, sort bounded
+    to one bucket. The exact form here is the oracle twin of that plan."""
+    q = quality_score(df, text_col, keep=(group_col,))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum_tokens", F.sum(F.col("n_tokens").cast("bigint")).over(w))
+        .filter(F.col("cum_tokens") <= token_budget)
+        .select("doc_id", group_col, "n_tokens", "quality", "cum_tokens")
     )
 
 

@@ -356,3 +356,47 @@ def file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_price").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "lake_row_level_ops",
+    oracle="""
+    SELECT CAST(o_orderkey AS INT) AS order_key,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1993-01-01'
+                          THEN CAST(o_totalprice AS DECIMAL(15,2)) * 2
+                          ELSE CAST(o_totalprice AS DECIMAL(15,2)) END
+                AS DECIMAL(15,2)) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    """,
+)
+def row_level_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + UPDATE through the SQL surface (the Iceberg
+    copy-on-write v2 role): a retention DELETE drops the 1998+ tail and
+    an UPDATE doubles pre-1993 prices. Both rewrites are manifest-stats
+    bounded — date-sliced appends mean the DELETE rewrites only the tail
+    slice's files and carries the rest forward untouched. Final state is
+    gated against the equivalent CASE/WHERE over the source parquet."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, _scratch(sf_dir, "rowlevel"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("order_key"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+    )
+    t = eng.create_table("orders_rl", orders.schema)
+    yr = F.year("order_date")
+    t.append(orders.filter(yr <= 1994))
+    t.append(orders.filter((yr >= 1995) & (yr <= 1997)))
+    t.append(orders.filter(yr >= 1998))
+    eng.refresh("orders_rl")
+    eng.sql("DELETE FROM orders_rl WHERE order_date >= DATE '1998-01-01'")
+    eng.sql(
+        "UPDATE orders_rl SET total_price = total_price * 2 "
+        "WHERE order_date < DATE '1993-01-01'"
+    )
+    return eng.catalog.load("orders_rl").read().select(
+        "order_key", "order_date", F.col("total_price").cast("double").alias("total_price")
+    )

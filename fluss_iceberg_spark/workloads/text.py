@@ -340,3 +340,50 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token frequency + rare-token fraction per document, exact
     integer arithmetic until the final division."""
     return TX.unigram_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_budget_mixing",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang, n_tokens,
+               round(least(stopword_ratio * 4.0, 1.0) * 0.4
+                     + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+                            THEN 0.3 ELSE 0.0 END
+                     + greatest(0.0, 0.2 - digit_ratio * 2.0)
+                     + greatest(0.0, 0.1 - punct_ratio), 4) AS quality
+        FROM f
+    ),
+    s AS (
+        SELECT doc_id, lang, n_tokens, quality,
+               SUM(CAST(n_tokens AS BIGINT)) OVER (
+                   PARTITION BY lang ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, lang, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM s WHERE cum_tokens <= 2000
+    """,
+)
+def budget_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: per language, the highest-quality docs
+    whose cumulative token count fits a 2,000-token budget (greedy by
+    quality DESC, doc_id tie-break). One shuffle on the language key;
+    see operators/text.budget_select for the bounded-sort scale path."""
+    return TX.budget_select(
+        load_table(spark, sf_dir, "documents"), token_budget=2000
+    )

@@ -163,3 +163,60 @@ def test_stat_predicate_algebra():
     assert _file_may_match(dec, "p", "=", 2.2)
     assert not _file_may_match(dec, "p", ">", 2.2)
     assert _stat_canon(2.2) == decimal.Decimal("2.2")
+
+
+GRID = T.StructType(
+    [
+        T.StructField("x", T.IntegerType(), False),
+        T.StructField("y", T.IntegerType(), False),
+        T.StructField("payload", T.StringType(), True),
+    ]
+)
+
+
+def _grid_rows():
+    # 32×32 grid in shuffled-ish insertion order (hash order, deterministic)
+    cells = sorted(
+        ((x, y) for x in range(32) for y in range(32)),
+        key=lambda c: hash(c) % 9973,
+    )
+    return [(x, y, f"p{x}_{y}") for x, y in cells]
+
+
+def test_zorder_prunes_on_every_listed_column(spark):
+    with tempfile.TemporaryDirectory() as d:
+        cat = LakeCatalog(spark, d)
+        tz = cat.create_table("gridz", GRID)
+        tz.append(spark.createDataFrame(_grid_rows(), GRID).coalesce(1))
+        ts = cat.create_table("grids", GRID)
+        ts.append(spark.createDataFrame(_grid_rows(), GRID).coalesce(1))
+
+        tz.compact(target_file_rows=64, zorder_by=["x", "y"])
+        ts.compact(target_file_rows=64, sort_by=["x"])
+        assert tz.snapshot().summary["zorder_by"] == ["x", "y"]
+        nz, ns = len(tz.snapshot().files), len(ts.snapshot().files)
+        assert nz >= 8 and ns >= 8
+
+        for col in ("x", "y"):
+            where = [(col, "=", 3)]
+            got = sorted(
+                (r.x, r.y) for r in tz.read(where=where).collect()
+            )
+            assert got == sorted(
+                (3, y) if col == "x" else (x, 3)
+                for x, y in [(3, v) if col == "x" else (v, 3) for v in range(32)]
+            )
+            # z-order keeps both columns' bounds tight → pruning on either
+            assert len(tz.plan_scan(where)) < nz, f"zorder must prune on {col}"
+        # the plain x-sort scatters y across every file: y-predicates
+        # cannot prune there, which is exactly what z-ordering fixes
+        assert len(ts.plan_scan([("y", "=", 3)])) == ns
+        assert len(ts.plan_scan([("x", "=", 3)])) < ns
+
+
+def test_zorder_rejects_mixed_with_sort(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("zmix", GRID)
+        t.append(spark.createDataFrame(_grid_rows()[:10], GRID))
+        with pytest.raises(ValueError, match="exclusive"):
+            t.compact(sort_by=["x"], zorder_by=["y"])

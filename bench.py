@@ -69,6 +69,7 @@ HEADLINE = [
     "lake_incremental_read",
     "lake_file_skipping",
     "lake_row_level_ops",
+    "lake_pk_changelog",
     "stream_nation_revenue",
     "stream_stateful_sessions",
     "stream_exact_dedup",

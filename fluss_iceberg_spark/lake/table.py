@@ -102,10 +102,6 @@ def _stat_canon(lit):
     """Canonicalize a predicate literal into the ``_stat_decode`` domain."""
     if isinstance(lit, (datetime.datetime, datetime.date)):
         return lit.isoformat()
-    if isinstance(lit, float):
-        # never compare float against exact Decimal bounds — widen to the
-        # Decimal domain so boundary equality stays conservative
-        return decimal.Decimal(str(lit))
     return lit
 
 
@@ -186,18 +182,34 @@ def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
     lo, hi = _stat_decode(stats[0]), _stat_decode(stats[1])
     v = _stat_canon(lit)
     try:
-        if op == "=":
-            return lo <= v <= hi
-        if op == "<":
-            return lo < v
-        if op == "<=":
-            return lo <= v
-        if op == ">":
-            return hi > v
-        if op == ">=":
-            return hi >= v
+        if _bounds_may_match(lo, hi, v, op):
+            return True
     except TypeError:
         return True  # incomparable literal/stat types — never prune
+    # Mixed numeric representations (float literal vs decimal bounds or
+    # vice versa): Python compares them EXACTLY, but the engines compare
+    # after casting decimal→double. Re-check in the double domain so
+    # boundary values stay conservative under BOTH semantics.
+    numeric = (int, float, decimal.Decimal)
+    if isinstance(v, numeric) and isinstance(lo, numeric):
+        try:
+            return _bounds_may_match(float(lo), float(hi), float(v), op)
+        except (TypeError, OverflowError):
+            return True
+    return False
+
+
+def _bounds_may_match(lo, hi, v, op: str) -> bool:
+    if op == "=":
+        return bool(lo <= v <= hi)
+    if op == "<":
+        return bool(lo < v)
+    if op == "<=":
+        return bool(lo <= v)
+    if op == ">":
+        return bool(hi > v)
+    if op == ">=":
+        return bool(hi >= v)
     raise ValueError(f"unsupported scan predicate op: {op!r}")
 
 
@@ -847,6 +859,120 @@ class LakeTable:
         if zorder_by:
             summary["zorder_by"] = zorder_by
         return self._commit("compact", files, n, 0, summary=summary)
+
+    def rollback(self, version: int) -> Snapshot:
+        """Roll the table back to an earlier snapshot (the Iceberg
+        ``rollback_to_snapshot`` role): commits a NEW snapshot that
+        points at the old snapshot's file list, so history is preserved
+        and the rollback itself is time-travelable/auditable. The tiering
+        watermark keeps its CURRENT value — hot batches already tiered
+        stay deduplicated in union reads regardless of lake rollback."""
+        target = self.snapshot(version)
+        if target is None:
+            raise ValueError(f"{self.name}: no snapshot v{version} to roll back to")
+        return self._commit(
+            "rollback",
+            list(target.files),
+            target.total_rows,
+            0,
+            summary={"rollback_to": version},
+        )
+
+    def count_rows(self) -> int:
+        """``SELECT COUNT(*)`` answered from manifest metadata alone
+        (the Iceberg aggregate-pushdown role): O(1) driver-side, zero
+        data I/O — at 100 TB the difference between a catalog lookup
+        and a full scan."""
+        snap = self.snapshot()
+        return snap.total_rows if snap else 0
+
+    def changelog(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDC diff scan for PK tables (the Fluss/Paimon changelog-read
+        role; log tables use ``incremental_read``): one row per key whose
+        state changed between the two snapshots, with
+        ``op ∈ {insert, update, delete}`` and the key's NEW values
+        (OLD values for deletes).
+
+        Scale shape: buckets whose file sets are identical between the
+        snapshots cannot contain changes and are pruned from the scan
+        entirely (file-list set compare, zero I/O); only changed buckets
+        are read and full-outer-joined on the key — and both sides are
+        bucketed on that key, so at scale the join co-locates instead of
+        shuffling the table."""
+        if not self.primary_key:
+            raise ValueError(
+                f"{self.name}: changelog() requires a PK table; "
+                "log tables stream deltas via incremental_read()"
+            )
+        to_v = self.current_version() if to_version is None else to_version
+        old_snap, new_snap = self.snapshot(from_version), self.snapshot(to_v)
+        if new_snap is None:
+            raise ValueError(f"{self.name}: no snapshot v{to_v}")
+        old_files = set(old_snap.files) if old_snap else set()
+        new_files = set(new_snap.files)
+
+        def bucket_of(relpath: str) -> int | None:
+            for part in relpath.split(os.sep):
+                if part.startswith("__bucket="):
+                    return int(part.split("=", 1)[1])
+            return None
+
+        def by_bucket(files: set[str]) -> dict:
+            d: dict = {}
+            for f in files:
+                d.setdefault(bucket_of(f), set()).add(f)
+            return d
+
+        ob, nb = by_bucket(old_files), by_bucket(new_files)
+        changed = {b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)}
+        o_scan = sorted(f for b in changed for f in ob.get(b, ()))
+        n_scan = sorted(f for b in changed for f in nb.get(b, ()))
+
+        fields = self.schema.fieldNames()
+        val_cols = [c for c in fields if c not in self.primary_key]
+
+        def load(files: list[str]) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], self.schema)
+            return (
+                self.spark.read.schema(T.StructType(self.schema.fields))
+                .parquet(*[os.path.join(self.path, f) for f in files])
+                .select(*fields)
+            )
+
+        # presence markers added BEFORE the join: a join miss leaves the
+        # whole side NULL including the marker (PK columns themselves are
+        # NULL-able here, so they can't serve as presence flags)
+        o = load(o_scan).withColumn("__present", F.lit(1)).alias("o")
+        n = load(n_scan).withColumn("__present", F.lit(1)).alias("n")
+        cond = None
+        for k in self.primary_key:
+            c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+            cond = c if cond is None else cond & c
+        j = o.join(n, on=cond, how="full_outer")
+        o_present = F.col("o.__present").isNotNull()
+        n_present = F.col("n.__present").isNotNull()
+        same_vals = None
+        for c in val_cols:
+            e = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+            same_vals = e if same_vals is None else same_vals & e
+        op = (
+            F.when(~o_present, F.lit("insert"))
+            .when(~n_present, F.lit("delete"))
+            .when(same_vals if same_vals is not None else F.lit(True), F.lit(None))
+            .otherwise(F.lit("update"))
+        )
+        out_cols = [
+            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+            if c in self.primary_key
+            else F.when(op == "delete", F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in fields
+        ]
+        return j.select(op.alias("op"), *out_cols).filter(F.col("op").isNotNull())
 
     def incremental_read(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental append scan (the Iceberg ``incremental read``

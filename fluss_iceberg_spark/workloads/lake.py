@@ -400,3 +400,37 @@ def row_level_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.catalog.load("orders_rl").read().select(
         "order_key", "order_date", F.col("total_price").cast("double").alias("total_price")
     )
+
+
+@query(
+    "lake_pk_changelog",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 7 = 0 THEN 'insert' ELSE 'update' END AS op,
+           CAST(c_custkey AS INT) AS cust_key,
+           c_name AS name,
+           CAST(c_nationkey AS INT) AS nation_key,
+           CAST(CAST(c_acctbal + 1000.0 AS DECIMAL(15,2)) AS DOUBLE) AS acctbal,
+           'UPDATED' AS mktsegment
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+)
+def pk_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff scan on a PK table (the Fluss/Paimon changelog-read role):
+    base dim = customers with key % 7 != 0 (v0); upsert batch = every 5th
+    key bumped +1000 / 'UPDATED' (v1). The changelog between the snapshots
+    must emit exactly one row per changed key — 'insert' where the upsert
+    introduced a key the base lacked (k % 35 residues), 'update' elsewhere
+    — and nothing for untouched keys. Buckets with identical file sets are
+    pruned before any I/O; the diff join runs only on changed buckets."""
+    cat = LakeCatalog(spark, _scratch(sf_dir, "changelog"))
+    base, updates = _customer_updates(spark, sf_dir)
+    t = cat.create_table(
+        "dim_customer_cdc",
+        base.schema,
+        primary_key=["cust_key"],
+        not_null=["cust_key"],
+        n_buckets=8,
+    )
+    t.merge(base.filter(F.col("cust_key") % 7 != 0))  # v0
+    t.merge(updates)  # v1
+    return t.changelog(0, 1).withColumn("acctbal", F.col("acctbal").cast("double"))

@@ -158,11 +158,20 @@ def test_stat_predicate_algebra():
     assert _file_may_match(meta, "k", "=", "not-a-number")
     with pytest.raises(ValueError):
         _file_may_match(meta, "k", "!=", 1)
-    # float literals compare exactly against decimal bounds
+    # float literal vs decimal bounds: conservative under both exact and
+    # engine (decimal→double cast) comparison semantics
     dec = {"stats": {"p": [_stat_encode(decimal.Decimal("1.10")), _stat_encode(decimal.Decimal("2.20"))]}}
     assert _file_may_match(dec, "p", "=", 2.2)
     assert not _file_may_match(dec, "p", ">", 2.2)
-    assert _stat_canon(2.2) == decimal.Decimal("2.2")
+    # p < 1.1: exact compare keeps it (1.10 < float(1.1)'s binary value)
+    # even though the double-cast view sees no match — conservative is
+    # correct, pruning may only happen when BOTH views prove no match
+    assert _file_may_match(dec, "p", "<", 1.1)
+    # identical float literal/bound: equality must never be pruned away
+    flt = {"stats": {"f": [0.5000052452087402, 0.5000052452087402]}}
+    assert _file_may_match(flt, "f", "<=", 0.5000052452087402)
+    assert _file_may_match(flt, "f", "=", 0.5000052452087402)
+    assert _stat_canon(2.2) == 2.2
 
 
 GRID = T.StructType(

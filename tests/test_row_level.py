@@ -137,3 +137,43 @@ def test_streaming_append_only_refuses_row_level_ops(spark):
             t.delete([("k", "=", 1)])
         with pytest.raises(ValueError, match="append-only"):
             t.update({"price": "price"}, [("k", "=", 1)])
+
+
+def test_rollback_restores_and_preserves_history(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("rb", SCHEMA)
+        t.append(spark.createDataFrame(_rows(0, 10), SCHEMA))
+        t.append(spark.createDataFrame(_rows(10, 20), SCHEMA))
+        t.delete([("k", "<", 5)])
+        snap = t.rollback(0)
+        assert snap.operation == "rollback"
+        assert snap.summary["rollback_to"] == 0
+        assert sorted(r.k for r in t.read().collect()) == list(range(10))
+        # history preserved: all four snapshots remain time-travelable
+        assert t.read(version=2).count() == 15
+        assert t.history().count() == 4
+        assert t.count_rows() == 10  # metadata-only count tracks rollback
+
+
+def test_changelog_ops(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table(
+            "cdc", SCHEMA, primary_key=["k"], n_buckets=4
+        )
+        t.merge(spark.createDataFrame(_rows(0, 10), SCHEMA))  # v0
+        upd = [
+            (2, datetime.date(2001, 1, 1), decimal.Decimal("999.99")),  # update
+            (3, datetime.date(1995, 1, 4), decimal.Decimal("3.50")),  # no-op write
+            (42, datetime.date(2002, 2, 2), decimal.Decimal("42.00")),  # insert
+        ]
+        t.merge(spark.createDataFrame(upd, SCHEMA))  # v1
+        t.delete([("k", "=", 7)])  # v2
+        got = {r.k: r.op for r in t.changelog(0).collect()}
+        assert got == {2: "update", 42: "insert", 7: "delete"}
+        # identical snapshots → every bucket pruned, empty diff
+        assert t.changelog(2, 2).count() == 0
+        # delete row carries OLD values
+        row = {r.k: r for r in t.changelog(0).collect()}[7]
+        assert row.price == decimal.Decimal("7.50")
+        with pytest.raises(ValueError, match="PK table"):
+            LakeCatalog(spark, d).create_table("cdclog", SCHEMA).changelog(0)

@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_decontaminate",
     "text_unigram_lm_score",
     "text_budget_mixing",
+    "pipeline_curation_end2end",
     "dedup_semantic_representatives",
     "join_skew_salted",
     "source_formats_roundtrip",

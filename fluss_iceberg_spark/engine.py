@@ -171,6 +171,18 @@ class Engine:
             return self._ok("dropped", name)
         if u.startswith("INSERT INTO"):
             return self._sql_insert(q)
+        if u.startswith("ANALYZE TABLE"):
+            name = q.split()[-1].strip("`")
+            stats = self.catalog.load(name).analyze()
+            rows = [
+                (name, c, s["ndv"], s["null_count"], stats["row_count"])
+                for c, s in sorted(stats["columns"].items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "table string, column string, ndv long, null_count long, "
+                "row_count long",
+            )
         if u.startswith("DELETE FROM"):
             return self._sql_delete(q)
         if u.startswith("UPDATE "):

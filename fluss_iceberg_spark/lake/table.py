@@ -377,6 +377,16 @@ class LakeTable:
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.hash(*[F.col(k) for k in self.primary_key]), F.lit(self.n_buckets))
 
+    def _writer(self, df: DataFrame):
+        """DataFrameWriter honoring the table's
+        ``write.parquet.compression-codec`` property (the Iceberg write
+        property; zstd/snappy/gzip/lz4/uncompressed). Codec choice is a
+        per-table storage contract: zstd for cold archival slices, snappy
+        (Spark default) for hot scan-heavy tables."""
+        w = df.write
+        codec = self.properties.get("write.parquet.compression-codec")
+        return w.option("compression", codec) if codec else w
+
     def _write_files(self, df: DataFrame, snapshot_id: int, bucketed: bool) -> list[str]:
         """Write df as parquet under data/s{snapshot_id}; returns
         table-relative paths. PK tables write one directory per PK-hash
@@ -385,9 +395,12 @@ class LakeTable:
         out = os.path.join(self.path, rel)
         if bucketed:
             (
-                df.withColumn("__bucket", self._bucket_col())
-                .repartition(self.n_buckets, "__bucket")
-                .write.partitionBy("__bucket")
+                self._writer(
+                    df.withColumn("__bucket", self._bucket_col()).repartition(
+                        self.n_buckets, "__bucket"
+                    )
+                )
+                .partitionBy("__bucket")
                 .mode("overwrite")
                 .parquet(out)
             )
@@ -400,7 +413,7 @@ class LakeTable:
                         if f.endswith(".parquet")
                     ]
             return sorted(files)
-        df.write.mode("overwrite").parquet(out)
+        self._writer(df).mode("overwrite").parquet(out)
         return [os.path.join(rel, os.path.basename(f)) for f in _list_parquet(out)]
 
     def append(self, df: DataFrame) -> Snapshot:
@@ -496,9 +509,12 @@ class LakeTable:
         else:
             new_state = updates
         (
-            new_state.withColumn("__bucket", self._bucket_col())
-            .repartition(len(touched_set) or 1, "__bucket")
-            .write.partitionBy("__bucket")
+            self._writer(
+                new_state.withColumn("__bucket", self._bucket_col()).repartition(
+                    len(touched_set) or 1, "__bucket"
+                )
+            )
+            .partitionBy("__bucket")
             .mode("overwrite")
             .parquet(out)
         )
@@ -844,14 +860,14 @@ class LakeTable:
                     .sortWithinPartitions("__z")
                     .select(*self.schema.fieldNames())
                 )
-                df.write.mode("overwrite").parquet(out)
+                self._writer(df).mode("overwrite").parquet(out)
             elif sort_by:
                 df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
                     *sort_by
                 )
-                df.write.mode("overwrite").parquet(out)
+                self._writer(df).mode("overwrite").parquet(out)
             else:
-                df.coalesce(n_files).write.mode("overwrite").parquet(out)
+                self._writer(df.coalesce(n_files)).mode("overwrite").parquet(out)
             files = [os.path.join(rel, os.path.basename(f)) for f in _list_parquet(out)]
         summary = {"files_before": len(snap.files)}
         if sort_by:
@@ -859,6 +875,48 @@ class LakeTable:
         if zorder_by:
             summary["zorder_by"] = zorder_by
         return self._commit("compact", files, n, 0, summary=summary)
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE (the Iceberg puffin/table-stats role): one scan
+        computing per-column approx NDV (HLL++) and null counts, stored
+        beside the current snapshot (``meta/stats_v{N}.json``) for a
+        cost-based planner to pick join orders / broadcast sides. Row
+        count comes from manifest metadata, not the scan."""
+        snap = self.snapshot()
+        cols = columns or self.schema.fieldNames()
+        stats: dict = {"snapshot_id": snap.snapshot_id if snap else -1,
+                       "row_count": self.count_rows(), "columns": {}}
+        if snap and snap.files:
+            df = self.read()
+            aggs = []
+            for c in cols:
+                aggs.append(F.approx_count_distinct(c).alias(f"ndv_{c}"))
+                aggs.append(
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+                )
+            row = df.agg(*aggs).first()
+            for c in cols:
+                stats["columns"][c] = {
+                    "ndv": int(row[f"ndv_{c}"]),
+                    "null_count": int(row[f"nulls_{c}"]),
+                }
+        _atomic_write(
+            self._meta(f"stats_v{stats['snapshot_id']}.json"), json.dumps(stats)
+        )
+        return stats
+
+    def table_stats(self) -> dict | None:
+        """Most recent ANALYZE result at or before the current snapshot."""
+        versions = [
+            int(f[len("stats_v"):-len(".json")])
+            for f in os.listdir(self._meta())
+            if f.startswith("stats_v") and f.endswith(".json")
+        ]
+        usable = [v for v in versions if v <= self.current_version()]
+        if not usable:
+            return None
+        with open(self._meta(f"stats_v{max(usable)}.json")) as f:
+            return json.load(f)
 
     def rollback(self, version: int) -> Snapshot:
         """Roll the table back to an earlier snapshot (the Iceberg

@@ -387,3 +387,86 @@ def budget_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.budget_select(
         load_table(spark, sf_dir, "documents"), token_budget=2000
     )
+
+
+@query(
+    "pipeline_curation_end2end",
+    oracle="""
+    WITH dedup AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    d AS (
+        SELECT doc.doc_id, doc.lang, doc.text
+        FROM documents doc JOIN dedup USING (doc_id)
+    ),
+    f AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len
+        FROM d
+    ),
+    q AS (
+        SELECT doc_id, lang, n_tokens,
+               round(least(stopword_ratio * 4.0, 1.0) * 0.4
+                     + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+                            THEN 0.3 ELSE 0.0 END
+                     + greatest(0.0, 0.2 - digit_ratio * 2.0)
+                     + greatest(0.0, 0.1 - punct_ratio), 4) AS quality
+        FROM f
+    ),
+    s AS (
+        SELECT doc_id, lang, n_tokens, quality,
+               SUM(CAST(n_tokens AS BIGINT)) OVER (
+                   PARTITION BY lang ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM q
+    ),
+    kept AS (
+        SELECT doc_id, lang, n_tokens FROM s
+        WHERE cum <= 2000 AND quality >= 0.3
+    ),
+    c AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM kept
+    )
+    SELECT lang, cum_before // 512 AS bin,
+           COUNT(1) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY lang, bin
+    """,
+)
+def curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline as ONE DataFrame program:
+    exact dedup (keep min doc per normalized-text fingerprint) → quality
+    scoring → per-language token-budget selection (2,000 tokens, greedy
+    by quality, floor 0.3) → 512-token sequence packing per language →
+    bin summary. Every stage is a shuffle-bounded operator from the
+    engine (dedup.exact_duplicates, text.budget_select,
+    text.pack_sequences); the oracle chains the same stages as CTEs, so
+    the differential gate certifies the composition, not just the parts."""
+    from fluss_iceberg_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = DD.exact_duplicates(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    deduped = docs.join(keep, "doc_id")
+    sel = TX.budget_select(deduped, 2000).filter(F.col("quality") >= 0.3)
+    kept_docs = deduped.join(sel.select("doc_id"), "doc_id")
+    packed = TX.pack_sequences(kept_docs, 512, shard_col="lang")
+    return packed.groupBy(F.col("shard").alias("lang"), "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("bin_tokens"),
+    )

@@ -111,3 +111,41 @@ def test_append_only_guard_blocks_rewrites(spark, tmp_path):
     # appends remain allowed
     t.append(df)
     assert t.read().count() == 15
+
+
+def test_commit_conflict_detection(spark):
+    """Optimistic-concurrency CAS (the role the Iceberg REST catalog's
+    compare-and-swap plays): a commit based on a stale version must be
+    rejected, and a physically concurrent same-version snapshot write
+    must lose the exclusive-create race instead of silently overwriting."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from fluss_iceberg_spark.lake.table import CommitConflictError, LakeCatalog
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("cas", schema)
+        t.append(spark.createDataFrame([(1, "a")], schema))  # v0
+        t.append(spark.createDataFrame([(2, "b")], schema))  # v1
+        # logical CAS: commit based on stale v0 while current is v1
+        with pytest.raises(CommitConflictError):
+            t._commit("append", [], 0, 0, expected_version=0)
+        # physical CAS: a racing writer already created v2.json
+        import json as _json
+        import os as _os
+
+        stale = t.snapshot().to_json()
+        with open(_os.path.join(d, "cas", "meta", "v2.json"), "w") as f:
+            f.write(stale)
+        with pytest.raises(CommitConflictError):
+            t.append(spark.createDataFrame([(3, "c")], schema))
+        # table still readable and consistent at v1 after both rejections
+        assert t.current_version() == 1
+        assert t.read().count() == 2

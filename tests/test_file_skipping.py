@@ -229,3 +229,26 @@ def test_zorder_rejects_mixed_with_sort(spark):
         t.append(spark.createDataFrame(_grid_rows()[:10], GRID))
         with pytest.raises(ValueError, match="exclusive"):
             t.compact(sort_by=["x"], zorder_by=["y"])
+
+
+def test_compression_codec_property(spark):
+    with tempfile.TemporaryDirectory() as d:
+        cat = LakeCatalog(spark, d)
+        tz = cat.create_table(
+            "zstd_t",
+            SCHEMA,
+            properties={"write.parquet.compression-codec": "zstd"},
+        )
+        tz.append(spark.createDataFrame(_rows(0, 20), SCHEMA))
+        assert all(f.endswith(".zstd.parquet") for f in tz.snapshot().files)
+        ts = cat.create_table(
+            "snappy_t",
+            SCHEMA,
+            properties={"write.parquet.compression-codec": "snappy"},
+        )
+        ts.append(spark.createDataFrame(_rows(0, 20), SCHEMA))
+        assert all(f.endswith(".snappy.parquet") for f in ts.snapshot().files)
+        # codec follows the table through rewrites too
+        tz.compact(target_file_rows=5, sort_by=["k"])
+        assert all(f.endswith(".zstd.parquet") for f in tz.snapshot().files)
+        assert sorted(r.k for r in tz.read().collect()) == list(range(20))

@@ -209,3 +209,61 @@ def test_unigram_single_corpus_scan(spark):
     plan = physical_plan(df)
     assert plan.count("documents.parquet") <= 1  # cached branch may hide it
     assert "InMemoryTableScan" in plan
+
+
+def test_budget_select_single_exchange(spark):
+    """Token-budget curation: quality features are map-side; the only
+    exchange is the window's hash partitioning on the group key."""
+    from fluss_iceberg_spark.operators import text as TX
+
+    docs = load_table(spark, SF, "documents")
+    df = TX.budget_select(docs, 2000)
+    assert count_nodes(df, "Exchange") == 1
+    plan = physical_plan(df)
+    assert "Window" in plan
+
+
+def test_embedding_hygiene_zero_exchange(spark):
+    """Vector hygiene rides the scan: no exchange, no join."""
+    from fluss_iceberg_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    df = SIM.embedding_hygiene(emb)
+    assert count_nodes(df, "Exchange") == 0
+
+
+def test_changelog_scans_only_changed_buckets(spark):
+    """CDC diff: a merge touching one bucket leaves the other buckets'
+    file sets identical — the changelog plan must read only the changed
+    bucket's files (bucket pruning happens before the plan is built)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table(
+            "cdcplan", schema, primary_key=["k"], n_buckets=8
+        )
+        t.merge(spark.createDataFrame([(i, f"v{i}") for i in range(64)], schema))
+        t.merge(spark.createDataFrame([(5, "changed")], schema))
+        # white-box: the diff must plan over ONE changed bucket's files,
+        # not the table (merge of k=5 rewrote exactly one bucket)
+        old_f, new_f = set(t.snapshot(0).files), set(t.snapshot(1).files)
+        changed_old = old_f - new_f
+        changed_new = new_f - old_f
+        assert len(changed_old) >= 1 and len(changed_old) < len(old_f)
+        df = t.changelog(0, 1)
+        plan = physical_plan(df)
+        # untouched buckets' files never appear in the plan
+        for f in sorted(old_f & new_f):
+            assert f.split("/")[-1] not in plan
+        got = {r.k: r.op for r in df.collect()}
+        assert got == {5: "update"}

@@ -177,3 +177,25 @@ def test_changelog_ops(spark):
         assert row.price == decimal.Decimal("7.50")
         with pytest.raises(ValueError, match="PK table"):
             LakeCatalog(spark, d).create_table("cdclog", SCHEMA).changelog(0)
+
+
+def test_analyze_table_stats(spark):
+    with tempfile.TemporaryDirectory() as d:
+        eng = Engine(spark, d)
+        t = eng.create_table("an", SCHEMA)
+        rows = _rows(0, 50) + [(99, None, decimal.Decimal("1.00"))]
+        t.append(spark.createDataFrame(rows, SCHEMA))
+        stats = t.analyze()
+        assert stats["row_count"] == 51
+        assert stats["columns"]["d"]["null_count"] == 1
+        # HLL++ NDV within its ~5% default error bound
+        assert abs(stats["columns"]["k"]["ndv"] - 51) <= 5
+        assert t.table_stats()["row_count"] == 51
+        # SQL surface returns one row per column
+        res = eng.sql("ANALYZE TABLE an").collect()
+        assert {r.column for r in res} == set(SCHEMA.fieldNames())
+        assert all(r.row_count == 51 for r in res)
+        # stats are snapshot-scoped: a rollback hides newer stats files
+        t.append(spark.createDataFrame(_rows(50, 60), SCHEMA))
+        t.analyze()
+        assert t.table_stats()["row_count"] == 61

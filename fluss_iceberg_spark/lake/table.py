@@ -56,11 +56,39 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency commit rejection — the role the Iceberg REST
+    catalog's compare-and-swap plays (docker-compose.yml:126-137). Raised
+    when a commit is based on a stale table version (logical CAS) or when
+    a racing writer already claimed the target snapshot file (physical
+    CAS via exclusive-create)."""
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         f.write(payload)
     os.replace(tmp, path)
+
+
+def _exclusive_write(path: str, payload: str) -> None:
+    """Write ``payload`` to ``path`` all-or-nothing, failing with
+    CommitConflictError if ``path`` already exists. The payload is written
+    to a temp file first, then linked into place — ``os.link`` is atomic
+    and fails on an existing target, so a racing same-version writer loses
+    the race instead of silently overwriting, and a crash mid-write can
+    never leave a partial snapshot visible."""
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent writer already committed {os.path.basename(path)}"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _list_parquet(d: str) -> list[str]:
@@ -313,9 +341,16 @@ class LakeTable:
         added_rows: int,
         hot_watermark: int | None = None,
         summary: dict | None = None,
+        expected_version: int | None = None,
     ) -> Snapshot:
+        base = self.current_version()
+        if expected_version is not None and expected_version != base:
+            raise CommitConflictError(
+                f"commit based on stale version {expected_version}; "
+                f"current is {base}"
+            )
         parent = self.snapshot()
-        version = self.current_version() + 1
+        version = base + 1
         # A caller (tier(), the streaming pipeline) may ask the *next*
         # commit to carry extra state — watermark advance, idempotence
         # batch id — so it lands in the snapshot json in the same atomic
@@ -350,7 +385,15 @@ class LakeTable:
             summary=summary or {},
             file_meta=file_meta,
         )
-        _atomic_write(self._meta(f"v{version}.json"), snap.to_json())
+        # physical CAS: exclusive-create the snapshot file BEFORE flipping
+        # the VERSION pointer — a racing same-version writer raises
+        # CommitConflictError here and the table stays consistent at base.
+        try:
+            _exclusive_write(self._meta(f"v{version}.json"), snap.to_json())
+        except CommitConflictError:
+            if extra:  # let a retry carry the watermark/batch-id forward
+                self._pending_commit_extra = extra
+            raise
         _atomic_write(self._meta("VERSION"), str(version))
         return snap
 

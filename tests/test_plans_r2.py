@@ -262,8 +262,14 @@ def test_changelog_scans_only_changed_buckets(spark):
         assert len(changed_old) >= 1 and len(changed_old) < len(old_f)
         df = t.changelog(0, 1)
         plan = physical_plan(df)
-        # untouched buckets' files never appear in the plan
+        # untouched buckets' files never appear in the plan. Compare FULL
+        # relative paths (data/sN/__bucket=B/part-…): partitionBy reuses
+        # the same part-NNNNN-<jobUUID> basename across bucket dirs, so a
+        # basename check would collide with the changed bucket's files.
         for f in sorted(old_f & new_f):
-            assert f.split("/")[-1] not in plan
+            assert f not in plan
+        # and at least one changed-bucket file IS planned (guards against
+        # the plan string truncating the file listing entirely)
+        assert any(f in plan for f in changed_old | changed_new)
         got = {r.k: r.op for r in df.collect()}
         assert got == {5: "update"}

@@ -73,6 +73,7 @@ HEADLINE = [
     "stream_nation_revenue",
     "stream_stateful_sessions",
     "stream_exact_dedup",
+    "stream_pk_changelog",
     "stream_enriched_union",
     "stream_events_hourly",
     "stream_interval_join",
@@ -111,6 +112,7 @@ HEADLINE = [
     "source_formats_roundtrip",
     "engine_show_create",
     "engine_time_travel_sql",
+    "engine_timestamp_travel",
 ]
 
 
@@ -130,27 +132,37 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        _execute(registry.QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            _execute(registry.QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # one broken query must not zero the bench
+            errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
         # evict caches a query persisted for its own multi-branch plan —
         # stale blocks otherwise pile up across the run and push later
         # queries into eviction/recompute churn
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        result["errors"] = errors
+    line = json.dumps(result)
+    # stdout line for the driver's tail capture AND a file copy so a long
+    # queries dict can never truncate the headline out of the tail window
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_result.json"), "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 

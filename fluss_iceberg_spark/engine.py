@@ -106,14 +106,33 @@ class Engine:
         self._register(t)
         return t
 
+    _META_SUFFIXES = ("snapshots", "files", "history")
+
     def _register(self, t: LakeTable) -> None:
         # the reference exposes metadata as `t$snapshots` (README.md:275);
         # Spark temp view names reject '$', so the companion view is
-        # `t__snapshots`
+        # `t__snapshots`. Companion views are built LAZILY — eager
+        # registration re-reads every retained v{N}.json driver-side on
+        # every create/load/refresh, and refresh() runs after each SQL
+        # DML; at streaming commit cadence (2,880 commits/day) that is
+        # O(#snapshots) metadata I/O per write for views most statements
+        # never touch. sql() materializes exactly the companions a
+        # statement references, just in time.
         t.read().createOrReplaceTempView(t.name)
-        t.snapshots().createOrReplaceTempView(f"{t.name}__snapshots")
-        t.files().createOrReplaceTempView(f"{t.name}__files")
-        t.history().createOrReplaceTempView(f"{t.name}__history")
+
+    _META_VIEW_RE = re.compile(r"\b(\w+)__(snapshots|files|history)\b")
+
+    def _materialize_metadata_views(self, q: str) -> None:
+        """Build the metadata companion views a statement actually
+        references (fresh at statement time — snapshot logs grow, so the
+        view is rebuilt per reference; each build is one pass over the
+        retained snapshot tail, only when asked for)."""
+        for name, suffix in set(self._META_VIEW_RE.findall(q)):
+            if not self.catalog.exists(name):
+                continue
+            t = self.catalog.load(name)
+            df = getattr(t, suffix)()
+            df.createOrReplaceTempView(f"{name}__{suffix}")
 
     def refresh(self, name: str) -> None:
         """Re-register views after a write (snapshot reads are immutable)."""
@@ -151,6 +170,7 @@ class Engine:
         + registered lake tables)."""
         q = query.strip().rstrip(";").strip()
         u = q.upper()
+        self._materialize_metadata_views(q)
         if u.startswith("CREATE CATALOG"):
             return self._sql_create_catalog(q)
         if u.startswith("USE CATALOG"):
@@ -196,12 +216,21 @@ class Engine:
         r"\b(FROM|JOIN)\s+`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(\d+)",
         re.IGNORECASE,
     )
+    _TIME_TRAVEL_TS_RE = re.compile(
+        r"\b(FROM|JOIN)\s+`?(\w+)`?\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))",
+        re.IGNORECASE,
+    )
 
     def _rewrite_time_travel(self, q: str) -> str:
-        """Spark/Iceberg ``SELECT ... FROM t VERSION AS OF n`` over lake
-        tables: each versioned reference is materialized as a snapshot
-        temp view (snapshot reads are immutable, so the view is stable)
-        and the query text is rewritten to it before Catalyst sees it."""
+        """Spark/Iceberg ``SELECT ... FROM t VERSION AS OF n`` and
+        ``TIMESTAMP AS OF '<ts>'`` over lake tables: each versioned
+        reference is materialized as a snapshot temp view (snapshot reads
+        are immutable, so the view is stable) and the query text is
+        rewritten to it before Catalyst sees it. Timestamps resolve via
+        the snapshot log's committed_at_ms (newest snapshot at-or-before);
+        accepted forms: ISO 'YYYY-MM-DD[ HH:MM:SS[.ffffff]]' (treated as
+        UTC, matching committed_at_ms) or a bare epoch-milliseconds
+        integer."""
 
         def sub(m: re.Match) -> str:
             kw, name, version = m.group(1), m.group(2), int(m.group(3))
@@ -211,7 +240,26 @@ class Engine:
             self.catalog.load(name).read(version=version).createOrReplaceTempView(view)
             return f"{kw} {view}"
 
-        return self._TIME_TRAVEL_RE.sub(sub, q)
+        def sub_ts(m: re.Match) -> str:
+            kw, name, iso, epoch = m.group(1), m.group(2), m.group(3), m.group(4)
+            if not self.catalog.exists(name):
+                return m.group(0)
+            if epoch is not None:
+                ts_ms = int(epoch)
+            else:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(iso)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ts_ms = int(dt.timestamp() * 1000)
+            t = self.catalog.load(name)
+            version = t.version_as_of_timestamp(ts_ms)
+            view = f"{name}__v{version}"
+            t.read(version=version).createOrReplaceTempView(view)
+            return f"{kw} {view}"
+
+        return self._TIME_TRAVEL_TS_RE.sub(sub_ts, self._TIME_TRAVEL_RE.sub(sub, q))
 
     def _ok(self, op: str, name: str) -> DataFrame:
         return self.spark.createDataFrame([(op, name)], "op string, name string")

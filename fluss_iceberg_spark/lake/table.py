@@ -333,6 +333,23 @@ class LakeTable:
                     out.append(int(f[1:-5]))
         return sorted(out)
 
+    def version_as_of_timestamp(self, ts_ms: int) -> int:
+        """Resolve ``TIMESTAMP AS OF`` to a snapshot version: the newest
+        retained snapshot committed at or before ``ts_ms`` (Iceberg's
+        snapshot-log resolution; every snapshot carries committed_at_ms)."""
+        cands = [
+            v
+            for v in self.snapshot_versions()
+            if self.snapshot(v).committed_at_ms <= ts_ms
+        ]
+        if not cands:
+            raise ValueError(
+                f"{self.name}: no snapshot committed at or before "
+                f"timestamp {ts_ms} ms (earliest retained: "
+                f"{self.snapshot_versions()[:1]})"
+            )
+        return max(cands)
+
     def _commit(
         self,
         operation: str,
@@ -1104,6 +1121,69 @@ class LakeTable:
             .select(*self.schema.fieldNames())
         )
 
+    def changelog_stream(
+        self, from_version: int = 0, to_version: int | None = None
+    ) -> DataFrame:
+        """Subscribable per-commit changelog for PK tables — the piece the
+        reference's union-read contract covers for datalake PK tables
+        continuously (README.md:296-316) and ``stream_appends()`` refuses:
+        one ``changelog(v, v')`` diff per consecutive retained snapshot
+        pair, tagged ``change_version`` (the commit that produced the
+        change), in deterministic micro-batch-replay form like the rest of
+        the streaming surface.
+
+        Scale shape: each step diff scans only that commit's changed
+        buckets (changelog()'s file-set pruning), so the whole stream
+        reads O(total changed data), never O(#commits × table)."""
+        if not self.primary_key:
+            raise ValueError(f"{self.name}: changelog_stream() requires a PK table")
+        to_v = self.current_version() if to_version is None else to_version
+        versions = [v for v in self.snapshot_versions() if from_version <= v <= to_v]
+        out: DataFrame | None = None
+        for a, b in zip(versions, versions[1:]):
+            step = self.changelog(a, b).withColumn("change_version", F.lit(b))
+            out = step if out is None else out.unionByName(step)
+        if out is None:
+            empty = T.StructType(
+                [T.StructField("op", T.StringType())]
+                + list(self.schema.fields)
+                + [T.StructField("change_version", T.LongType())]
+            )
+            return self.spark.createDataFrame([], empty)
+        return out
+
+    def compose_changelog(self, log: DataFrame) -> DataFrame:
+        """Compact a multi-commit changelog stream to net per-key changes
+        (Kafka-compaction / Debezium-squash semantics): insert→…→delete
+        cancels, insert→update stays insert, update→delete is delete,
+        otherwise update carrying the LAST change's values. One shuffle on
+        the primary key (min_by/max_by hash aggregation) — no window sort.
+
+        Caveat (documented, inherent to op-only composition): an
+        update chain that exactly reverts to the starting values still
+        emits an update, where a base-state diff would emit nothing."""
+        pk = self.primary_key
+        val_cols = [c for c in self.schema.fieldNames() if c not in pk]
+        agg = log.groupBy(*pk).agg(
+            F.expr("min_by(op, change_version)").alias("__first_op"),
+            F.expr("max_by(op, change_version)").alias("__last_op"),
+            *[
+                F.expr(f"max_by(`{c}`, change_version)").alias(c)
+                for c in val_cols
+            ],
+        )
+        first_op, last_op = F.col("__first_op"), F.col("__last_op")
+        op = (
+            F.when((last_op == "delete") & (first_op == "insert"), F.lit(None))
+            .when(last_op == "delete", F.lit("delete"))
+            .when(first_op == "insert", F.lit("insert"))
+            .otherwise(F.lit("update"))
+        )
+        return (
+            agg.select(op.alias("op"), *self.schema.fieldNames())
+            .filter(F.col("op").isNotNull())
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """The Iceberg ``expire_snapshots`` role: drop all but the newest
         ``keep_last`` snapshots' metadata, then delete data files no
@@ -1296,6 +1376,26 @@ class LakeTable:
             .parquet(os.path.join(self.path, "data", "*"))
         )
 
+    # Hot bytes above which PK union_read falls back to the full-shuffle
+    # window plan instead of broadcasting the hot key set. Hot data is
+    # bounded by the tiering freshness budget, so in steady state it is
+    # far below this; the guard only matters when tiering has stalled.
+    _HOT_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+    def _hot_bytes(self) -> int:
+        """Driver-side size of un-tiered hot batches (os.stat only — no
+        Spark job), used to pick the union_read plan."""
+        wm = self.snapshot().hot_watermark if self.snapshot() else -1
+        total = 0
+        for b in self.hot_batches():
+            if b <= wm:
+                continue
+            d = self._hot_dir(b)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(d, f))
+        return total
+
     def union_read(self) -> DataFrame:
         """Hot∪cold union read (U1, README.md:296-316): lake snapshot plus
         hot batches beyond the snapshot's watermark. The watermark makes
@@ -1305,22 +1405,54 @@ class LakeTable:
         datalake-enabled ``nation_revenue``, README.md:196-203, 296-316):
         last value per key — a key updated in a hot batch after tiering
         must surface once, at its hot value. Resolution order: higher hot
-        batch id > lower > lake snapshot. One hash shuffle on the PK
-        (window + row_number); the lake side arrives pre-bucketed by PK
-        hash so at scale AQE can co-locate most of the exchange."""
+        batch id > lower > lake snapshot.
+
+        Scale shape: the hot side is a few freshness-ticks of data, the
+        cold side is the table — so the exchange must be bounded by HOT
+        volume, never cold. The hot key set is broadcast; cold rows
+        without a hot match (the overwhelming majority) pass through with
+        NO shuffle (broadcast anti-join), and only hot ∪ contested-cold
+        rows enter the last-writer window. Null-safe key equality (NULL
+        is a legal PK value, FIXTURES invariant 3). If tiering has
+        stalled and hot bytes exceed the broadcast guard, falls back to
+        the one-full-shuffle window plan."""
         cold = self.read()
         if not self.primary_key:
             return cold.unionByName(self.read_hot())
         hot = self.read_hot(with_batch_id=True)
         from pyspark.sql.window import Window
 
-        merged = cold.withColumn("__batch_id", F.lit(-1)).unionByName(hot)
         w = Window.partitionBy(*self.primary_key).orderBy(F.col("__batch_id").desc())
-        return (
-            merged.withColumn("__rn", F.row_number().over(w))
+        if self._hot_bytes() > self._HOT_BROADCAST_MAX_BYTES:
+            merged = cold.withColumn("__batch_id", F.lit(-1)).unionByName(hot)
+            return (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(*self.schema.fieldNames())
+            )
+        hot_keys = F.broadcast(
+            hot.select(
+                *[F.col(k).alias(f"__hk_{k}") for k in self.primary_key]
+            ).dropDuplicates()
+        )
+
+        def _cond(left: DataFrame):
+            cond = None
+            for k in self.primary_key:
+                c = left[k].eqNullSafe(F.col(f"__hk_{k}"))
+                cond = c if cond is None else cond & c
+            return cond
+
+        untouched = cold.join(hot_keys, on=_cond(cold), how="left_anti")
+        contested = cold.join(hot_keys, on=_cond(cold), how="left_semi")
+        resolved = (
+            contested.withColumn("__batch_id", F.lit(-1))
+            .unionByName(hot)
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(*self.schema.fieldNames())
         )
+        return untouched.select(*self.schema.fieldNames()).unionByName(resolved)
 
 
 class LakeCatalog:

@@ -436,7 +436,11 @@ def _block_pair_prefilter(threshold: float):
 
 
 def embedding_near_pairs(
-    emb: DataFrame, threshold: float = 0.45, dim: int = 64, block_rows: int = 4096
+    emb: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    block_rows: int = 4096,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact above the threshold.
 
@@ -465,7 +469,12 @@ def embedding_near_pairs(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     ).withColumn("nrm", vec_norm(F.col("v")))
 
-    n = emb.count()
+    if n is None:
+        # sizing-only count: cache the projected frame first so the block
+        # count doesn't re-execute the upstream lineage a second time
+        # (callers that know n — e.g. from table metadata — pass it in)
+        e = e.persist()
+        n = e.count()
     n_blocks = max(1, -(-n // block_rows))
     eb = e.withColumn(
         "g", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")

@@ -20,6 +20,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _epoch_seconds(df: DataFrame, col: str):
+    """Timezone-free epoch seconds for bucketing, valid for both TIMESTAMP
+    and TIMESTAMP_NTZ columns (the testdata vintages differ). The NTZ form
+    subtracts the epoch as an interval and casts — no session-timezone
+    dependence, so bucket adjacency survives DST in any caller session."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return F.expr(f"CAST(`{col}` - TIMESTAMP_NTZ '1970-01-01 00:00:00' AS LONG)")
+    return F.unix_timestamp(F.col(col))
 
 
 def asof_join(
@@ -97,7 +108,7 @@ def range_count_join(
     skew bounded by bucket width, never a broadcast of a big side.
     """
     w = F.lit(window_seconds)
-    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
+    lb = F.floor(_epoch_seconds(left, left_ts) / w)
     l = left.select(
         F.col(left_id).alias("__lid"),
         F.col(on).alias("__k"),
@@ -107,7 +118,7 @@ def range_count_join(
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__rts"),
-        F.floor(F.unix_timestamp(F.col(right_ts)) / w).alias("__bkt"),
+        F.floor(_epoch_seconds(right, right_ts) / w).alias("__bkt"),
     )
     hits = (
         l.join(r, ["__k", "__bkt"])

@@ -91,61 +91,70 @@ _PRIORITY = [
     # J3/A classes are additionally gated by the ref_* and lake_* rows)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q21_waiting_suppliers",
-    # window / aggregation operator families (pivot + approx-percentile
-    # twins demoted: their machinery is gated by rollup/exact-percentiles)
+    # window / aggregation operator families (pivot + percentile twins are
+    # gated in earlier rounds' records; rollup gates the agg family)
     "window_top_customer_per_nation",
     "agg_rollup_status_priority",
-    "agg_price_percentiles",
     # curation scoring (unigram LM + Gopher repetition)
     "text_unigram_lm_score",
     "text_repetition_filter",
-    # event-log operators (event-time rollup, sessionize, JSON, as-of)
+    # event-log operators (event-time rollup, as-of; sessionize/JSON were
+    # hash-green in r1+r2 and rotate out to make room for unproven ops)
     "events_hourly_rollup",
-    "events_sessionize",
-    "events_json_extract",
     "events_asof_attribution",
-    # lake layer (S10/U1/time-travel/M1 + tiering contract)
+    # lake layer (S10/U1/time-travel/M1 + tiering + r2 ops first gated now:
+    # min/max file skipping, row-level DELETE/UPDATE, PK changelog,
+    # incremental snapshot-range reads)
     "lake_upsert_customers",
     "lake_union_read",
     "lake_pk_union_read",
     "lake_time_travel",
-    "lake_snapshots",
     "lake_maintenance_lifecycle",
-    # streaming (A1/ST*, S11, U2, stateful, stream-stream)
+    "lake_file_skipping",
+    "lake_row_level_ops",
+    "lake_pk_changelog",
+    "lake_incremental_read",
+    # streaming (A1/ST*, S11, U2, stateful, stream-stream, exact dedup,
+    # and the r4 streaming PK changelog)
     "stream_nation_revenue",
     "stream_enriched_union",
     "stream_events_hourly",
     "stream_stateful_sessions",
     "stream_interval_join",
-    # synthetic sources (S1-S7)
-    "faker_pipeline_top5",
-    # text analysis / curation
-    "text_quality_score",
-    "text_lang_id",
-    "text_bpe_token_count",
-    "text_fingerprint",
+    "stream_exact_dedup",
+    "stream_pk_changelog",
+    # text analysis / curation (tfidf/pii keep their gates; quality/lang/
+    # pack/fingerprint/BPE-count rotate out as twice-hash-green — r2+r3
+    # records stand, local parity still covers them; budget mixing,
+    # stratified sampling and the end-to-end curation chain gate for the
+    # first time. faker_pipeline_top5 (rows-only by nature) also rotates
+    # out per the r2 verdict.)
     "text_tfidf_top_terms",
     "text_pii_scrub",
-    "text_pack_sequences",
-    # deduplication
+    "text_stratified_sample",
+    "text_budget_mixing",
+    "pipeline_curation_end2end",
+    # deduplication (+ first gates for semantic representatives)
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_decontaminate",
-    # similarity search
+    "dedup_semantic_representatives",
+    # similarity search (+ first gate for embedding hygiene)
     "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    # multimodal
+    "ann_embedding_hygiene",
+    # skew-salted join (first gate)
+    "join_skew_salted",
+    # multimodal (+ first gates for frame sampling / resize planning)
     "multimodal_decode_features",
-    # SQL facade / file sources / DDL
+    "multimodal_frame_sample",
+    "multimodal_resize_features",
+    # SQL facade / file sources / DDL time travel (TIMESTAMP AS OF, r4)
     "sql_region_revenue",
     "source_formats_roundtrip",
-    "engine_show_create",
+    "engine_timestamp_travel",
 ]
 
 

@@ -20,11 +20,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_SCHEMA = (
-    "user_id long, session_start timestamp, session_end timestamp, "
-    "n_events long, sum_value double"
-)
 STATE_SCHEMA = "start long, last long, n long, sv double"
+
+
+def _session_schema(ts_type) -> str:
+    """Output timestamps mirror the input ts type (TIMESTAMP vs
+    TIMESTAMP_NTZ) so downstream comparisons are timezone-consistent."""
+    t = ts_type.simpleString()  # "timestamp" or "timestamp_ntz"
+    return (
+        f"user_id long, session_start {t}, session_end {t}, "
+        "n_events long, sum_value double"
+    )
 
 
 def _sessionize_fn(
@@ -49,7 +55,11 @@ def _sessionize_fn(
             state.update(carried)
         return
     pdf = pdf.sort_values(["ts", "event_id"])
-    ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    # normalize to epoch MICROS regardless of the pandas datetime unit —
+    # Arrow may deliver datetime64[ns] or datetime64[us] depending on the
+    # source column type; a blind astype(int64)//1000 silently mis-scales
+    # the [us] case by 1000×.
+    ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
     vals = pdf["value"].to_numpy(dtype="float64")
 
     # segment starts: position 0 plus every position whose gap from the
@@ -105,7 +115,7 @@ def streaming_sessionize(
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=_session_schema(events_stream.schema["ts"].dataType),
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -181,3 +181,70 @@ def time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nations_tt VERSION AS OF 1
         """
     )
+
+
+@query(
+    "engine_timestamp_travel",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name,
+           't0' AS at_time
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name,
+           't1' AS at_time
+    FROM nation
+    """,
+)
+def timestamp_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT ... FROM t TIMESTAMP AS OF <ts>`` through ``engine.sql()``
+    (the second half of Iceberg's Spark time-travel surface; VERSION AS OF
+    is gated by engine_time_travel_sql). Resolution walks the snapshot
+    log's committed_at_ms — newest snapshot at-or-before the timestamp.
+    Both accepted literal forms are exercised: bare epoch-milliseconds
+    (resolves to v0, taken at v0's own commit time) and an ISO string
+    strictly after v1's commit (resolves to v1)."""
+    import hashlib
+    import shutil
+    import time as _time
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fluss_iceberg_spark.sources.tpch import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = f"/tmp/fluss_engine_scratch/{tag}/timestamp_travel"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = Engine(spark, wh)
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("nation_key"),
+        F.col("n_name").alias("name"),
+    )
+    t = eng.create_table(
+        "nations_ts_tt",
+        T.StructType(
+            [
+                T.StructField("nation_key", T.IntegerType(), False),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+    )
+    t.append(nat.filter(F.col("nation_key") < 10))  # v0
+    _time.sleep(0.005)  # commit clock is ms-granular: keep t0 < t1 strict
+    t.append(nat.filter(F.col("nation_key") >= 10))  # v1
+    eng.refresh("nations_ts_tt")
+    t0_ms = t.snapshot(0).committed_at_ms
+    t1_iso = (
+        datetime.fromtimestamp(t.snapshot(1).committed_at_ms / 1000 + 1, timezone.utc)
+        .strftime("%Y-%m-%d %H:%M:%S.%f")
+    )
+    return eng.sql(
+        f"""
+        SELECT nation_key, name, 't0' AS at_time
+        FROM nations_ts_tt TIMESTAMP AS OF {t0_ms}
+        UNION ALL
+        SELECT nation_key, name, 't1' AS at_time
+        FROM nations_ts_tt TIMESTAMP AS OF '{t1_iso}'
+        """
+    )

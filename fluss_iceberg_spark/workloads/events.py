@@ -77,11 +77,14 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    # interval arithmetic (ts - lag(ts) yields a DayTimeInterval) is valid
+    # for both TIMESTAMP and TIMESTAMP_NTZ inputs — the testdata vintages
+    # differ — and is timezone-free, unlike unix_micros (NTZ-rejecting).
+    prev = F.lag("ts").over(w)
     flagged = e.withColumn(
         "is_new",
-        F.when(gap > 1_800_000_000, 1)
-        .when(F.lag("ts").over(w).isNull(), 1)
+        F.when((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES"), 1)
+        .when(prev.isNull(), 1)
         .otherwise(0),
     )
     sessions = flagged.withColumn(

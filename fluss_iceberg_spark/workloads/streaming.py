@@ -33,6 +33,27 @@ def _scratch(sf_dir: str, name: str) -> str:
     return d
 
 
+def _events_stream(spark: SparkSession, sf_dir: str, scratch_name: str) -> DataFrame:
+    """File-source stream over the events fixture with the SAME ts
+    normalization as the batch loader. The on-disk ts type has varied
+    across testdata vintages (int64 nanos vs parquet timestamp[us] →
+    TIMESTAMP_NTZ), so the stream schema is taken from a batch read of the
+    actual file rather than hardcoded — a hardcoded ``ts long`` silently
+    reads micros as nanos and collapses every timestamp 1000×."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = _scratch(sf_dir, scratch_name)
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        # legacy nanos vintage: nanos → micros → TimestampType
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
 def _run_pipeline(spark: SparkSession, sf_dir: str, name: str) -> ReferencePipeline:
     """Deterministic replay: sf orders split into 4 micro-batches by
     pmod(order_key, 4); batch 2 is deliberately replayed to exercise the
@@ -106,26 +127,12 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming: file source → tumbling 1-hour window
     aggregation (complete mode) → memory sink, driven to completion with
     availableNow. Result equals the batch windowed aggregation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # streaming state shuffles use the session's shuffle.partitions; under
     # a default session that is 200 — far too many for this state size.
     # The state-store partition count is fixed per checkpoint (fresh here).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    # the file stream source requires a directory: expose the single
-    # parquet file through a scratch dir symlink
-    src_dir = _scratch(sf_dir, "events_src")
-    os.makedirs(src_dir, exist_ok=True)
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir, "events_src")
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
@@ -180,20 +187,9 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the batch oracle expresses."""
     from fluss_iceberg_spark.streaming.stateful import streaming_sessionize
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    src_dir = _scratch(sf_dir, "stateful_src")
-    os.makedirs(src_dir, exist_ok=True)
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir, "stateful_src")
     sink = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
     q = (
         streaming_sessionize(stream, gap_seconds=1800)
@@ -273,26 +269,20 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     StreamingSymmetricHashJoin partitioned on user_id; the watermark +
     interval bound is what lets Spark evict join state at scale. Driven
     to completion with availableNow; result equals the batch band join."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    src_dir = _scratch(sf_dir, "interval_join_src")
-    os.makedirs(src_dir, exist_ok=True)
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
 
     def _side(kind: str, prefix: str) -> DataFrame:
+        # withWatermark requires TIMESTAMP (LTZ) event time — NTZ is
+        # rejected (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The cast is safe
+        # here: both sides shift identically and no timestamp is emitted,
+        # so the band predicate (a timestamp difference) is tz-invariant.
         return (
-            spark.readStream.schema(raw_schema)
-            .parquet(src_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _events_stream(spark, sf_dir, f"interval_join_src_{prefix}")
             .filter(F.col("event_type") == kind)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
-                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
                 F.col("user_id").alias(f"{prefix}_uid"),
             )
             .withWatermark(f"{prefix}_ts", "4 hours")
@@ -321,6 +311,68 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         F.col("click_id"), F.col("view_id"), F.col("click_uid").alias("user_id")
     )
+
+
+@query(
+    "stream_pk_changelog",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 7 = 0 THEN 'insert' ELSE 'update' END AS op,
+           CAST(c_custkey AS INT) AS cust_key,
+           c_name AS name,
+           CAST(c_nationkey AS INT) AS nation_key,
+           CAST(CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 500.0
+                     ELSE c_acctbal + 1000.0 END AS DECIMAL(15,2)) AS DOUBLE)
+               AS acctbal,
+           CASE WHEN c_custkey % 3 = 0 THEN 'AGAIN' ELSE 'UPDATED' END
+               AS mktsegment
+    FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 3 = 0
+    """,
+)
+def stream_pk_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming changelog for PK tables (closes stream_appends()'s PK
+    refusal; reference union-read contract README.md:296-316): three
+    commits — base dim (keys %7 != 0), upsert of every 5th key (+1000 /
+    'UPDATED'), upsert of every 3rd key (+500 / 'AGAIN') — are replayed
+    as per-commit changelog micro-batches (LakeTable.changelog_stream),
+    then compacted to net per-key changes (compose_changelog). The
+    composed stream must equal the batch changelog(v0, vN) diff, which is
+    what the oracle states: touched keys = %5 or %3 residues, op =
+    insert where v0 lacked the key (%7 residues), values = last write."""
+    from pyspark.sql import functions as _F
+
+    from fluss_iceberg_spark.sources.tpch import load_table as _load
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "pk_changelog_stream"))
+    cust = _load(spark, sf_dir, "customer")
+
+    def _frame(acct_expr, seg_expr, flt=None):
+        d = cust if flt is None else cust.filter(flt)
+        return d.select(
+            _F.col("c_custkey").cast("int").alias("cust_key"),
+            _F.col("c_name").alias("name"),
+            _F.col("c_nationkey").cast("int").alias("nation_key"),
+            acct_expr.cast("decimal(15,2)").alias("acctbal"),
+            seg_expr.alias("mktsegment"),
+        )
+
+    base = _frame(_F.col("c_acctbal"), _F.col("c_mktsegment"),
+                  _F.col("c_custkey") % 7 != 0)
+    u1 = _frame(_F.col("c_acctbal") + _F.lit(1000.0), _F.lit("UPDATED"),
+                _F.col("c_custkey") % 5 == 0)
+    u2 = _frame(_F.col("c_acctbal") + _F.lit(500.0), _F.lit("AGAIN"),
+                _F.col("c_custkey") % 3 == 0)
+    t = cat.create_table(
+        "dim_customer_cdc_stream",
+        base.schema,
+        primary_key=["cust_key"],
+        not_null=["cust_key"],
+        n_buckets=8,
+    )
+    t.merge(base)  # v0
+    t.merge(u1)    # v1
+    t.merge(u2)    # v2
+    composed = t.compose_changelog(t.changelog_stream(0))
+    return composed.withColumn("acctbal", F.col("acctbal").cast("double"))
 
 
 @query(

@@ -109,3 +109,34 @@ def test_append_on_pk_table_rejected(spark, cat):
     t = cat.create_table("pk4", PK_SCHEMA, primary_key=["k"])
     with pytest.raises(ValueError):
         t.append(_df(spark, [(1, "a", None)]))
+
+
+def test_changelog_stream_compose_equals_batch_diff(spark, cat):
+    """Streamed per-commit changelog, compacted, must equal the batch
+    changelog(v0, vN) — including delete composition (update→delete is
+    delete carrying old values; insert→delete cancels entirely)."""
+    t = cat.create_table("pk_cdc_stream", PK_SCHEMA, primary_key=["k"], n_buckets=4)
+    t.merge(_df(spark, [(1, "a", None), (2, "b", None), (3, "c", None)]))  # v0
+    t.merge(_df(spark, [(2, "b2", None), (4, "d", None), (5, "e", None)]))  # v1
+    t.merge(_df(spark, [(4, "d2", None)]))  # v2: insert→update chain for 4
+    t.delete([("k", "=", 3)])  # v3: update-less delete of a v0 key
+    t.delete([("k", "=", 5)])  # v4: deletes a key inserted in v1 → cancels
+    stream = t.changelog_stream(0)
+    # per-step emission: v1 has 3 changes, v2 one, v3/v4 one delete each
+    per_step = {r.change_version: r.cnt for r in
+                stream.groupBy("change_version").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per_step == {1: 3, 2: 1, 3: 1, 4: 1}
+    composed = {(r.op, r.k, r.v) for r in t.compose_changelog(stream).collect()}
+    batch = {(r.op, r.k, r.v) for r in t.changelog(0, 4).collect()}
+    assert composed == batch
+    assert composed == {
+        ("update", 2, "b2"),
+        ("insert", 4, "d2"),
+        ("delete", 3, "c"),
+    }
+
+
+def test_changelog_stream_requires_pk(spark, cat):
+    t = cat.create_table("log_cdc", PK_SCHEMA)
+    with pytest.raises(ValueError):
+        t.changelog_stream(0)

@@ -86,9 +86,12 @@ def test_embedding_block_plan_matches_single_block(spark):
     assert len(one) > 0
 
 
-def test_union_read_pk_single_shuffle(spark, tmp_path):
-    """PK union read resolves last-value-per-key with exactly one hash
-    exchange on the primary key (window + row_number), not a join."""
+def test_union_read_pk_shuffle_bounded_by_hot(spark, tmp_path):
+    """PK union read with small hot: the hot key set is broadcast (anti +
+    semi), cold rows without a hot match flow to the output with NO
+    shuffle, and every shuffle exchange in the plan is hot-bounded (the
+    window over hot ∪ contested-cold, plus the hot-key dedup). The result
+    set must be identical to the full-shuffle fallback plan."""
     from fluss_iceberg_spark.lake.table import LakeCatalog
 
     cat = LakeCatalog(spark, str(tmp_path / "wh"))
@@ -97,10 +100,25 @@ def test_union_read_pk_single_shuffle(spark, tmp_path):
     )
     t = cat.create_table("pk_plan", base.schema, primary_key=["k"], n_buckets=4)
     t.merge(base)
-    t.write_hot_batch(base.filter(F.col("k") < 10), batch_id=1)
+    t.write_hot_batch(
+        base.filter(F.col("k") < 10).withColumn("v", F.col("v") + 1), batch_id=1
+    )
     df = t.union_read()
-    assert count_nodes(df, "Exchange") == 1
-    assert "Join" not in physical_plan(df)
+    plan = physical_plan(df)
+    assert count_nodes(df, "BroadcastHashJoin") == 2  # anti + semi on hot keys
+    # shuffles: hot-key dedup (≤2, once per broadcast) + the bounded window
+    assert count_nodes(df, "Exchange") <= 3
+    broadcast_result = {(r.k, r.v) for r in df.collect()}
+
+    # forced fallback (tiering stalled / giant hot): single full shuffle
+    t._HOT_BROADCAST_MAX_BYTES = 0
+    df_fb = t.union_read()
+    assert count_nodes(df_fb, "Exchange") == 1
+    assert "Join" not in physical_plan(df_fb)
+    assert {(r.k, r.v) for r in df_fb.collect()} == broadcast_result
+    assert broadcast_result == {
+        (k, k * 2 + 1 if k < 10 else k * 2) for k in range(100)
+    }
 
 
 def test_pii_scrub_zero_shuffle(spark):

@@ -113,6 +113,7 @@ HEADLINE = [
     "engine_show_create",
     "engine_time_travel_sql",
     "engine_timestamp_travel",
+    "engine_merge_into",
 ]
 
 

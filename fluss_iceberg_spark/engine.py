@@ -23,6 +23,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fluss_iceberg_spark.lake.table import LakeCatalog, LakeTable
@@ -207,6 +208,27 @@ class Engine:
             return self._sql_delete(q)
         if u.startswith("UPDATE "):
             return self._sql_update(q)
+        if u.startswith("MERGE INTO"):
+            return self._sql_merge(q)
+        if u.startswith("SHOW TABLES"):
+            return self.spark.createDataFrame(
+                [(n,) for n in self.catalog.tables()] or [], "name string"
+            )
+        if u.startswith("DESCRIBE "):
+            name = q.split()[-1].strip("`")
+            t = self.catalog.load(name)
+            rows = [
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    f.name not in t.not_null,
+                    "PK" if f.name in t.primary_key else "",
+                )
+                for f in t.schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, nullable boolean, key string"
+            )
         if u.startswith("EXECUTE STATEMENT SET"):
             return self._sql_statement_set(q)
         q = self._rewrite_time_travel(q)
@@ -420,6 +442,124 @@ class Engine:
         return self.spark.createDataFrame(
             [(name, snap.summary.get("files_rewritten", 0))],
             "name string, files_rewritten int",
+        )
+
+    _MERGE_RE = re.compile(
+        r"MERGE\s+INTO\s+`?(\w+)`?(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+        r"\s+USING\s+(.*?)\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
+        re.I | re.S,
+    )
+    _MERGE_WHEN_RE = re.compile(
+        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+        r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)(?=\s+WHEN\s+|$)",
+        re.I | re.S,
+    )
+
+    def _sql_merge(self, q: str) -> DataFrame:
+        """``MERGE INTO t [alias] USING (<subquery>|view) [alias] ON cond
+        WHEN MATCHED [AND c] THEN UPDATE SET x = expr, ... | DELETE
+        WHEN NOT MATCHED THEN INSERT *`` — the reference pipeline's
+        lake-native upsert form (A1/ST4, README.md:247-250; Iceberg's
+        Spark MERGE surface). All arms land in ONE snapshot commit:
+        updated + inserted rows and deleted keys go through
+        ``LakeTable.merge(updates, deletes=...)``'s touched-bucket
+        copy-on-write, so the rewrite is bounded by the source batch, not
+        the table. Multiple WHEN MATCHED arms resolve in statement order
+        (first matching arm wins), mirroring ANSI MERGE."""
+        m = self._MERGE_RE.match(q)
+        if not m:
+            raise ValueError(f"cannot parse MERGE INTO: {q!r}")
+        name, t_alias, using, on, whens = m.groups()
+        t_alias = t_alias or name
+        t = self.catalog.load(name)
+        if not t.primary_key:
+            raise ValueError(f"MERGE target must be a PK table: {name}")
+        fields = t.schema.fieldNames()
+
+        using = using.strip()
+        if using.startswith("("):
+            depth, end = 0, -1
+            for i, ch in enumerate(using):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    end = i
+                    break
+            src = self.spark.sql(using[1:end])
+            rest = using[end + 1:].strip()
+        else:
+            parts = using.split(None, 1)
+            src = self.spark.table(parts[0].strip("`"))
+            rest = parts[1] if len(parts) > 1 else ""
+        s_alias = re.sub(r"^AS\s+", "", rest.strip(), flags=re.I).strip("` ") or "__src"
+
+        tdf = t.read().alias(t_alias)
+        sdf = src.alias(s_alias)
+        matched = sdf.join(tdf, F.expr(on), "inner")
+
+        updates = None
+        del_keys = None
+        insert_arm = None
+        prev_cond = F.lit(False)  # first-matching-arm-wins across MATCHED arms
+        for not_kw, and_cond, action in self._MERGE_WHEN_RE.findall(whens):
+            a_up = action.strip()
+            if not_kw:
+                insert_arm = a_up
+                continue
+            arm = (F.expr(and_cond) if and_cond.strip() else F.lit(True)) & ~prev_cond
+            prev_cond = prev_cond | arm
+            rows = matched.filter(arm)
+            if a_up.upper().startswith("UPDATE"):
+                set_exprs = {}
+                for part in _split_top_level(re.sub(r"^UPDATE\s+SET\s+", "", a_up, flags=re.I)):
+                    col, _, expr = part.partition("=")
+                    set_exprs[col.strip().strip("`")] = expr.strip()
+                updates = rows.selectExpr(
+                    *[
+                        f"({set_exprs[c]}) AS `{c}`"
+                        if c in set_exprs
+                        else f"{t_alias}.`{c}` AS `{c}`"
+                        for c in fields
+                    ]
+                )
+            else:  # DELETE
+                del_keys = rows.selectExpr(
+                    *[f"{t_alias}.`{k}` AS `{k}`" for k in t.primary_key]
+                )
+
+        inserts = None
+        if insert_arm is not None:
+            not_matched = sdf.join(tdf, F.expr(on), "left_anti")
+            body = re.sub(r"^INSERT\s*", "", insert_arm, flags=re.I).strip()
+            if body == "*":
+                inserts = not_matched.selectExpr(
+                    *[f"{s_alias}.`{c}` AS `{c}`" for c in fields]
+                )
+            else:
+                cm = re.match(r"\((.*?)\)\s*VALUES\s*\((.*)\)\s*$", body, re.I | re.S)
+                if not cm:
+                    raise ValueError(f"cannot parse INSERT arm: {insert_arm!r}")
+                cols = [c.strip().strip("`") for c in _split_top_level(cm.group(1))]
+                exprs = _split_top_level(cm.group(2))
+                by_col = dict(zip(cols, exprs))
+                inserts = not_matched.selectExpr(
+                    *[
+                        f"({by_col[c]}) AS `{c}`"
+                        if c in by_col
+                        else f"CAST(NULL AS {t.schema[c].dataType.simpleString()}) AS `{c}`"
+                        for c in fields
+                    ]
+                )
+
+        combined = updates
+        if inserts is not None:
+            combined = inserts if combined is None else combined.unionByName(inserts)
+        if combined is None:
+            combined = self.spark.createDataFrame([], t.schema)
+        snap = t.merge(combined, deletes=del_keys)
+        self._register(t)
+        return self.spark.createDataFrame(
+            [(name, snap.snapshot_id)], "name string, version long"
         )
 
     def _sql_insert(self, q: str) -> DataFrame:

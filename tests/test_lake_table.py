@@ -140,3 +140,40 @@ def test_changelog_stream_requires_pk(spark, cat):
     t = cat.create_table("log_cdc", PK_SCHEMA)
     with pytest.raises(ValueError):
         t.changelog_stream(0)
+
+
+def test_tags_time_travel_and_expiry_protection(spark, cat):
+    """Named tags (Iceberg ref role): resolve in read()/SQL, survive
+    snapshot expiry, immutable until dropped."""
+    t = cat.create_table("tagged", PK_SCHEMA)
+    t.append(_df(spark, [(1, "a", None)]))        # v0
+    t.create_tag("launch")                         # tag v0
+    t.append(_df(spark, [(2, "b", None)]))        # v1
+    t.append(_df(spark, [(3, "c", None)]))        # v2
+    assert t.tags() == {"launch": 0}
+    assert sorted(r.k for r in t.read(version="launch").collect()) == [1]
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("launch", 2)
+    # expiry keeps the tagged snapshot alive
+    res = t.expire_snapshots(keep_last=1)
+    assert 0 in res["retained_snapshots"] and 1 in res["expired_snapshots"]
+    assert sorted(r.k for r in t.read(version="launch").collect()) == [1]
+    t.drop_tag("launch")
+    assert t.tags() == {}
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.read(version="launch")
+
+
+def test_sql_version_as_of_tag(spark, tmp_path):
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    t = eng.create_table("ntag", PK_SCHEMA)
+    t.append(_df(spark, [(1, "a", None)]))
+    t.create_tag("baseline")
+    t.append(_df(spark, [(2, "b", None)]))
+    eng.refresh("ntag")
+    got = {r.k for r in eng.sql(
+        "SELECT k FROM ntag VERSION AS OF 'baseline'").collect()}
+    assert got == {1}
+    assert {r.k for r in eng.sql("SELECT k FROM ntag").collect()} == {1, 2}

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -488,6 +489,13 @@ class LakeTable:
         property; zstd/snappy/gzip/lz4/uncompressed). Codec choice is a
         per-table storage contract: zstd for cold archival slices, snappy
         (Spark default) for hot scan-heavy tables."""
+        # Spark's default parquet timestamp encoding is legacy INT96,
+        # which carries NO footer min/max statistics — every timestamp
+        # predicate would lose file skipping. Write INT64 micros (the
+        # modern encoding, what Iceberg mandates) so stats exist.
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         w = df.write
         codec = self.properties.get("write.parquet.compression-codec")
         return w.option("compression", codec) if codec else w
@@ -521,12 +529,51 @@ class LakeTable:
         self._writer(df).mode("overwrite").parquet(out)
         return [os.path.join(rel, os.path.basename(f)) for f in _list_parquet(out)]
 
+    _CLUSTER_SPEC_RE = re.compile(
+        r"^(?:(?:day|hour|month|year)\s*\(\s*(\w+)\s*\)|(\w+))$"
+    )
+
+    def _cluster_column(self) -> str | None:
+        """Column named by the ``write.clustered-by`` table property
+        (Iceberg's write.distribution-mode=range + sort-order role).
+        Accepted forms: ``col`` or ``day(col)``/``hour(col)`` etc. — the
+        transform names document intent; range partitioning clusters at
+        whatever granularity the data has, so only the column matters."""
+        spec = self.properties.get("write.clustered-by")
+        if not spec:
+            return None
+        m = self._CLUSTER_SPEC_RE.match(spec.strip())
+        if not m:
+            raise ValueError(f"{self.name}: bad write.clustered-by spec {spec!r}")
+        col = m.group(1) or m.group(2)
+        if col not in self.schema.fieldNames():
+            raise ValueError(f"{self.name}: write.clustered-by unknown column {col!r}")
+        return col
+
     def append(self, df: DataFrame) -> Snapshot:
         """Log-table append (S14 batch form). New snapshot = parent files +
-        newly written files; existing data is never rewritten."""
+        newly written files; existing data is never rewritten.
+
+        If the table declares ``write.clustered-by``, rows are
+        range-repartitioned and sorted on that column before writing, so
+        each file covers a tight, non-overlapping value range — that is
+        what makes the manifest min/max file skipping (``read(where=)``)
+        prune to O(matching slice) on time-series tables at 100 TB,
+        instead of every file straddling the full time range."""
         if self.primary_key:
             raise ValueError(f"{self.name}: PK table requires merge(), not append()")
         df = self._enforce_not_null(self._prepare(df))
+        ccol = self._cluster_column()
+        if ccol is not None:
+            # partition count: explicit property, else the session default
+            # (AQE then sizes the write by bytes — at scale that is the
+            # right behavior; small writes may coalesce to few files)
+            n = self.properties.get("write.cluster-partitions")
+            if n is not None:
+                df = df.repartitionByRange(int(n), F.col(ccol))
+            else:
+                df = df.repartitionByRange(F.col(ccol))
+            df = df.sortWithinPartitions(ccol)
         version = self.current_version() + 1
         files = self._write_files(df, version, bucketed=False)
         added = self._rows_in(files)

@@ -252,3 +252,62 @@ def test_compression_codec_property(spark):
         tz.compact(target_file_rows=5, sort_by=["k"])
         assert all(f.endswith(".zstd.parquet") for f in tz.snapshot().files)
         assert sorted(r.k for r in tz.read().collect()) == list(range(20))
+
+
+def test_clustered_append_prunes_to_time_slice(spark, tmp_path):
+    """write.clustered-by range-clusters appends so per-file min/max
+    ranges are tight and disjoint: a one-slice predicate scans a small
+    fraction of files instead of all of them."""
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from pyspark.sql import functions as F
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    rows = spark.range(10_000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros((F.col("id") * 1_000_000).cast("long")).alias("ts"),
+        (F.col("id") % 7).alias("k"),
+    )
+    # shuffle the input so every incoming partition straddles the range
+    scrambled = rows.repartition(8, "k")
+    t = cat.create_table(
+        "ev_clustered",
+        rows.schema,
+        properties={"write.clustered-by": "hour(ts)", "write.cluster-partitions": "8"},
+    )
+    t.append(scrambled)
+    all_files = t.plan_scan()
+    assert len(all_files) >= 4  # range partitioning actually split the write
+    import datetime as dt
+
+    lo = dt.datetime(1970, 1, 1, 0, 30)
+    hi = dt.datetime(1970, 1, 1, 1, 0)
+    pruned = t.plan_scan([("ts", ">=", lo), ("ts", "<", hi)])
+    assert len(pruned) < len(all_files) / 2  # 30 min of ~2.8 h total
+    # exactness is preserved
+    got = t.read(where=[("ts", ">=", lo), ("ts", "<", hi)]).count()
+    assert got == 1800
+
+
+def test_unclustered_append_unchanged(spark, tmp_path):
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from pyspark.sql import functions as F
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh2"))
+    rows = spark.range(100).select(F.col("id").alias("a"))
+    t = cat.create_table("plain_log", rows.schema)
+    t.append(rows)
+    assert t.read().count() == 100
+
+
+def test_bad_cluster_spec_rejected(spark, tmp_path):
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh3"))
+    rows = spark.range(10).select(F.col("id").alias("a"))
+    t = cat.create_table(
+        "bad_spec", rows.schema, properties={"write.clustered-by": "nope(x"}
+    )
+    with _pytest.raises(ValueError, match="bad write.clustered-by"):
+        t.append(rows)

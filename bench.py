@@ -68,6 +68,7 @@ HEADLINE = [
     "lake_maintenance_lifecycle",
     "lake_incremental_read",
     "lake_file_skipping",
+    "lake_clustered_scan",
     "lake_row_level_ops",
     "lake_pk_changelog",
     "stream_nation_revenue",

@@ -307,6 +307,27 @@ class Engine:
         return self._ok("use_catalog", name)
 
     def _sql_create_table(self, q: str) -> DataFrame:
+        ctas = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*"
+            r"(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT\b.*)$",
+            q, re.I | re.S,
+        )
+        if ctas:
+            # CTAS: schema inferred from the query, rows land as the first
+            # commit (one statement — the Iceberg/Spark CTAS surface)
+            name = ctas.group(2).split(".")[-1]
+            if self.catalog.exists(name):
+                if ctas.group(1):
+                    self._register(self.catalog.load(name))
+                    return self._ok("exists", name)
+                raise ValueError(f"table {name} already exists")
+            df = self.spark.sql(self._rewrite_time_travel(ctas.group(4)))
+            t = self.catalog.create_table(
+                name, df.schema, properties=_parse_with_props(ctas.group(3))
+            )
+            t.append(df)
+            self._register(t)
+            return self._ok("create_table_as", name)
         m = re.match(
             r"CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*\(",
             q, re.I | re.S,

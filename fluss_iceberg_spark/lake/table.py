@@ -1117,6 +1117,30 @@ class LakeTable:
         snap = self.snapshot()
         return snap.total_rows if snap else 0
 
+    def min_max(self, col: str) -> tuple | None:
+        """``SELECT MIN(col), MAX(col)`` answered from manifest min/max
+        bounds alone (the other half of Iceberg's aggregate pushdown):
+        O(#files) driver-side metadata, zero data I/O. Returns None when
+        any file lacks bounds for the column (all-null file, pre-stats
+        snapshot, unsupported type) — the exact answer then needs a scan,
+        and a wrong fast answer is worse than a slow right one. NULL
+        semantics match SQL MIN/MAX (ignores nulls; parquet stats do
+        too)."""
+        if col not in self.schema.fieldNames():
+            raise KeyError(f"{self.name}: no such column {col!r}")
+        snap = self.snapshot()
+        if snap is None or not snap.files:
+            return None
+        lo = hi = None
+        for f in snap.files:
+            stats = (snap.file_meta.get(f) or {}).get("stats", {}).get(col)
+            if not stats:
+                return None  # a file without bounds could hold the extreme
+            flo, fhi = _stat_decode(stats[0]), _stat_decode(stats[1])
+            lo = flo if lo is None else min(lo, flo)
+            hi = fhi if hi is None else max(hi, fhi)
+        return (lo, hi)
+
     def changelog(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -434,3 +434,46 @@ def pk_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.merge(base.filter(F.col("cust_key") % 7 != 0))  # v0
     t.merge(updates)  # v1
     return t.changelog(0, 1).withColumn("acctbal", F.col("acctbal").cast("double"))
+
+
+@query(
+    "lake_clustered_scan",
+    oracle="""
+    SELECT event_type, COUNT(1) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL 6 HOUR
+    GROUP BY event_type
+    """,
+)
+def clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write clustering end-to-end (`write.clustered-by` — the Iceberg
+    write.distribution-mode=range + sort-order role): the events fixture
+    lands range-clustered on ts, so the first-6-hours slice query reads
+    only the files whose manifest bounds intersect the slice (the window
+    bound itself comes from the metadata-only min_max pushdown — zero
+    data I/O to plan). Result must equal the plain filtered aggregation
+    DuckDB computes over the raw fixture."""
+    import datetime as _dt
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "clustered"))
+    ev = load_table(spark, sf_dir, "events")
+    t = cat.create_table(
+        "events_clustered",
+        ev.schema,
+        properties={
+            "write.clustered-by": "day(ts)",
+            "write.cluster-partitions": "16",
+        },
+    )
+    t.append(ev)
+    lo, _hi = t.min_max("ts")
+    cutoff = _dt.datetime.fromisoformat(lo) + _dt.timedelta(hours=6)
+    return (
+        t.read(where=[("ts", "<", cutoff)])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -311,3 +311,25 @@ def test_bad_cluster_spec_rejected(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="bad write.clustered-by"):
         t.append(rows)
+
+
+def test_min_max_metadata_only(spark, tmp_path):
+    """MIN/MAX aggregate pushdown to manifest bounds: exact values with
+    zero data I/O; None when any file lacks bounds for the column."""
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from pyspark.sql import functions as F
+
+    cat = LakeCatalog(spark, str(tmp_path / "whmm"))
+    rows = spark.range(1, 1001).select(
+        F.col("id").alias("a"),
+        F.timestamp_micros((F.col("id") * 1_000_000).cast("long")).alias("ts"),
+    )
+    t = cat.create_table("mm", rows.schema)
+    t.append(rows)
+    assert t.min_max("a") == (1, 1000)
+    lo, hi = t.min_max("ts")
+    assert lo.startswith("1970-01-01T00:00:01") and hi.startswith("1970-01-01T00:16:40")
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        t.min_max("nope")

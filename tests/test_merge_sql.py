@@ -125,3 +125,18 @@ def test_lake_merge_deletes_bucket_pruned(spark):
         assert len(snap.summary["touched_buckets"]) < 8 or True  # keys may hash anywhere
         with pytest.raises(ValueError, match="both updates and deletes"):
             t.merge(upd, deletes=spark.createDataFrame([(1,)], "k int"))
+
+
+def test_create_table_as_select(spark, eng):
+    eng.sql(
+        "CREATE TABLE acct_big WITH ('write.clustered-by' = 'k') AS "
+        "SELECT k, v, CAST(bal * 2 AS DECIMAL(15,2)) AS bal FROM acct WHERE k <= 2"
+    )
+    got = {(r.k, float(r.bal)) for r in eng.sql("SELECT k, bal FROM acct_big").collect()}
+    assert got == {(1, 20.0), (2, 40.0)}
+    t = eng.catalog.load("acct_big")
+    assert t.properties.get("write.clustered-by") == "k"
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE acct_big AS SELECT * FROM acct")
+    eng.sql("CREATE TABLE IF NOT EXISTS acct_big AS SELECT * FROM acct")  # no-op
+    assert eng.catalog.load("acct_big").count_rows() == 2

@@ -210,6 +210,10 @@ class Engine:
             return self._sql_update(q)
         if u.startswith("MERGE INTO"):
             return self._sql_merge(q)
+        if u.startswith("CALL "):
+            return self._sql_call(q)
+        if u.startswith("ALTER TABLE"):
+            return self._sql_alter(q)
         if u.startswith("SHOW TABLES"):
             return self.spark.createDataFrame(
                 [(n,) for n in self.catalog.tables()] or [], "name string"
@@ -466,6 +470,58 @@ class Engine:
             [(name, snap.summary.get("files_rewritten", 0))],
             "name string, files_rewritten int",
         )
+
+    def _sql_call(self, q: str) -> DataFrame:
+        """Iceberg-style maintenance procedures (the `CALL system.<proc>`
+        Spark surface): expire_snapshots, rewrite_data_files,
+        remove_orphan_files, rollback_to_snapshot, create_tag. Args are
+        positional literals; table name first."""
+        m = re.match(r"CALL\s+(?:system\.)?(\w+)\s*\((.*)\)\s*$", q, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse CALL: {q!r}")
+        proc = m.group(1).lower()
+        args = [a.strip().strip("'\"`") for a in _split_top_level(m.group(2)) if a.strip()]
+        if not args:
+            raise ValueError(f"CALL {proc}: table name argument required")
+        t = self.catalog.load(args[0])
+        if proc == "expire_snapshots":
+            res = t.expire_snapshots(keep_last=int(args[1]) if len(args) > 1 else 1)
+            out = [(args[0], "expire_snapshots",
+                    f"expired={res['expired_snapshots']} removed_files={len(res['removed_files'])}")]
+        elif proc == "rewrite_data_files":
+            snap = t.compact(
+                target_file_rows=int(args[1]) if len(args) > 1 else 1_000_000,
+                sort_by=[c.strip() for c in args[2].split(",")] if len(args) > 2 else None,
+            )
+            out = [(args[0], "rewrite_data_files", f"snapshot={snap.snapshot_id}")]
+        elif proc == "remove_orphan_files":
+            removed = t.remove_orphan_files()
+            out = [(args[0], "remove_orphan_files", f"removed={len(removed)}")]
+        elif proc == "rollback_to_snapshot":
+            snap = t.rollback(int(args[1]))
+            out = [(args[0], "rollback_to_snapshot", f"snapshot={snap.snapshot_id}")]
+        elif proc == "create_tag":
+            v = t.create_tag(args[1], int(args[2]) if len(args) > 2 else None)
+            out = [(args[0], "create_tag", f"{args[1]}=v{v}")]
+        else:
+            raise ValueError(f"unknown procedure {proc!r}")
+        self._register(t)
+        return self.spark.createDataFrame(out, "table string, procedure string, result string")
+
+    def _sql_alter(self, q: str) -> DataFrame:
+        """``ALTER TABLE t ADD COLUMN name TYPE`` — metadata-only schema
+        evolution (LakeTable.add_column; existing files project NULL)."""
+        m = re.match(
+            r"ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s+([\w(),\s]+?)\s*\)?\s*$",
+            q, re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse ALTER TABLE: {q!r}")
+        name, col, ctype = m.groups()
+        t = self.catalog.load(name)
+        t.add_column(col, _parse_type(ctype))
+        self._register(self.catalog.load(name))
+        return self._ok("add_column", f"{name}.{col}")
 
     _MERGE_RE = re.compile(
         r"MERGE\s+INTO\s+`?(\w+)`?(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"

@@ -140,3 +140,28 @@ def test_create_table_as_select(spark, eng):
         eng.sql("CREATE TABLE acct_big AS SELECT * FROM acct")
     eng.sql("CREATE TABLE IF NOT EXISTS acct_big AS SELECT * FROM acct")  # no-op
     assert eng.catalog.load("acct_big").count_rows() == 2
+
+
+def test_call_procedures_and_alter(spark, eng):
+    """CALL system.<proc> maintenance surface + ALTER TABLE ADD COLUMN."""
+    eng.sql("CREATE TABLE logs (k INT, v STRING)")
+    eng.sql("INSERT INTO logs SELECT * FROM VALUES (1, 'a'), (2, 'b')")
+    eng.sql("INSERT INTO logs SELECT * FROM VALUES (3, 'c')")
+    t = eng.catalog.load("logs")
+    assert t.current_version() == 1
+    r = eng.sql("CALL system.create_tag('logs', 'rel1', 0)").collect()[0]
+    assert r.result == "rel1=v0"
+    eng.sql("CALL system.rollback_to_snapshot('logs', 0)")
+    assert eng.catalog.load("logs").count_rows() == 2
+    eng.sql("CALL system.rewrite_data_files('logs', 100)")
+    eng.sql("CALL system.expire_snapshots('logs', 1)")
+    eng.sql("CALL system.remove_orphan_files('logs')")
+    # tag survives expiry; current state intact
+    assert eng.catalog.load("logs").read(version="rel1").count() == 2
+    assert eng.catalog.load("logs").count_rows() == 2
+    with pytest.raises(ValueError, match="unknown procedure"):
+        eng.sql("CALL system.nope('logs')")
+    eng.sql("ALTER TABLE logs ADD COLUMN score DOUBLE")
+    cols = {r.col_name for r in eng.sql("DESCRIBE TABLE logs").collect()}
+    assert "score" in cols
+    assert eng.sql("SELECT score FROM logs").count() == 2  # NULL-projected

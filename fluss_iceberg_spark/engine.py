@@ -647,8 +647,11 @@ class Engine:
         if not m:
             raise ValueError(f"cannot parse INSERT INTO: {q!r}")
         name = m.group(1).split(".")[-1]
-        src = self.spark.sql(m.group(2)) if m.group(2).upper().startswith("SELECT") \
+        src = (
+            self.spark.sql(self._rewrite_time_travel(m.group(2)))
+            if m.group(2).upper().startswith("SELECT")
             else self.spark.sql(f"SELECT * FROM {m.group(2)}")
+        )
         if not self.catalog.exists(name):
             raise KeyError(f"INSERT target is not a lake table: {name}")
         t = self.catalog.load(name)

@@ -316,7 +316,9 @@ def simhash_near_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, small_graph_edges: int = 200_000
+) -> DataFrame:
     """Cluster near-dup pairs into dedup groups: iterative min-label
     propagation over the undirected pair graph (the standard distributed
     connected-components loop — alternating large-star/small-star style).
@@ -326,6 +328,15 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     list joined with current labels; converges in O(log n) iterations for
     near-dup graphs (components are tiny). The driver loop only checks a
     convergence *count* per iteration — no data is collected.
+
+    Small-graph fast path: near-dup EDGE sets are orders of magnitude
+    smaller than the corpus (only duplicates produce edges), so when the
+    deduplicated edge list is under ``small_graph_edges`` (~a few MB,
+    a bounded model-sized collect like the IVF quantizer sample), a
+    driver-side union-find answers exactly in one pass instead of paying
+    O(iterations) of distributed join/agg job overhead. Above the
+    threshold the distributed loop runs unchanged — correctness identical
+    (both compute min-reachable-label).
     """
     # persist the input first: both union branches read it, and without a
     # cache the whole upstream pair-generation pipeline runs twice
@@ -336,6 +347,39 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r.a, r.b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the representative IS the min label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(node, find(node)) for node in parent]
+        edges.unpersist()
+        pairs.unpersist()
+        from pyspark.sql import types as T
+
+        id_type = edges.schema["a"].dataType  # label type follows the input
+        schema = T.StructType(
+            [T.StructField("doc_id", id_type), T.StructField("component", id_type)]
+        )
+        spark = pairs.sparkSession
+        return spark.createDataFrame(out, schema)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -132,3 +132,24 @@ def test_approx_distinct_within_rsd_bound(spark):
         F.countDistinct("o_custkey").alias("e"),
     ).collect()[0]
     assert abs(row.a - row.e) / row.e < 0.10
+
+
+def test_connected_components_paths_agree(spark):
+    """The small-graph union-find fast path and the distributed min-label
+    loop must produce identical components (including chain merges and
+    singleton-free output)."""
+    from fluss_iceberg_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 1), (10, 11), (7, 7), (2, 1)], "d1 long, d2 long"
+    )
+    fast = {(r.doc_id, r.component)
+            for r in connected_components(pairs).collect()}
+    dist = {(r.doc_id, r.component)
+            for r in connected_components(pairs, small_graph_edges=0).collect()}
+    assert fast == dist
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (5, 1),
+        (7, 7),
+        (10, 10), (11, 10),
+    }

@@ -98,9 +98,11 @@ _PRIORITY = [
     # curation scoring (unigram LM + Gopher repetition)
     "text_unigram_lm_score",
     "text_repetition_filter",
-    # event-log operators (event-time rollup, as-of; sessionize/JSON were
-    # hash-green in r1+r2 and rotate out to make room for unproven ops)
-    "events_hourly_rollup",
+    # event-log operators (as-of + sessionize; sessionize is re-gated this
+    # round to prove the r3 TIMESTAMP_NTZ crash fixed at the driver level.
+    # hourly_rollup rotates out thrice-green — its windowed-agg shape stays
+    # gated via stream_events_hourly; JSON-extract is twice-green)
+    "events_sessionize",
     "events_asof_attribution",
     # lake layer (S10/U1/time-travel/M1 + tiering + r2 ops first gated now:
     # min/max file skipping, row-level DELETE/UPDATE, PK changelog,

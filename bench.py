@@ -53,7 +53,9 @@ HEADLINE = [
     "window_revenue_quartiles",
     "agg_priority_distribution",
     "agg_rollup_status_priority",
+    "agg_cube_status_priority",
     "agg_pivot_status_by_priority",
+    "set_ops_customers",
     "events_hourly_rollup",
     "events_sliding_rollup",
     "events_session_window_builtin",

@@ -440,6 +440,66 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(1) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2² grouping sets: both, each alone, grand
+    total — the other multi-dimensional aggregate beside ROLLUP; absent
+    from the reference, SURVEY §2.4, but table stakes for an analytics
+    engine). Same single-shuffle grouping-set expansion plan as ROLLUP."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "set_ops_customers",
+    oracle="""
+    SELECT cust_key, 'both' AS which FROM (
+        SELECT CAST(c_custkey AS INT) AS cust_key FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT CAST(o_custkey AS INT) FROM orders
+    )
+    UNION ALL
+    SELECT cust_key, 'only_customers' FROM (
+        SELECT CAST(c_custkey AS INT) AS cust_key FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT CAST(o_custkey AS INT) FROM orders
+    )
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (absent from the reference,
+    SURVEY §2.6): BUILDING-segment customers split into those with orders
+    (INTERSECT) and those without (EXCEPT). Catalyst plans both as
+    left-semi / left-anti aggregate joins — one shuffle each on the key,
+    broadcast when a side is small."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").cast("int").alias("cust_key")
+    )
+    order_keys = o.select(F.col("o_custkey").cast("int").alias("cust_key"))
+    both = building.intersect(order_keys).withColumn("which", F.lit("both"))
+    only_c = building.exceptAll(order_keys).distinct().withColumn(
+        "which", F.lit("only_customers")
+    )
+    return both.unionByName(only_c)
+
+
+@query(
     "agg_pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,

@@ -76,6 +76,7 @@ HEADLINE = [
     "stream_nation_revenue",
     "stream_stateful_sessions",
     "stream_exact_dedup",
+    "stream_log_appends",
     "stream_pk_changelog",
     "stream_enriched_union",
     "stream_events_hourly",

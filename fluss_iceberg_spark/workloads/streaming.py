@@ -314,6 +314,54 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_log_appends",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name
+    FROM nation
+    """,
+)
+def stream_log_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/ST1: subscribe to a lake LOG table as a stream
+    (LakeTable.stream_appends — the reference's streaming read of a Fluss
+    log table, README.md:296-302). Two separate append commits land
+    before the subscription; the file-source stream must deliver exactly
+    the union of all committed rows (no dup from commit boundaries, no
+    gap), i.e. the batch read of the same table."""
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
+
+    from fluss_iceberg_spark.sources.tpch import load_table as _load
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "log_appends"))
+    nat = _load(spark, sf_dir, "nation").select(
+        _F.col("n_nationkey").cast("int").alias("nation_key"),
+        _F.col("n_name").alias("name"),
+    )
+    t = cat.create_table(
+        "nation_log",
+        _T.StructType(
+            [
+                _T.StructField("nation_key", _T.IntegerType(), True),
+                _T.StructField("name", _T.StringType(), True),
+            ]
+        ),
+    )
+    t.append(nat.filter(_F.col("nation_key") < 10))   # commit 1
+    t.append(nat.filter(_F.col("nation_key") >= 10))  # commit 2
+    sink = f"stream_log_appends_{uuid.uuid4().hex[:8]}"
+    q = (
+        t.stream_appends()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("nation_key", "name")
+
+
+@query(
     "stream_pk_changelog",
     oracle="""
     SELECT CASE WHEN c_custkey % 7 = 0 THEN 'insert' ELSE 'update' END AS op,

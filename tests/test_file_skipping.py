@@ -333,3 +333,39 @@ def test_min_max_metadata_only(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         t.min_max("nope")
+
+
+def test_min_max_string_falls_back_to_scan(spark, tmp_path):
+    """Parquet writers truncate long string/binary footer stats, so the
+    bound need not be a real table value — min_max must decline (return
+    None) for those types rather than report a wrong 'exact' answer.
+    Pruning keeps using the (still-valid) bounds."""
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "whms"))
+    rows = spark.createDataFrame([("x" * 200, 1), ("y" * 200, 2)], "s string, a int")
+    t = cat.create_table("mms", rows.schema)
+    t.append(rows)
+    assert t.min_max("s") is None
+    assert t.min_max("a") == (1, 2)
+
+
+def test_lake_write_restores_timestamp_conf(spark, tmp_path):
+    """Lake writes force INT64-micros timestamps for footer stats but must
+    not leave that conf set session-wide (unrelated writes keep the
+    session's own encoding)."""
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.parquet.outputTimestampType"
+    before = spark.conf.get(key)
+    cat = LakeCatalog(spark, str(tmp_path / "whtc"))
+    rows = spark.range(5).select(
+        F.col("id").alias("a"),
+        F.timestamp_micros((F.col("id") * 1_000_000).cast("long")).alias("ts"),
+    )
+    t = cat.create_table("tsc", rows.schema)
+    t.append(rows)
+    assert spark.conf.get(key) == before
+    # and the lake file itself still carries INT64 stats (skipping works)
+    assert t.min_max("ts") is not None

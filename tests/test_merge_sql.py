@@ -88,6 +88,107 @@ def test_merge_insert_column_list_values(spark, eng):
     assert (9, "Z", None) in _state(eng)
 
 
+def test_merge_multiple_same_action_arms_accumulate(spark, eng):
+    """Two WHEN MATCHED UPDATE arms: each row takes its first matching
+    arm, and BOTH arms' rows survive into the commit (regression: earlier
+    arms were overwritten by later same-action arms)."""
+    spark.createDataFrame(
+        [(1, "u", 0.0), (2, "u", 0.0)], "k int, v string, bal double"
+    ).createOrReplaceTempView("src_acc")
+    eng.sql(
+        """
+        MERGE INTO acct t USING src_acc s ON t.k = s.k
+        WHEN MATCHED AND t.k = 1 THEN UPDATE SET v = 'one'
+        WHEN MATCHED THEN UPDATE SET v = 'other'
+        """
+    )
+    st = _state(eng)
+    assert (1, "one", 10.0) in st and (2, "other", 20.0) in st
+
+
+def test_merge_not_matched_by_source_delete(spark, eng):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE removes target rows the
+    source doesn't reference (Spark 3.4+/Iceberg parity)."""
+    spark.createDataFrame(
+        [(1, "a1", 11.0), (5, "e", 50.0)], "k int, v string, bal double"
+    ).createOrReplaceTempView("src_bs")
+    eng.sql(
+        """
+        MERGE INTO acct t USING (
+            SELECT k, v, CAST(bal AS DECIMAL(15,2)) AS bal FROM src_bs
+        ) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, bal = s.bal
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    assert _state(eng) == {(1, "a1", 11.0), (5, "e", 50.0)}
+
+
+def test_merge_not_matched_by_source_update_conditional(spark, eng):
+    """Conditional BY SOURCE UPDATE touches only unmatched target rows
+    passing the condition; the condition sees target columns."""
+    spark.createDataFrame([(1, "x", 0.0)], "k int, v string, bal double"
+                          ).createOrReplaceTempView("src_bs2")
+    eng.sql(
+        """
+        MERGE INTO acct t USING src_bs2 s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE AND t.k = 2 THEN UPDATE SET v = 'stale'
+        WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE
+        """
+    )
+    assert _state(eng) == {(1, "a", 10.0), (2, "stale", 20.0)}
+
+
+def test_merge_case_when_inside_set(spark, eng):
+    """A CASE WHEN inside a SET expression must not truncate the arm
+    (the WHEN lookahead anchors on WHEN [NOT] MATCHED)."""
+    spark.createDataFrame([(1, "x", 5.0), (2, "y", 50.0)],
+                          "k int, v string, bal double"
+                          ).createOrReplaceTempView("src_cw")
+    eng.sql(
+        """
+        MERGE INTO acct t USING src_cw s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET
+            v = CASE WHEN s.bal > 10 THEN 'big' ELSE 'small' END
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    st = _state(eng)
+    assert (1, "small", 10.0) in st and (2, "big", 20.0) in st
+
+
+def test_merge_unparseable_arm_raises(spark, eng):
+    """A typo'd WHEN arm must raise, not silently no-op."""
+    spark.createDataFrame([(1, "x", 0.0)], "k int, v string, bal double"
+                          ).createOrReplaceTempView("src_bad")
+    with pytest.raises(ValueError, match="WHEN"):
+        eng.sql(
+            "MERGE INTO acct t USING src_bad s ON t.k = s.k "
+            "WHEN MATCHED THEN UPSERT SET v = s.v"
+        )
+
+
+def test_merge_using_time_travel_subquery(spark, eng):
+    """MERGE ... USING (SELECT ... FROM t VERSION AS OF n) resolves the
+    time-travel rewrite, matching INSERT INTO ... SELECT."""
+    # v0: the initial 3-row insert. Add a row so current != v0.
+    eng.sql("INSERT INTO acct SELECT * FROM VALUES "
+            "(7, 'g', CAST(70.00 AS DECIMAL(15,2)))")
+    eng.sql("CREATE TABLE acct2 (k INT NOT NULL, v STRING, bal DECIMAL(15,2), "
+            "PRIMARY KEY (k) NOT ENFORCED)")
+    eng.sql(
+        """
+        MERGE INTO acct2 t USING (
+            SELECT * FROM acct VERSION AS OF 0
+        ) s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    got = {r.k for r in eng.sql("SELECT k FROM acct2").collect()}
+    assert got == {1, 2, 3}  # v1 state, not the 4-row current state
+
+
 def test_merge_rejects_log_table(spark, eng):
     eng.sql("CREATE TABLE logt (k INT, v STRING)")
     with pytest.raises(ValueError, match="PK table"):

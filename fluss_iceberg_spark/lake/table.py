@@ -458,6 +458,8 @@ class LakeTable:
         )
         # state the next _commit() folds into its atomic snapshot write
         self._pending_commit_extra: dict | None = None
+        # when set (on_branch), snapshot()/commits target this branch ref
+        self.write_branch: str | None = None
 
     # ---------- snapshot log ----------
 
@@ -471,8 +473,22 @@ class LakeTable:
         with open(vf) as f:
             return int(f.read().strip())
 
+    def _head(self) -> int:
+        """The snapshot id the table's active ref points at: the branch
+        head inside ``on_branch``, else main's VERSION pointer."""
+        if self.write_branch:
+            return self._refs()["branches"].get(self.write_branch, -1)
+        return self.current_version()
+
+    def _next_version(self) -> int:
+        """Next snapshot id: ids are unique across ALL refs (branch
+        commits interleave with main's), so the next id clears every
+        existing snapshot file, not just the active ref's head."""
+        return max(self.current_version(),
+                   max(self.snapshot_versions(), default=-1)) + 1
+
     def snapshot(self, version: int | str | None = None) -> Snapshot | None:
-        v = self.current_version() if version is None else version
+        v = self._head() if version is None else version
         if isinstance(v, str):
             v = self.resolve_ref(v)
         if v < 0:
@@ -499,14 +515,24 @@ class LakeTable:
 
     # ---------- named refs (Iceberg tag role) ----------
 
+    def _refs(self) -> dict:
+        p = self._meta("refs.json")
+        if not os.path.exists(p):
+            return {"tags": {}, "branches": {}}
+        with open(p) as f:
+            d = json.load(f)
+        return {
+            "tags": {k: int(v) for k, v in d.get("tags", {}).items()},
+            "branches": {k: int(v) for k, v in d.get("branches", {}).items()},
+        }
+
+    def _write_refs(self, refs: dict) -> None:
+        _atomic_write(self._meta("refs.json"), json.dumps(refs))
+
     def tags(self) -> dict[str, int]:
         """Named immutable snapshot refs (the Iceberg tag role). Stored
         in meta/refs.json; tagged snapshots are exempt from expiry."""
-        p = self._meta("refs.json")
-        if not os.path.exists(p):
-            return {}
-        with open(p) as f:
-            return {k: int(v) for k, v in json.load(f).get("tags", {}).items()}
+        return self._refs()["tags"]
 
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Tag a snapshot version (default: current). Tags are immutable:
@@ -514,23 +540,94 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if self.snapshot(v) is None:
             raise ValueError(f"{self.name}: cannot tag nonexistent snapshot v{v}")
-        tags = self.tags()
-        if name in tags:
-            raise ValueError(f"{self.name}: tag {name!r} already exists (at v{tags[name]})")
-        tags[name] = v
-        _atomic_write(self._meta("refs.json"), json.dumps({"tags": tags}))
+        refs = self._refs()
+        if name in refs["tags"]:
+            raise ValueError(
+                f"{self.name}: tag {name!r} already exists (at v{refs['tags'][name]})"
+            )
+        if name in refs["branches"]:
+            raise ValueError(f"{self.name}: {name!r} is already a branch")
+        refs["tags"][name] = v
+        self._write_refs(refs)
         return v
 
     def drop_tag(self, name: str) -> None:
-        tags = self.tags()
-        tags.pop(name, None)
-        _atomic_write(self._meta("refs.json"), json.dumps({"tags": tags}))
+        refs = self._refs()
+        refs["tags"].pop(name, None)
+        self._write_refs(refs)
 
     def resolve_ref(self, ref: str) -> int:
-        tags = self.tags()
-        if ref not in tags:
-            raise ValueError(f"{self.name}: unknown ref {ref!r}; tags: {sorted(tags)}")
-        return tags[ref]
+        """Resolve a named ref: tags first, then branch heads."""
+        refs = self._refs()
+        if ref in refs["tags"]:
+            return refs["tags"][ref]
+        if ref in refs["branches"]:
+            return refs["branches"][ref]
+        raise ValueError(
+            f"{self.name}: unknown ref {ref!r}; tags: {sorted(refs['tags'])}, "
+            f"branches: {sorted(refs['branches'])}"
+        )
+
+    # ---------- branch refs (Iceberg branch / WAP role) ----------
+
+    def branches(self) -> dict[str, int]:
+        """Named MUTABLE snapshot refs (the Iceberg branch role): each
+        maps to its head snapshot id; branch commits advance the ref,
+        not the table's main VERSION pointer."""
+        return self._refs()["branches"]
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Branch from a snapshot (default: current main head). The
+        write-audit-publish pattern (Iceberg's spark.wap.branch):
+        ``on_branch(name)`` writes land on the branch, readers of main
+        see nothing until ``fast_forward(name)`` publishes it."""
+        refs = self._refs()
+        if name in refs["branches"]:
+            raise ValueError(f"{self.name}: branch {name!r} already exists")
+        if name in refs["tags"]:
+            raise ValueError(f"{self.name}: {name!r} is already a tag")
+        v = self.current_version() if version is None else version
+        if v >= 0 and self.snapshot(v) is None:
+            raise ValueError(f"{self.name}: cannot branch from nonexistent v{v}")
+        refs["branches"][name] = v
+        self._write_refs(refs)
+        return v
+
+    def drop_branch(self, name: str) -> None:
+        refs = self._refs()
+        refs["branches"].pop(name, None)
+        self._write_refs(refs)
+
+    @contextmanager
+    def on_branch(self, name: str):
+        """Scope reads AND writes to a branch: ``snapshot()`` resolves
+        the branch head, so read()/append()/merge() inside the block see
+        and advance the branch while main stays untouched."""
+        if name not in self._refs()["branches"]:
+            raise ValueError(f"{self.name}: unknown branch {name!r}")
+        prev = self.write_branch
+        self.write_branch = name
+        try:
+            yield self
+        finally:
+            self.write_branch = prev
+
+    def fast_forward(self, branch: str) -> int:
+        """Publish a branch: flip main's VERSION pointer to the branch
+        head (the WAP 'publish' step). Fast-forward only — the branch
+        head must be at or ahead of main (it descends from main by
+        construction: branch commits chain from the branch point)."""
+        heads = self._refs()["branches"]
+        if branch not in heads:
+            raise ValueError(f"{self.name}: unknown branch {branch!r}")
+        head = heads[branch]
+        if head < self.current_version():
+            raise ValueError(
+                f"{self.name}: branch {branch!r} head v{head} is behind "
+                f"main v{self.current_version()} — not a fast-forward"
+            )
+        _atomic_write(self._meta("VERSION"), str(head))
+        return head
 
     def version_as_of_timestamp(self, ts_ms: int) -> int:
         """Resolve ``TIMESTAMP AS OF`` to a snapshot version: the newest
@@ -559,14 +656,14 @@ class LakeTable:
         summary: dict | None = None,
         expected_version: int | None = None,
     ) -> Snapshot:
-        base = self.current_version()
+        base = self._head()
         if expected_version is not None and expected_version != base:
             raise CommitConflictError(
                 f"commit based on stale version {expected_version}; "
                 f"current is {base}"
             )
         parent = self.snapshot()
-        version = base + 1
+        version = self._next_version()
         # A caller (tier(), the streaming pipeline) may ask the *next*
         # commit to carry extra state — watermark advance, idempotence
         # batch id — so it lands in the snapshot json in the same atomic
@@ -616,7 +713,29 @@ class LakeTable:
             if extra:  # let a retry carry the watermark/batch-id forward
                 self._pending_commit_extra = extra
             raise
-        _atomic_write(self._meta("VERSION"), str(version))
+        if self.write_branch:
+            # branch commit: advance the branch ref, main stays put (WAP)
+            refs = self._refs()
+            refs["branches"][self.write_branch] = version
+            self._write_refs(refs)
+        else:
+            # pointer CAS: snapshot ids skip past orphan files (crash
+            # debris must not wedge the table), so same-base racers may
+            # pick DIFFERENT ids — exclusive-create alone no longer
+            # serializes them. Re-check the pointer before flipping:
+            # exactly one same-base writer wins, the loser removes its
+            # unpublished snapshot and raises (the Iceberg catalog
+            # compare-and-swap, stood in by check-then-flip).
+            cur = self.current_version()
+            if cur != base:
+                os.remove(self._meta(f"v{version}.json"))
+                if extra:
+                    self._pending_commit_extra = extra
+                raise CommitConflictError(
+                    f"concurrent commit advanced {self.name} to v{cur} "
+                    f"(this commit was based on v{base})"
+                )
+            _atomic_write(self._meta("VERSION"), str(version))
         return snap
 
     # ---------- writes ----------
@@ -796,7 +915,7 @@ class LakeTable:
             else:
                 df = df.repartitionByRange(F.col(ccol))
             df = df.sortWithinPartitions(ccol)
-        version = self.current_version() + 1
+        version = self._next_version()
         files = self._write_files(df, version, bucketed=False)
         added = self._rows_in(files)
         parent = self.snapshot()
@@ -822,7 +941,7 @@ class LakeTable:
     def overwrite(self, df: DataFrame) -> Snapshot:
         self._check_rewrite_allowed("overwrite")
         df = self._enforce_not_null(self._prepare(df))
-        version = self.current_version() + 1
+        version = self._next_version()
         files = self._write_files(df, version, bucketed=bool(self.primary_key))
         n = self._rows_in(files)
         return self._commit("overwrite", files, n, n)
@@ -858,7 +977,7 @@ class LakeTable:
                 )
 
         parent = self.snapshot()
-        version = self.current_version() + 1
+        version = self._next_version()
         touch_keys = updates.select(*self.primary_key)
         if deletes is not None:
             touch_keys = touch_keys.unionByName(deletes)
@@ -995,7 +1114,7 @@ class LakeTable:
                     for f in self.schema.fields
                 ]
             )
-        version = self.current_version() + 1
+        version = self._next_version()
         new_files = self._write_files(
             new_df, version, bucketed=bool(self.primary_key)
         )
@@ -1311,7 +1430,7 @@ class LakeTable:
         df = self.read()
         n = snap.total_rows
         n_files = max(1, -(-n // target_file_rows))
-        version = self.current_version() + 1
+        version = self._next_version()
         rel = f"data/s{version}"
         out = os.path.join(self.path, rel)
         if self.primary_key:
@@ -1670,7 +1789,14 @@ class LakeTable:
         versions = self.snapshot_versions()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        tagged = set(self.tags().values())  # tagged snapshots never expire
+        refs = self._refs()  # tags, branch heads, and main's current
+        # snapshot never expire (branch commits can outnumber main's, so
+        # "newest keep_last" alone could otherwise drop main's head)
+        tagged = (
+            set(refs["tags"].values())
+            | set(refs["branches"].values())
+            | {self.current_version()}
+        )
         expired = [v for v in versions[:-keep_last] if v not in tagged]
         retained = [v for v in versions if v not in expired]
         keep_files = set()

@@ -81,43 +81,43 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
-    # reference pipeline core (S9-S16, P*, J*, A*, T1)
+    # reference pipeline core (S9-S16, P*, J*, A*, T1; notnull-drop and
+    # max_orderdate rotate out thrice-hash-green, r2+r3+r4 records stand)
     "ref_enriched_orders",
     "ref_nation_revenue",
     "ref_top5_nations",
-    "ref_max_orderdate",
-    "ref_notnull_drop",
-    # TPC-H J3/A-class gates (the rest are demoted below the window; the
-    # J3/A classes are additionally gated by the ref_* and lake_* rows)
+    # TPC-H J3/A-class gate (q3 rotates out thrice-green; the J3 class
+    # stays gated via q1 + the ref_* joins)
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    # window / aggregation operator families (pivot + percentile twins are
-    # gated in earlier rounds' records; rollup gates the agg family)
-    "window_top_customer_per_nation",
+    # window / aggregation operator families: running-total window rotates
+    # in for top-per-group (thrice-green); CUBE and INTERSECT/EXCEPT get
+    # their first driver gates beside ROLLUP
+    "window_running_revenue",
     "agg_rollup_status_priority",
+    "agg_cube_status_priority",
+    "set_ops_customers",
     # curation scoring (unigram LM + Gopher repetition)
     "text_unigram_lm_score",
     "text_repetition_filter",
-    # event-log operators (as-of + sessionize; sessionize is re-gated this
-    # round to prove the r3 TIMESTAMP_NTZ crash fixed at the driver level.
-    # hourly_rollup rotates out thrice-green — its windowed-agg shape stays
-    # gated via stream_events_hourly; JSON-extract is twice-green)
-    "events_sessionize",
-    "events_asof_attribution",
-    # lake layer (S10/U1/time-travel/M1 + tiering + r2 ops first gated now:
-    # min/max file skipping, row-level DELETE/UPDATE, PK changelog,
-    # incremental snapshot-range reads)
+    # event-log operators (sessionize + as-of rotate out green — the r4
+    # re-gate proved the TIMESTAMP_NTZ fix; the sliding-window shape
+    # gates the family for the first time)
+    "events_sliding_rollup",
+    # lake layer (S10/U1/M1 + tiering + row-level + changelog + skipping;
+    # time-travel rotates to the SQL forms below; clustered scan and the
+    # new hidden-partitioning scan gate for the first time)
     "lake_upsert_customers",
     "lake_union_read",
     "lake_pk_union_read",
-    "lake_time_travel",
     "lake_maintenance_lifecycle",
     "lake_file_skipping",
+    "lake_partition_pruning",
+    "lake_clustered_scan",
     "lake_row_level_ops",
     "lake_pk_changelog",
     "lake_incremental_read",
     # streaming (A1/ST*, S11, U2, stateful, stream-stream, exact dedup,
-    # and the r4 streaming PK changelog)
+    # PK changelog, and the gated log-table stream subscription)
     "stream_nation_revenue",
     "stream_enriched_union",
     "stream_events_hourly",
@@ -125,19 +125,15 @@ _PRIORITY = [
     "stream_interval_join",
     "stream_exact_dedup",
     "stream_pk_changelog",
-    # text analysis / curation (tfidf/pii keep their gates; quality/lang/
-    # pack/fingerprint/BPE-count rotate out as twice-hash-green — r2+r3
-    # records stand, local parity still covers them; budget mixing,
-    # stratified sampling and the end-to-end curation chain gate for the
-    # first time. faker_pipeline_top5 (rows-only by nature) also rotates
-    # out per the r2 verdict.)
-    "text_tfidf_top_terms",
+    "stream_log_appends",
+    # text analysis / curation (tfidf rotates out thrice-green; pii,
+    # stratified sampling, budget mixing, end-to-end chain keep gates)
     "text_pii_scrub",
     "text_stratified_sample",
     "text_budget_mixing",
     "pipeline_curation_end2end",
-    # deduplication (+ first gates for semantic representatives)
-    "dedup_exact_documents",
+    # deduplication (exact-dedup rotates out thrice-green; its shape
+    # stays gated via stream_exact_dedup)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_connected_components",
@@ -153,10 +149,13 @@ _PRIORITY = [
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_resize_features",
-    # SQL facade / file sources / DDL time travel (TIMESTAMP AS OF, r4)
+    # SQL facade / file sources / DDL time travel + first gates for
+    # VERSION AS OF and multi-arm MERGE INTO
     "sql_region_revenue",
     "source_formats_roundtrip",
     "engine_timestamp_travel",
+    "engine_time_travel_sql",
+    "engine_merge_into",
 ]
 
 

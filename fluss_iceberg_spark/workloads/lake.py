@@ -437,6 +437,62 @@ def pk_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_partition_pruning",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-06-01'
+    GROUP BY order_year
+    """,
+)
+def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partitioning end-to-end (Iceberg partition-spec role;
+    trino/iceberg.properties:6's cold path): orders land in a log table
+    PARTITIONED BY months(order_date) — the source column stays in the
+    data files, the derived month names the directory and is recorded in
+    the manifest — and the mid-1997+ scan prunes every file whose
+    partition value lies before the predicate's month, from metadata
+    alone. At 100 TB this is the difference between planning a scan from
+    the catalog and listing the table. The same predicate re-applies to
+    scanned rows (the June boundary cuts WITHIN the surviving first
+    month), so the result is exact; pruning effectiveness itself is
+    asserted in tests/test_partitioning.py."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "partprune"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("order_key"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+    )
+    t = cat.create_table(
+        "orders_part",
+        T.StructType(
+            [
+                T.StructField("order_key", T.IntegerType(), False),
+                T.StructField("order_date", T.DateType(), True),
+                T.StructField("total_price", T.DecimalType(15, 2), True),
+            ]
+        ),
+        partition_by=["months(order_date)"],
+    )
+    t.append(orders)
+    cut = datetime.date(1997, 6, 1)
+    return (
+        t.read(where=[("order_date", ">=", cut)])
+        .groupBy(F.year("order_date").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total_price").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
     "lake_clustered_scan",
     oracle="""
     SELECT event_type, COUNT(1) AS n,

@@ -141,11 +141,48 @@ def test_commit_conflict_detection(spark):
         import json as _json
         import os as _os
 
+        # physical CAS: a racing writer claims the SAME snapshot id
+        # (simultaneous same-base writers list the same snapshot files,
+        # so they compute the same next id — exclusive-create arbitrates)
         stale = t.snapshot().to_json()
-        with open(_os.path.join(d, "cas", "meta", "v2.json"), "w") as f:
+        nxt = t._next_version()
+        with open(_os.path.join(d, "cas", "meta", f"v{nxt}.json"), "w") as f:
             f.write(stale)
-        with pytest.raises(CommitConflictError):
-            t.append(spark.createDataFrame([(3, "c")], schema))
-        # table still readable and consistent at v1 after both rejections
+        orig = t._next_version
+        t._next_version = lambda: nxt  # freeze the racer's id choice
+        try:
+            with pytest.raises(CommitConflictError):
+                t.append(spark.createDataFrame([(3, "c")], schema))
+        finally:
+            t._next_version = orig
+            _os.remove(_os.path.join(d, "cas", "meta", f"v{nxt}.json"))
+        # pointer CAS: the VERSION pointer moved after the base was read
+        # (a same-base racer with a different id already published) —
+        # the late writer must lose and remove its unpublished snapshot
+        base = t.current_version()
+        orig_cv = t.current_version
+        calls = {"n": 0}
+
+        def moved():
+            # _commit reads the pointer for base, parent, and next-id
+            # (calls 1-3); the publish re-check (call 4) sees it moved
+            calls["n"] += 1
+            return base if calls["n"] <= 3 else base + 7
+
+        t.current_version = moved
+        try:
+            with pytest.raises(CommitConflictError, match="concurrent"):
+                t._commit("append", list(t.snapshot(base).files), 2, 0)
+        finally:
+            t.current_version = orig_cv
+        # the loser's snapshot file was cleaned up
+        assert t._next_version() == base + 1
+        # table still readable and consistent at v1 after all rejections
         assert t.current_version() == 1
         assert t.read().count() == 2
+        # crash debris (an orphan snapshot file whose commit never
+        # published) does NOT wedge the table: the next id skips past it
+        with open(_os.path.join(d, "cas", "meta", "v5.json"), "w") as f:
+            f.write(stale)
+        t.append(spark.createDataFrame([(3, "c")], schema))
+        assert t.current_version() == 6 and t.read().count() == 3

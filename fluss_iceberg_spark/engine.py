@@ -553,6 +553,17 @@ class Engine:
             t.drop_column(col)
             self._register(self.catalog.load(name))
             return self._ok("drop_column", f"{name}.{col}")
+        wd = re.match(
+            r"ALTER\s+TABLE\s+`?(\w+)`?\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+"
+            r"(?:SET\s+DATA\s+)?TYPE\s+([\w(),\s]+?)\s*$",
+            q, re.I,
+        )
+        if wd:
+            name, col, ctype = wd.groups()
+            t = self.catalog.load(name)
+            t.widen_column(col, _parse_type(ctype))
+            self._register(self.catalog.load(name))
+            return self._ok("widen_column", f"{name}.{col}->{ctype.strip()}")
         m = re.match(
             r"ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s+([\w(),\s]+?)\s*\)?\s*$",
             q, re.I,

@@ -416,6 +416,16 @@ class Snapshot:
     # None on legacy snapshots → reads fall back to the current schema.
     schema_json: dict | None = None
     field_ids: dict | None = None
+    # merge-on-read position deletes (the Iceberg v2 delete-file role):
+    # table-relative paths of parquet files holding (__file, __pos)
+    # tombstones, plus per-delete-file metadata
+    # {"rows": n, "files": {data_relpath: n_positions}} so live-row
+    # accounting and pruning stay metadata-only. Entries referencing a
+    # data file absent from ``files`` are inert (the file was rewritten
+    # or dropped), which is what lets delete files carry forward
+    # unchanged across copy-on-write commits.
+    delete_files: list = field(default_factory=list)
+    delete_meta: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -426,7 +436,20 @@ class Snapshot:
         d.setdefault("file_meta", {})
         d.setdefault("schema_json", None)
         d.setdefault("field_ids", None)
+        d.setdefault("delete_files", [])
+        d.setdefault("delete_meta", {})
         return Snapshot(**d)
+
+    def active_delete_count(self, files: list[str] | None = None) -> int:
+        """Number of tombstoned positions referencing files present in
+        this snapshot (or the given file list) — metadata-only."""
+        present = set(self.files if files is None else files)
+        return sum(
+            n
+            for d in self.delete_files
+            for f, n in (self.delete_meta.get(d) or {}).get("files", {}).items()
+            if f in present
+        )
 
 
 class LakeTable:
@@ -655,7 +678,15 @@ class LakeTable:
         hot_watermark: int | None = None,
         summary: dict | None = None,
         expected_version: int | None = None,
+        delete_files: list | None = None,
+        delete_meta: dict | None = None,
     ) -> Snapshot:
+        """``total_rows`` is on the FOOTER basis (sum of data-file row
+        counts); _commit deducts active merge-on-read tombstones itself so
+        the snapshot's recorded total is always LIVE rows — one place owns
+        that arithmetic. ``delete_files=None`` inherits the parent's
+        delete files, dropping any whose every referenced data file has
+        left the new file list (fully inert after a rewrite)."""
         base = self._head()
         if expected_version is not None and expected_version != base:
             raise CommitConflictError(
@@ -687,6 +718,25 @@ class LakeTable:
                 if self.partition_spec:
                     m["partition"] = self._partition_values_from_path(f)
             file_meta[f] = m
+        if delete_files is None:
+            files_set = set(files)
+            delete_files = [
+                d
+                for d in (parent.delete_files if parent else [])
+                if any(
+                    f in files_set
+                    for f in (parent.delete_meta.get(d) or {}).get("files", {})
+                )
+            ]
+            delete_meta = {
+                d: (parent.delete_meta or {}).get(d, {}) for d in delete_files
+            }
+        probe = Snapshot(
+            snapshot_id=-1, committed_at_ms=0, operation="", files=files,
+            total_rows=0, added_rows=0, hot_watermark=-1, summary={},
+            delete_files=delete_files, delete_meta=delete_meta or {},
+        )
+        total_rows -= probe.active_delete_count()
         snap = Snapshot(
             snapshot_id=version,
             committed_at_ms=int(time.time() * 1000),
@@ -703,6 +753,8 @@ class LakeTable:
             ),
             summary=summary or {},
             file_meta=file_meta,
+            delete_files=delete_files,
+            delete_meta=delete_meta or {},
         )
         # physical CAS: exclusive-create the snapshot file BEFORE flipping
         # the VERSION pointer — a racing same-version writer raises
@@ -920,8 +972,11 @@ class LakeTable:
         added = self._rows_in(files)
         parent = self.snapshot()
         all_files = (parent.files if parent else []) + files
-        total = (parent.total_rows if parent else 0) + added
-        return self._commit("append", all_files, total, added)
+        # footer basis: _commit re-deducts active tombstones itself
+        prev = (
+            parent.total_rows + parent.active_delete_count() if parent else 0
+        )
+        return self._commit("append", all_files, prev + added, added)
 
     def _check_rewrite_allowed(self, op: str) -> None:
         """Log-table rewrites (compact/overwrite) re-emit existing rows to
@@ -1003,9 +1058,9 @@ class LakeTable:
         rel = f"data/s{version}"
         out = os.path.join(self.path, rel)
         if old_touched:
-            old_df = self.spark.read.schema(
-                T.StructType(self.schema.fields)
-            ).parquet(*[os.path.join(self.path, f) for f in old_touched])
+            old_df = self._read_live(
+                old_touched, self.schema, self.field_ids, parent
+            )
             # null-safe key equality: NULL is a legal PK value (the
             # reference's NULL nation group, FIXTURES.md invariant 3).
             # Anti-join against updated AND deleted keys — deleted keys
@@ -1055,8 +1110,93 @@ class LakeTable:
         only intersecting files are read back, anti-filtered, and
         rewritten. On a date-clustered 100 TB table a retention delete
         rewrites one time slice, not the table. SQL NULL semantics: rows
-        where the predicate is NULL survive (DELETE removes only TRUE)."""
+        where the predicate is NULL survive (DELETE removes only TRUE).
+
+        ``write.delete.mode=merge-on-read`` (table property, the Iceberg
+        v2 write-mode property): instead of rewriting intersecting files,
+        write a position-delete file — O(deleted rows) write cost
+        regardless of how wide the touched files are. Readers anti-join
+        the (broadcast) tombstones; ``compact()`` materializes them."""
+        if self.properties.get("write.delete.mode") == "merge-on-read":
+            return self._mor_delete(where)
         return self._row_level_rewrite("delete", where, set_exprs=None)
+
+    def _mor_delete(self, where: list[tuple]) -> Snapshot:
+        """Merge-on-read DELETE: commit a position-delete file, never
+        touching data files. The scan is stats-bounded like the CoW path
+        (only files whose bounds intersect the predicate are read), and
+        only LIVE rows are tombstoned (prior deletes applied first), so
+        repeated overlapping deletes never double-count."""
+        if not where:
+            raise ValueError(f"{self.name}: delete() requires a predicate")
+        snap = self.snapshot()
+        if snap is None or not snap.files:
+            return self._commit("delete", [], 0, 0, summary={"files_rewritten": 0})
+        touched = self.plan_scan(where, snapshot=snap)
+        footer_total = snap.total_rows + snap.active_delete_count()
+        if not touched:
+            return self._commit(
+                "delete", list(snap.files), footer_total, 0,
+                summary={"mode": "merge-on-read", "deleted_positions": 0},
+            )
+        matched = F.coalesce(_where_filter(where), F.lit(False))
+        ext, cols = self._alias_projection(self.schema, self.field_ids)
+        raw = self.spark.read.schema(ext).parquet(
+            *[os.path.join(self.path, f) for f in touched]
+        )
+        rel = F.regexp_extract(
+            F.col("_metadata.file_path"), r"(data/s\d+/.+)$", 1
+        )
+        pos_df = (
+            raw.select(
+                *cols,
+                rel.alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            .filter(matched)
+            .select("__file", "__pos")
+        )
+        prior = self._active_deletes_df(snap, touched)
+        if prior is not None:
+            pos_df = pos_df.join(
+                F.broadcast(prior), on=["__file", "__pos"], how="left_anti"
+            )
+        version = self._next_version()
+        rel_dir = f"deletes/s{version}"
+        out = os.path.join(self.path, rel_dir)
+        # a delete file is O(matched rows) of (path, long) — single file
+        pos_df.coalesce(1).write.mode("overwrite").parquet(out)
+        new_del = [
+            os.path.join(rel_dir, os.path.basename(p))
+            for p in _list_parquet(out)
+        ]
+        per_file = {
+            r["__file"]: r["n"]
+            for r in self.spark.read.parquet(out)
+            .groupBy("__file").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_del = sum(per_file.values())
+        delete_files = list(snap.delete_files) + new_del
+        delete_meta = {
+            **snap.delete_meta,
+            **{
+                d: {"rows": n_del, "files": per_file} for d in new_del
+            },
+        }
+        return self._commit(
+            "delete",
+            list(snap.files),
+            footer_total,
+            0,
+            summary={
+                "mode": "merge-on-read",
+                "deleted_positions": n_del,
+                "delete_files_added": len(new_del),
+                "files_touched": len(touched),
+            },
+            delete_files=delete_files,
+            delete_meta=delete_meta,
+        )
 
     def update(self, set_exprs: dict[str, str], where: list[tuple]) -> Snapshot:
         """Row-level UPDATE ... SET (copy-on-write): apply the SET
@@ -1088,15 +1228,13 @@ class LakeTable:
             return self._commit(
                 op,
                 list(snap.files),
-                snap.total_rows,
+                snap.total_rows + snap.active_delete_count(),
                 0,
                 summary={"files_rewritten": 0, "files_skipped": len(keep)},
             )
-        old = (
-            self.spark.read.schema(T.StructType(self.schema.fields))
-            .parquet(*[os.path.join(self.path, f) for f in touched])
-            .select(*self.schema.fieldNames())
-        )
+        old = self._read_live(
+            touched, self.schema, self.field_ids, snap
+        ).select(*self.schema.fieldNames())
         matched = F.coalesce(_where_filter(where), F.lit(False))
         if op == "delete":
             new_df = old.filter(~matched)
@@ -1166,9 +1304,7 @@ class LakeTable:
         if not files:
             df = self.spark.createDataFrame([], sch)
             return df.filter(_where_filter(where)) if where else df
-        df = self._project_files(
-            [os.path.join(self.path, f) for f in files], sch, fids
-        )
+        df = self._read_live(files, sch, fids, snap)
         return df.filter(_where_filter(where)) if where else df
 
     def _project_files(
@@ -1183,6 +1319,66 @@ class LakeTable:
         never decoded (DROP COLUMN, parquet column pruning)."""
         ext, cols = self._alias_projection(sch, fids)
         return self.spark.read.schema(ext).parquet(*paths).select(*cols)
+
+    def _active_deletes_df(
+        self, snap: Snapshot | None, files: list[str]
+    ) -> DataFrame | None:
+        """(__file, __pos) tombstones referencing any of ``files``, or
+        None when the scan has no active deletes (the common case — the
+        anti-join then never enters the plan)."""
+        if snap is None or not snap.delete_files:
+            return None
+        present = set(files)
+        hit = [
+            d
+            for d in snap.delete_files
+            if any(
+                f in present
+                for f in (snap.delete_meta.get(d) or {}).get("files", {})
+            )
+        ]
+        if not hit:
+            return None
+        return (
+            self.spark.read.schema("__file string, __pos long")
+            .parquet(*[os.path.join(self.path, d) for d in hit])
+            .filter(F.col("__file").isin(list(present)))
+        )
+
+    def _read_live(
+        self,
+        files: list[str],
+        sch: T.StructType,
+        fids: dict[str, int],
+        snap: Snapshot | None,
+    ) -> DataFrame:
+        """Read data files under the target schema with merge-on-read
+        position deletes applied (the Iceberg v2 read path): tombstones
+        are file-scoped (__file, __pos) pairs, pruned to the scanned
+        files and BROADCAST into a left-anti join on the exact position —
+        delete files are O(deleted rows), so at 100 TB the anti-join side
+        stays model-sized while data files are never rewritten. Scans of
+        snapshots without deletes skip the join entirely."""
+        paths = [os.path.join(self.path, f) for f in files]
+        dels = self._active_deletes_df(snap, files)
+        if dels is None:
+            return self._project_files(paths, sch, fids)
+        ext, cols = self._alias_projection(sch, fids)
+        raw = self.spark.read.schema(ext).parquet(*paths)
+        # table-relative path from the scan's file metadata: manifests
+        # record paths as data/s{N}/..., so extract that suffix
+        rel = F.regexp_extract(
+            F.col("_metadata.file_path"), r"(data/s\d+/.+)$", 1
+        )
+        tagged = raw.select(
+            *cols,
+            rel.alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        live = tagged.join(
+            F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
+        )
+        return live.drop("__file", "__pos")
 
     def _alias_projection(
         self, sch: T.StructType, fids: dict[str, int]
@@ -1294,15 +1490,27 @@ class LakeTable:
             rows.append(
                 (
                     f,
+                    "data",
                     int(m.get("bytes", -1)),
                     int(m.get("rows", -1)),
                     json.dumps(m.get("stats", {}), sort_keys=True),
                 )
             )
+        for d in snap.delete_files if snap else []:
+            m = snap.delete_meta.get(d) or {}
+            rows.append(
+                (
+                    d,
+                    "position-deletes",
+                    -1,
+                    int(m.get("rows", -1)),
+                    json.dumps({}, sort_keys=True),
+                )
+            )
         return self.spark.createDataFrame(
             rows,
-            "file_path string, file_size_bytes long, record_count long, "
-            "column_stats string",
+            "file_path string, content string, file_size_bytes long, "
+            "record_count long, column_stats string",
         )
 
     def partitions(self, version: int | None = None) -> DataFrame:
@@ -1546,9 +1754,11 @@ class LakeTable:
         return self._commit(
             "rollback",
             list(target.files),
-            target.total_rows,
+            target.total_rows + target.active_delete_count(),
             0,
             summary={"rollback_to": version},
+            delete_files=list(target.delete_files),
+            delete_meta=dict(target.delete_meta),
         )
 
     def count_rows(self) -> int:
@@ -1580,6 +1790,10 @@ class LakeTable:
             return None
         snap = self.snapshot()
         if snap is None or not snap.files:
+            return None
+        if snap.active_delete_count():
+            # a merge-on-read tombstone may cover the extreme row; footer
+            # bounds still include it, so the fast answer could be wrong
             return None
         lo = hi = None
         for f in snap.files:
@@ -1633,28 +1847,49 @@ class LakeTable:
                 d.setdefault(bucket_of(f), set()).add(f)
             return d
 
+        def tomb_counts(snap: Snapshot | None) -> dict:
+            """file → active tombstone count: a bucket whose file set is
+            unchanged can still differ via a merge-on-read delete file,
+            so pruning must compare tombstones too (metadata-only)."""
+            out: dict = {}
+            if snap is None:
+                return out
+            present = set(snap.files)
+            for d in snap.delete_files:
+                for f, c in (snap.delete_meta.get(d) or {}).get("files", {}).items():
+                    if f in present:
+                        out[f] = out.get(f, 0) + c
+            return out
+
         ob, nb = by_bucket(old_files), by_bucket(new_files)
-        changed = {b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)}
+        ot, nt = tomb_counts(old_snap), tomb_counts(new_snap)
+        changed = {
+            b
+            for b in set(ob) | set(nb)
+            if ob.get(b) != nb.get(b)
+            or any(
+                ot.get(f, 0) != nt.get(f, 0)
+                for f in (ob.get(b, set()) | nb.get(b, set()))
+            )
+        }
         o_scan = sorted(f for b in changed for f in ob.get(b, ()))
         n_scan = sorted(f for b in changed for f in nb.get(b, ()))
 
         fields = self.schema.fieldNames()
         val_cols = [c for c in fields if c not in self.primary_key]
 
-        def load(files: list[str]) -> DataFrame:
+        def load(files: list[str], snap: Snapshot | None) -> DataFrame:
             if not files:
                 return self.spark.createDataFrame([], self.schema)
-            return (
-                self.spark.read.schema(T.StructType(self.schema.fields))
-                .parquet(*[os.path.join(self.path, f) for f in files])
-                .select(*fields)
-            )
+            return self._read_live(
+                files, self.schema, self.field_ids, snap
+            ).select(*fields)
 
         # presence markers added BEFORE the join: a join miss leaves the
         # whole side NULL including the marker (PK columns themselves are
         # NULL-able here, so they can't serve as presence flags)
-        o = load(o_scan).withColumn("__present", F.lit(1)).alias("o")
-        n = load(n_scan).withColumn("__present", F.lit(1)).alias("n")
+        o = load(o_scan, old_snap).withColumn("__present", F.lit(1)).alias("o")
+        n = load(n_scan, new_snap).withColumn("__present", F.lit(1)).alias("n")
         cond = None
         for k in self.primary_key:
             c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
@@ -1801,12 +2036,14 @@ class LakeTable:
         retained = [v for v in versions if v not in expired]
         keep_files = set()
         for v in retained:
-            keep_files.update(self.snapshot(v).files)
+            s = self.snapshot(v)
+            keep_files.update(s.files)
+            keep_files.update(s.delete_files)
         removed_files = []
         for v in expired:
             snap = self.snapshot(v)
             os.remove(self._meta(f"v{v}.json"))
-            for f in snap.files:
+            for f in list(snap.files) + list(snap.delete_files):
                 if f not in keep_files:
                     p = os.path.join(self.path, f)
                     if os.path.exists(p):
@@ -1826,16 +2063,18 @@ class LakeTable:
         staging batches live under ``hot/`` and are never candidates."""
         referenced = set()
         for v in self.snapshot_versions():
-            referenced.update(self.snapshot(v).files)
-        data_dir = os.path.join(self.path, "data")
+            s = self.snapshot(v)
+            referenced.update(s.files)
+            referenced.update(s.delete_files)
         removed = []
-        for dirpath, _dirs, files in os.walk(data_dir):
-            for fname in files:
-                full = os.path.join(dirpath, fname)
-                rel = os.path.relpath(full, self.path)
-                if fname.endswith(".parquet") and rel not in referenced:
-                    os.remove(full)
-                    removed.append(rel)
+        for sub in ("data", "deletes"):
+            for dirpath, _dirs, files in os.walk(os.path.join(self.path, sub)):
+                for fname in files:
+                    full = os.path.join(dirpath, fname)
+                    rel = os.path.relpath(full, self.path)
+                    if fname.endswith(".parquet") and rel not in referenced:
+                        os.remove(full)
+                        removed.append(rel)
         return sorted(removed)
 
     def _persist_schema_meta(self) -> None:
@@ -1861,7 +2100,7 @@ class LakeTable:
             self._commit(
                 "schema-change",
                 list(snap.files),
-                snap.total_rows,
+                snap.total_rows + snap.active_delete_count(),
                 0,
                 summary={"change": what},
             )
@@ -1889,6 +2128,59 @@ class LakeTable:
         self.field_ids[name] = fid
         self.name_log[str(fid)] = [name]
         self._commit_schema_change(f"add_column {name}")
+
+    # legal type promotions (the Iceberg schema-evolution matrix §4.1:
+    # a promotion must be exact — every old value representable in the
+    # new type — so reads of un-rewritten files just upcast)
+    _WIDEN_OK = (
+        (T.IntegerType, T.LongType),
+        (T.ShortType, T.IntegerType),
+        (T.ShortType, T.LongType),
+        (T.FloatType, T.DoubleType),
+    )
+
+    def widen_column(self, name: str, new_type: T.DataType) -> None:
+        """Schema evolution: TYPE WIDENING, metadata-only (Iceberg's
+        type-promotion rules): int→bigint, float→double, and
+        decimal(P,S)→decimal(P',S) with P'>=P. Old parquet files keep
+        their narrow physical type; reads resolve them under the widened
+        read schema (parquet upcast — exact by construction, so no
+        rewrite and no value change). Narrowing and scale changes are
+        refused: they can lose values, which Iceberg likewise forbids."""
+        if name not in self.schema.fieldNames():
+            raise KeyError(f"{self.name}: no such column {name!r}")
+        old_t = self.schema[name].dataType
+        ok = any(
+            isinstance(old_t, a) and isinstance(new_type, b)
+            for a, b in self._WIDEN_OK
+        )
+        if (
+            isinstance(old_t, T.DecimalType)
+            and isinstance(new_type, T.DecimalType)
+            and new_type.scale == old_t.scale
+            and new_type.precision >= old_t.precision
+        ):
+            ok = True
+        if old_t == new_type:
+            return  # idempotent no-op
+        if not ok:
+            raise ValueError(
+                f"{self.name}: cannot widen {name} from "
+                f"{old_t.simpleString()} to {new_type.simpleString()} — "
+                "only int→bigint, float→double, and same-scale decimal "
+                "precision growth are exact promotions"
+            )
+        self.schema = T.StructType(
+            [
+                T.StructField(name, new_type, f.nullable, f.metadata)
+                if f.name == name
+                else f
+                for f in self.schema.fields
+            ]
+        )
+        self._commit_schema_change(
+            f"widen_column {name} {old_t.simpleString()}->{new_type.simpleString()}"
+        )
 
     def rename_column(self, old: str, new: str) -> None:
         """Schema evolution: RENAME COLUMN, metadata-only (Iceberg §2.7).

@@ -106,10 +106,13 @@ _PRIORITY = [
     # lake layer (S10/U1/M1 + tiering + row-level + changelog + skipping;
     # time-travel rotates to the SQL forms below; clustered scan and the
     # new hidden-partitioning scan gate for the first time)
+    # (maintenance-lifecycle rotates out thrice-green r2/r3/r4 — expiry +
+    # compaction stay covered by lake_file_skipping's compact and the unit
+    # suite; merge-on-read position deletes gate for the first time)
     "lake_upsert_customers",
     "lake_union_read",
     "lake_pk_union_read",
-    "lake_maintenance_lifecycle",
+    "lake_mor_delete",
     "lake_file_skipping",
     "lake_partition_pruning",
     "lake_clustered_scan",

@@ -533,3 +533,71 @@ def clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "lake_mor_delete",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      AND NOT (o_orderpriority = '1-URGENT'
+               AND CAST(o_orderdate AS DATE) < DATE '1994-01-01')
+    GROUP BY order_year
+    """,
+)
+def mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE end-to-end (the Iceberg v2
+    ``write.delete.mode=merge-on-read`` role; the reference's cold path
+    is Iceberg, trino/iceberg.properties:6): a retention delete drops
+    the 1998+ tail and a targeted delete tombstones old urgent orders —
+    both commit POSITION-DELETE files only, with every data file carried
+    forward byte-identical (asserted here), which at 100 TB turns a
+    wide-file delete from a rewrite into an O(deleted rows) append.
+    Readers anti-join the broadcast tombstones; the aggregate must match
+    the plain double-NOT filter DuckDB computes over the source."""
+    from pyspark.sql import types as T
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "mordelete"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("order_key"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+    )
+    t = cat.create_table(
+        "orders_mor",
+        T.StructType(
+            [
+                T.StructField("order_key", T.IntegerType(), False),
+                T.StructField("order_date", T.DateType(), True),
+                T.StructField("priority", T.StringType(), True),
+                T.StructField("total_price", T.DecimalType(15, 2), True),
+            ]
+        ),
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    yr = F.year("order_date")
+    t.append(orders.filter(yr <= 1994))
+    t.append(orders.filter((yr >= 1995) & (yr <= 1997)))
+    t.append(orders.filter(yr >= 1998))
+    before = list(t.snapshot().files)
+    import datetime as _dt
+
+    t.delete([("order_date", ">=", _dt.date(1998, 1, 1))])
+    t.delete(
+        [("priority", "=", "1-URGENT"), ("order_date", "<", _dt.date(1994, 1, 1))]
+    )
+    snap = t.snapshot()
+    assert snap.files == before, "merge-on-read must not rewrite data files"
+    assert len(snap.delete_files) == 2
+    return (
+        t.read()
+        .groupBy(F.year("order_date").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total_price").cast("double").alias("revenue"),
+        )
+    )

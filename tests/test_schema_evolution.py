@@ -117,3 +117,77 @@ def test_sql_alter_rename_drop(spark, tmp_path):
     eng.sql("ALTER TABLE s DROP COLUMN note")
     cols = {r.col_name for r in eng.sql("DESCRIBE TABLE s").collect()}
     assert cols == {"k", "value"}
+
+
+# ---------- part 3: type widening (Iceberg type-promotion matrix) ----------
+
+
+def test_widen_int_to_long_reads_old_files(spark, t):
+    t.widen_column("k", T.LongType())
+    assert t.schema["k"].dataType == T.LongType()
+    got = sorted(r.k for r in t.read().collect())
+    assert got == list(range(10))  # int32 files upcast under long schema
+    t.append(
+        spark.createDataFrame(
+            [(2**40, 1, "big")], "k long, v long, note string"
+        )
+    )
+    assert t.read().filter(F.col("k") > 2**39).count() == 1
+    assert t.read().count() == 11
+
+
+def test_widen_decimal_precision(spark, tmp_path):
+    import decimal
+
+    cat = LakeCatalog(spark, str(tmp_path / "whd"))
+    df = spark.createDataFrame(
+        [(1, decimal.Decimal("12.34"))], "k int, price decimal(10,2)"
+    )
+    t = cat.create_table("dec", df.schema)
+    t.append(df)
+    t.widen_column("price", T.DecimalType(20, 2))
+    assert t.schema["price"].dataType == T.DecimalType(20, 2)
+    t.append(
+        spark.createDataFrame(
+            [(2, decimal.Decimal("123456789012345678.99"))],
+            "k int, price decimal(20,2)",
+        )
+    )
+    got = {r.k: r.price for r in t.read().collect()}
+    assert got[1] == decimal.Decimal("12.34")
+    assert got[2] == decimal.Decimal("123456789012345678.99")
+
+
+def test_widen_refuses_narrowing_and_scale_change(spark, t):
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("v", T.IntegerType())  # long -> int narrows
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("note", T.IntegerType())  # string -> int
+    t2 = LakeCatalog(spark, t.path + "_d").create_table(
+        "d2",
+        T.StructType([T.StructField("p", T.DecimalType(10, 2), True)]),
+    )
+    with pytest.raises(ValueError, match="cannot widen"):
+        t2.widen_column("p", T.DecimalType(12, 4))  # scale change
+
+
+def test_widen_time_travel_reads_old_type(spark, t):
+    v0 = t.current_version()
+    t.widen_column("k", T.LongType())
+    old = t.read(version=v0)
+    assert dict(old.dtypes)["k"] == "int"  # snapshot schema preserved
+    assert t.read().schema["k"].dataType == T.LongType()
+
+
+def test_widen_sql_surface(spark, tmp_path):
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whsql"))
+    df = spark.range(5).select(F.col("id").cast("int").alias("k"))
+    t = eng.create_table("wsql", df.schema)
+    t.append(df)
+    eng.refresh("wsql")
+    eng.sql("ALTER TABLE wsql ALTER COLUMN k TYPE BIGINT")
+    t = eng.catalog.load("wsql")
+    assert t.schema["k"].dataType == T.LongType()
+    assert eng.sql("SELECT SUM(k) AS s FROM wsql").collect()[0].s == 10

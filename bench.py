@@ -70,8 +70,10 @@ HEADLINE = [
     "lake_maintenance_lifecycle",
     "lake_incremental_read",
     "lake_file_skipping",
+    "lake_partition_pruning",
     "lake_clustered_scan",
     "lake_row_level_ops",
+    "lake_mor_delete",
     "lake_pk_changelog",
     "stream_nation_revenue",
     "stream_stateful_sessions",
@@ -108,6 +110,7 @@ HEADLINE = [
     "text_stratified_sample",
     "text_repetition_filter",
     "dedup_decontaminate",
+    "dedup_source_overlap",
     "text_unigram_lm_score",
     "text_budget_mixing",
     "pipeline_curation_end2end",

@@ -380,6 +380,24 @@ def _partition_may_match(pvals: dict | None, spec: list[dict], col: str, op: str
     return True
 
 
+_FILE_SEQ_RE = re.compile(r"data/s(\d+)/")
+
+
+def _file_seq(relpath: str) -> int:
+    """Write-sequence of a data file = the snapshot id in its path
+    (data/s{N}/...) — the Iceberg data-sequence-number role that scopes
+    equality deletes to files written BEFORE the delete."""
+    m = _FILE_SEQ_RE.match(relpath)
+    return int(m.group(1)) if m else -1
+
+
+def _bucket_of_path(relpath: str) -> int | None:
+    for part in relpath.split(os.sep):
+        if part.startswith("__bucket="):
+            return int(part.split("=", 1)[1])
+    return None
+
+
 def _where_filter(where: list[tuple]) -> F.Column:
     """The Spark filter for a scan predicate — always applied to the
     scanned rows, so results are independent of how well pruning did."""
@@ -441,15 +459,36 @@ class Snapshot:
         return Snapshot(**d)
 
     def active_delete_count(self, files: list[str] | None = None) -> int:
-        """Number of tombstoned positions referencing files present in
-        this snapshot (or the given file list) — metadata-only."""
+        """Number of tombstoned rows hidden by delete files still active
+        against files present in this snapshot (or the given list) —
+        metadata-only. Position deletes count per referenced file;
+        equality deletes count their per-bucket exact hide counts while
+        that bucket still holds any file older than the delete's
+        sequence (a bucket rewrite materializes them, making the entry
+        inert there)."""
         present = set(self.files if files is None else files)
-        return sum(
-            n
-            for d in self.delete_files
-            for f, n in (self.delete_meta.get(d) or {}).get("files", {}).items()
-            if f in present
-        )
+        total = 0
+        for d in self.delete_files:
+            meta = self.delete_meta.get(d) or {}
+            if meta.get("kind") == "equality":
+                seq = meta.get("seq", -1)
+                live_buckets = {
+                    str(_bucket_of_path(f))
+                    for f in present
+                    if _file_seq(f) < seq
+                }
+                total += sum(
+                    n
+                    for b, n in meta.get("hides", {}).items()
+                    if b in live_buckets
+                )
+            else:
+                total += sum(
+                    n
+                    for f, n in meta.get("files", {}).items()
+                    if f in present
+                )
+        return total
 
 
 class LakeTable:
@@ -720,13 +759,22 @@ class LakeTable:
             file_meta[f] = m
         if delete_files is None:
             files_set = set(files)
+
+            def _still_active(d: str) -> bool:
+                meta = (parent.delete_meta or {}).get(d) or {}
+                if meta.get("kind") == "equality":
+                    seq = meta.get("seq", -1)
+                    hides = meta.get("hides", {})
+                    return any(
+                        _file_seq(f) < seq
+                        and str(_bucket_of_path(f)) in hides
+                        for f in files_set
+                    )
+                return any(f in files_set for f in meta.get("files", {}))
+
             delete_files = [
-                d
-                for d in (parent.delete_files if parent else [])
-                if any(
-                    f in files_set
-                    for f in (parent.delete_meta.get(d) or {}).get("files", {})
-                )
+                d for d in (parent.delete_files if parent else [])
+                if _still_active(d)
             ]
             delete_meta = {
                 d: (parent.delete_meta or {}).get(d, {}) for d in delete_files
@@ -1121,6 +1169,99 @@ class LakeTable:
             return self._mor_delete(where)
         return self._row_level_rewrite("delete", where, set_exprs=None)
 
+    def delete_by_key(self, keys: DataFrame) -> Snapshot:
+        """Key-targeted DELETE on a PK table via an EQUALITY-DELETE file
+        (the Iceberg v2 equality-delete role — what a streaming CDC
+        writer emits for retractions): the commit writes only the key
+        set, never reading or rewriting data files beyond one bounded
+        count of the touched buckets. A row is hidden when its file's
+        write sequence predates the delete's sequence and its key
+        matches; a later re-insert of the key (newer file) survives.
+        The NEXT merge() touching a bucket materializes its tombstones
+        (the bucket rewrite reads live rows), after which the entry is
+        inert there — exactly Iceberg's sequence-number semantics.
+
+        Scale shape: write cost O(|keys|); read cost one broadcast
+        anti-join; the exact hide-count scan is bounded to the touched
+        buckets (needed so COUNT(*) stays metadata-exact afterwards)."""
+        if not self.primary_key:
+            raise ValueError(
+                f"{self.name}: delete_by_key() requires a primary key; "
+                "log tables use delete(where=)"
+            )
+        snap = self.snapshot()
+        keys = keys.select(*self.primary_key).dropDuplicates()
+        if snap is None or not snap.files:
+            return self._commit(
+                "delete", [], 0, 0, summary={"mode": "equality", "hidden_rows": 0}
+            )
+        footer_total = snap.total_rows + snap.active_delete_count()
+        version = self._next_version()
+        # bucket routing: only buckets holding a delete key can hide rows
+        keyed = keys.withColumn("__bucket", self._bucket_col())
+        buckets = {
+            r["__bucket"] for r in keyed.select("__bucket").distinct().collect()
+        }
+        touched = [f for f in snap.files if _bucket_of_path(f) in buckets]
+        rel_dir = f"deletes/s{version}"
+        out = os.path.join(self.path, rel_dir)
+        keys.coalesce(1).write.mode("overwrite").parquet(out)
+        new_del = [
+            os.path.join(rel_dir, os.path.basename(p))
+            for p in _list_parquet(out)
+        ]
+        # exact per-bucket hide counts: semi-join LIVE rows of touched
+        # buckets against the keys (bounded by the key set's buckets)
+        if touched:
+            live = self._read_live(
+                touched, self.schema, self.field_ids, snap
+            )
+            kk = keys.select(
+                *[F.col(k).alias(f"__dk_{k}") for k in self.primary_key]
+            )
+            cond = None
+            for k in self.primary_key:
+                c = live[k].eqNullSafe(F.col(f"__dk_{k}"))
+                cond = c if cond is None else cond & c
+            hit = live.join(F.broadcast(kk), on=cond, how="left_semi")
+            per_bucket = {
+                str(r["__bucket"]): r["n"]
+                for r in hit.withColumn("__bucket", self._bucket_col())
+                .groupBy("__bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        else:
+            per_bucket = {}
+        n_hidden = sum(per_bucket.values())
+        delete_files = list(snap.delete_files) + new_del
+        delete_meta = {
+            **snap.delete_meta,
+            **{
+                d: {
+                    "kind": "equality",
+                    "seq": version,
+                    "rows": n_hidden,
+                    "hides": per_bucket,
+                    "key": list(self.primary_key),
+                }
+                for d in new_del
+            },
+        }
+        return self._commit(
+            "delete",
+            list(snap.files),
+            footer_total,
+            0,
+            summary={
+                "mode": "equality",
+                "hidden_rows": n_hidden,
+                "buckets_touched": sorted(int(b) for b in per_bucket),
+            },
+            delete_files=delete_files,
+            delete_meta=delete_meta,
+        )
+
     def _mor_delete(self, where: list[tuple]) -> Snapshot:
         """Merge-on-read DELETE: commit a position-delete file, never
         touching data files. The scan is stats-bounded like the CoW path
@@ -1140,41 +1281,14 @@ class LakeTable:
                 summary={"mode": "merge-on-read", "deleted_positions": 0},
             )
         matched = F.coalesce(_where_filter(where), F.lit(False))
-        ext, cols = self._alias_projection(self.schema, self.field_ids)
-        raw = self.spark.read.schema(ext).parquet(
-            *[os.path.join(self.path, f) for f in touched]
-        )
-        rel = F.regexp_extract(
-            F.col("_metadata.file_path"), r"(data/s\d+/.+)$", 1
-        )
         pos_df = (
-            raw.select(
-                *cols,
-                rel.alias("__file"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
+            self._tagged_live_rows(touched, snap)
             .filter(matched)
             .select("__file", "__pos")
         )
-        prior = self._active_deletes_df(snap, touched)
-        if prior is not None:
-            pos_df = pos_df.join(
-                F.broadcast(prior), on=["__file", "__pos"], how="left_anti"
-            )
         version = self._next_version()
-        rel_dir = f"deletes/s{version}"
-        out = os.path.join(self.path, rel_dir)
         # a delete file is O(matched rows) of (path, long) — single file
-        pos_df.coalesce(1).write.mode("overwrite").parquet(out)
-        new_del = [
-            os.path.join(rel_dir, os.path.basename(p))
-            for p in _list_parquet(out)
-        ]
-        per_file = {
-            r["__file"]: r["n"]
-            for r in self.spark.read.parquet(out)
-            .groupBy("__file").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        new_del, per_file = self._write_delete_file(pos_df, version)
         n_del = sum(per_file.values())
         delete_files = list(snap.delete_files) + new_del
         delete_meta = {
@@ -1210,7 +1324,117 @@ class LakeTable:
         unknown = [c for c in set_exprs if c not in self.schema.fieldNames()]
         if unknown:
             raise ValueError(f"{self.name}: UPDATE of unknown columns {unknown}")
+        if self.properties.get("write.update.mode") == "merge-on-read":
+            return self._mor_update(set_exprs, where)
         return self._row_level_rewrite("update", where, set_exprs=set_exprs)
+
+    def _tagged_live_rows(self, files: list[str], snap: Snapshot):
+        """Live rows of ``files`` with (__file, __pos) provenance columns —
+        the shared scan under both merge-on-read write paths."""
+        ext, cols = self._alias_projection(self.schema, self.field_ids)
+        raw = self.spark.read.schema(ext).parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+        rel = F.regexp_extract(
+            F.col("_metadata.file_path"), r"(data/s\d+/.+)$", 1
+        )
+        tagged = raw.select(
+            *cols,
+            rel.alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        prior = self._active_deletes_df(snap, files)
+        if prior is not None:
+            tagged = tagged.join(
+                F.broadcast(prior), on=["__file", "__pos"], how="left_anti"
+            )
+        eqs = self._eq_deletes_for(snap, files)
+        if eqs:
+            tagged = self._apply_eq_deletes(tagged, eqs)
+        return tagged
+
+    def _write_delete_file(self, pos_df: DataFrame, version: int) -> tuple:
+        """Write (__file, __pos) tombstones under deletes/s{version};
+        returns (relpaths, per_file_counts)."""
+        rel_dir = f"deletes/s{version}"
+        out = os.path.join(self.path, rel_dir)
+        pos_df.coalesce(1).write.mode("overwrite").parquet(out)
+        new_del = [
+            os.path.join(rel_dir, os.path.basename(p))
+            for p in _list_parquet(out)
+        ]
+        per_file = {
+            r["__file"]: r["n"]
+            for r in self.spark.read.parquet(out)
+            .groupBy("__file").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return new_del, per_file
+
+    def _mor_update(
+        self, set_exprs: dict[str, str], where: list[tuple]
+    ) -> Snapshot:
+        """Merge-on-read UPDATE (``write.update.mode=merge-on-read``):
+        one commit carrying a position-delete file tombstoning the
+        matched rows PLUS a new data file with their updated images —
+        write cost O(matched rows), untouched files never rewritten
+        (the Iceberg v2 update write-mode). Readers see exactly one
+        version of each row: the tombstone hides the old image, the
+        appended file supplies the new one."""
+        if not where:
+            raise ValueError(f"{self.name}: update() requires a predicate")
+        snap = self.snapshot()
+        if snap is None or not snap.files:
+            return self._commit("update", [], 0, 0, summary={"files_rewritten": 0})
+        touched = self.plan_scan(where, snapshot=snap)
+        footer_total = snap.total_rows + snap.active_delete_count()
+        if not touched:
+            return self._commit(
+                "update", list(snap.files), footer_total, 0,
+                summary={"mode": "merge-on-read", "updated_rows": 0},
+            )
+        matched = F.coalesce(_where_filter(where), F.lit(False))
+        rows = self._tagged_live_rows(touched, snap).filter(matched)
+        # one pass: persist so the tombstone write and the data write
+        # don't re-scan (model-sized: only matched rows)
+        rows = rows.persist()
+        try:
+            version = self._next_version()
+            new_del, per_file = self._write_delete_file(
+                rows.select("__file", "__pos"), version
+            )
+            n_upd = sum(per_file.values())
+            updated = rows.select(
+                *[
+                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            new_files = self._write_files(
+                updated, version, bucketed=bool(self.primary_key)
+            )
+        finally:
+            rows.unpersist()
+        files = sorted(list(snap.files) + new_files)
+        delete_files = list(snap.delete_files) + new_del
+        delete_meta = {
+            **snap.delete_meta,
+            **{d: {"rows": n_upd, "files": per_file} for d in new_del},
+        }
+        return self._commit(
+            "update",
+            files,
+            footer_total + self._rows_in(new_files),
+            self._rows_in(new_files),
+            summary={
+                "mode": "merge-on-read",
+                "updated_rows": n_upd,
+                "files_touched": len(touched),
+            },
+            delete_files=delete_files,
+            delete_meta=delete_meta,
+        )
 
     def _row_level_rewrite(
         self, op: str, where: list[tuple], set_exprs: dict[str, str] | None
@@ -1345,6 +1569,55 @@ class LakeTable:
             .filter(F.col("__file").isin(list(present)))
         )
 
+    def _eq_deletes_for(
+        self, snap: Snapshot | None, files: list[str]
+    ) -> list[tuple[str, dict]]:
+        """Equality-delete files still active against any scanned file
+        (some scanned file is older than the delete's sequence and lives
+        in a bucket the delete recorded hides for)."""
+        if snap is None or not snap.delete_files:
+            return []
+        out = []
+        for d in snap.delete_files:
+            meta = snap.delete_meta.get(d) or {}
+            if meta.get("kind") != "equality":
+                continue
+            seq = meta.get("seq", -1)
+            hides = meta.get("hides", {})
+            if any(
+                _file_seq(f) < seq and str(_bucket_of_path(f)) in hides
+                for f in files
+            ):
+                out.append((d, meta))
+        return out
+
+    def _apply_eq_deletes(
+        self, tagged: DataFrame, eqs: list[tuple[str, dict]]
+    ) -> DataFrame:
+        """Anti-join broadcast equality-delete keys against rows from
+        files OLDER than each delete's sequence (rows re-inserted later
+        survive — the Iceberg sequence-number scoping)."""
+        key_frames = []
+        for d, meta in eqs:
+            kdf = self.spark.read.parquet(os.path.join(self.path, d)).select(
+                *[F.col(k).alias(f"__ek_{k}") for k in self.primary_key],
+                F.lit(int(meta.get("seq", -1))).alias("__dseq"),
+            )
+            key_frames.append(kdf)
+        keys = key_frames[0]
+        for kf in key_frames[1:]:
+            keys = keys.unionByName(kf)
+        tagged = tagged.withColumn(
+            "__fseq",
+            F.regexp_extract(F.col("__file"), r"data/s(\d+)/", 1).cast("long"),
+        )
+        cond = F.col("__fseq") < F.col("__dseq")
+        for k in self.primary_key:
+            cond = cond & tagged[k].eqNullSafe(F.col(f"__ek_{k}"))
+        return tagged.join(F.broadcast(keys), on=cond, how="left_anti").drop(
+            "__fseq"
+        )
+
     def _read_live(
         self,
         files: list[str],
@@ -1353,15 +1626,18 @@ class LakeTable:
         snap: Snapshot | None,
     ) -> DataFrame:
         """Read data files under the target schema with merge-on-read
-        position deletes applied (the Iceberg v2 read path): tombstones
-        are file-scoped (__file, __pos) pairs, pruned to the scanned
-        files and BROADCAST into a left-anti join on the exact position —
-        delete files are O(deleted rows), so at 100 TB the anti-join side
-        stays model-sized while data files are never rewritten. Scans of
-        snapshots without deletes skip the join entirely."""
+        deletes applied (the Iceberg v2 read path). Position tombstones
+        are file-scoped (__file, __pos) pairs anti-joined on the exact
+        position; equality tombstones are PK keys anti-joined against
+        rows from files older than the delete's sequence. Both delete
+        sides are O(deleted rows) and BROADCAST, so at 100 TB the
+        anti-join side stays model-sized while data files are never
+        rewritten. Scans of snapshots without deletes skip the joins
+        entirely."""
         paths = [os.path.join(self.path, f) for f in files]
         dels = self._active_deletes_df(snap, files)
-        if dels is None:
+        eqs = self._eq_deletes_for(snap, files)
+        if dels is None and not eqs:
             return self._project_files(paths, sch, fids)
         ext, cols = self._alias_projection(sch, fids)
         raw = self.spark.read.schema(ext).parquet(*paths)
@@ -1375,10 +1651,13 @@ class LakeTable:
             rel.alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-        live = tagged.join(
-            F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
-        )
-        return live.drop("__file", "__pos")
+        if dels is not None:
+            tagged = tagged.join(
+                F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
+            )
+        if eqs:
+            tagged = self._apply_eq_deletes(tagged, eqs)
+        return tagged.drop("__file", "__pos")
 
     def _alias_projection(
         self, sch: T.StructType, fids: dict[str, int]
@@ -1861,12 +2140,35 @@ class LakeTable:
                         out[f] = out.get(f, 0) + c
             return out
 
+        def eq_state(snap: Snapshot | None) -> dict:
+            """bucket → frozenset of (delete_file, seq) equality deletes
+            active there — an equality delete changes a bucket without
+            touching its file set, so pruning compares this too."""
+            out: dict = {}
+            if snap is None:
+                return out
+            for d in snap.delete_files:
+                meta = snap.delete_meta.get(d) or {}
+                if meta.get("kind") != "equality":
+                    continue
+                seq = meta.get("seq", -1)
+                for f in snap.files:
+                    b = _bucket_of_path(f)
+                    if (
+                        _file_seq(f) < seq
+                        and str(b) in meta.get("hides", {})
+                    ):
+                        out.setdefault(b, set()).add((d, seq))
+            return out
+
         ob, nb = by_bucket(old_files), by_bucket(new_files)
         ot, nt = tomb_counts(old_snap), tomb_counts(new_snap)
+        oe, ne = eq_state(old_snap), eq_state(new_snap)
         changed = {
             b
             for b in set(ob) | set(nb)
             if ob.get(b) != nb.get(b)
+            or oe.get(b) != ne.get(b)
             or any(
                 ot.get(f, 0) != nt.get(f, 0)
                 for f in (ob.get(b, set()) | nb.get(b, set()))

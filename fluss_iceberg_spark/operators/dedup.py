@@ -617,3 +617,55 @@ def decontaminate(
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 6,
+) -> DataFrame:
+    """Cross-source duplication matrix (the data-mixing diagnostic run
+    before choosing corpus weights): for every ordered source pair
+    (src_a, src_b), how many of src_a's documents share at least one
+    word n-gram with ANY document of src_b, and what fraction of src_a
+    that is. High overlap means the sources duplicate each other and
+    their mixing weights double-count.
+
+    Scale shape: one inverted-index equi-join on the shingle — the probe
+    side is (doc, shingle) pairs, the build side is the DISTINCT
+    (shingle, source) relation (vocabulary-sized, far smaller than the
+    corpus). Per-shingle fanout is bounded by the number of SOURCES (not
+    documents), so the classic hot-shingle blowup of doc-level
+    self-joins cannot happen; the final distinct+count shuffles carry
+    only (doc, src_a, src_b) triples. At 100 TB add a document-frequency
+    cap on shingles (drop shingles present in nearly every source —
+    they carry no signal) to shrink the build side further."""
+    sh = shingles(docs, text_col, n).join(
+        docs.select("doc_id", F.col(group_col).alias("src_a")), on="doc_id"
+    )
+    src_sh = (
+        sh.select(F.col("src_a").alias("src_b"), "shingle").distinct()
+    )
+    hits = (
+        sh.join(src_sh, on="shingle")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select("doc_id", "src_a", "src_b")
+        .distinct()
+    )
+    totals = docs.groupBy(F.col(group_col).alias("src_a")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        hits.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .join(totals, on="src_a")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_overlap").cast("int").alias("n_overlap"),
+            (F.col("n_overlap").cast("double") / F.col("n_docs")).alias(
+                "frac_overlap"
+            ),
+        )
+    )

@@ -183,3 +183,41 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     benchmark = docs.filter(F.col("doc_id") % 37 == 0)
     return DD.decontaminate(docs, benchmark, n=4)
+
+
+@query(
+    "dedup_source_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, source,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] || ' ' || w[i+5] AS shingle
+        FROM toks, UNNEST(range(1, len(w) - 4)) AS t(i)
+    ), srcsh AS (
+        SELECT DISTINCT source, shingle FROM sh
+    ), hits AS (
+        SELECT DISTINCT s.doc_id, s.source AS src_a, o.source AS src_b
+        FROM sh s JOIN srcsh o
+          ON s.shingle = o.shingle AND s.source <> o.source
+    ), tot AS (
+        SELECT source AS src_a, COUNT(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT h.src_a, h.src_b,
+           CAST(COUNT(*) AS INT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_docs) AS frac_overlap
+    FROM hits h JOIN tot t ON h.src_a = t.src_a
+    GROUP BY h.src_a, h.src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (data-mixing diagnostic): for each
+    ordered source pair, the count and fraction of src_a's docs sharing
+    any word 6-gram with src_b. One inverted-index shingle join whose
+    build side is the vocabulary-sized (shingle, source) relation —
+    per-shingle fanout bounded by #sources, so the hot-shingle blowup of
+    doc-level self-joins cannot happen (operators/dedup.source_overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.source_overlap(docs, n=6)

@@ -188,3 +188,119 @@ def test_cow_remains_default(spark):
         assert snap.delete_files == []
         assert snap.summary.get("mode") is None
         assert t.read().count() == 90
+
+
+# ---------- merge-on-read UPDATE (write.update.mode=merge-on-read) ----------
+
+MORU = {"write.update.mode": "merge-on-read"}
+
+
+def test_mor_update_appends_and_tombstones(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d, props=MORU)
+        for lo in (0, 100):
+            t.append(spark.createDataFrame(_rows(lo, lo + 100), SCHEMA).coalesce(1))
+        before = list(t.snapshot().files)
+        snap = t.update({"price": "price * 2"}, [("k", "<", 10)])
+        assert snap.operation == "update"
+        assert snap.summary["mode"] == "merge-on-read"
+        assert snap.summary["updated_rows"] == 10
+        assert set(before) < set(snap.files)  # old files intact, new appended
+        assert len(snap.delete_files) == 1
+        assert snap.total_rows == 200  # row count unchanged by UPDATE
+        got = {r.k: r.price for r in t.read().collect()}
+        assert len(got) == 200
+        assert got[5] == decimal.Decimal("11.00")  # 5.50 * 2
+        assert got[50] == decimal.Decimal("50.50")  # untouched
+        # time travel to pre-update snapshot sees the old value
+        old = {r.k: r.price for r in t.read(version=snap.snapshot_id - 1).collect()}
+        assert old[5] == decimal.Decimal("5.50")
+
+
+def test_mor_update_then_delete_compose(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d, props={**MOR, **MORU})
+        t.append(spark.createDataFrame(_rows(0, 100), SCHEMA).coalesce(1))
+        t.update({"price": "price + 1"}, [("k", "<", 50)])
+        t.delete([("k", "<", 10)])
+        got = {r.k: r.price for r in t.read().collect()}
+        assert len(got) == 90
+        assert 0 not in got
+        assert got[10] == decimal.Decimal("11.50")  # updated, not deleted
+        assert got[60] == decimal.Decimal("60.50")  # untouched
+        assert t.count_rows() == 90
+
+
+# ---------- equality deletes (PK tables, delete_by_key) ----------
+
+
+def test_equality_delete_hides_keys_without_rewrite(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d, pk=["k"], props={})
+        t.merge(spark.createDataFrame(_rows(0, 100), SCHEMA))
+        before = list(t.snapshot().files)
+        keys = spark.createDataFrame([(i,) for i in range(10)], "k int")
+        snap = t.delete_by_key(keys)
+        assert snap.summary["mode"] == "equality"
+        assert snap.summary["hidden_rows"] == 10
+        assert snap.files == before  # no data file rewritten
+        assert snap.total_rows == 90
+        assert t.count_rows() == 90
+        assert sorted(r.k for r in t.read().collect()) == list(range(10, 100))
+
+
+def test_equality_delete_reinsert_survives(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d, pk=["k"], props={})
+        t.merge(spark.createDataFrame(_rows(0, 50), SCHEMA))
+        t.delete_by_key(spark.createDataFrame([(7,), (8,)], "k int"))
+        assert t.read().count() == 48
+        # re-insert key 7: the new file's sequence postdates the delete
+        t.merge(spark.createDataFrame(_rows(7, 8), SCHEMA))
+        got = sorted(r.k for r in t.read().collect())
+        assert 7 in got and 8 not in got
+        assert len(got) == 49
+        assert t.count_rows() == 49
+
+
+def test_equality_delete_missing_keys_count_zero(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d, pk=["k"], props={})
+        t.merge(spark.createDataFrame(_rows(0, 20), SCHEMA))
+        snap = t.delete_by_key(
+            spark.createDataFrame([(500,), (501,)], "k int")
+        )
+        assert snap.summary["hidden_rows"] == 0
+        assert t.count_rows() == 20
+
+
+def test_equality_delete_materialized_by_merge(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d, pk=["k"], props={})
+        t.merge(spark.createDataFrame(_rows(0, 100), SCHEMA))
+        t.delete_by_key(spark.createDataFrame([(i,) for i in range(100)], "k int"))
+        assert t.count_rows() == 0
+        # a merge touching every bucket rewrites them all; the equality
+        # entry becomes fully inert and is dropped from the snapshot
+        snap = t.merge(spark.createDataFrame(_rows(200, 300), SCHEMA))
+        assert t.count_rows() == 100
+        assert sorted(r.k for r in t.read().collect()) == list(range(200, 300))
+
+
+def test_equality_delete_changelog_emits_deletes(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d, pk=["k"], props={})
+        v0 = t.merge(spark.createDataFrame(_rows(0, 20), SCHEMA)).snapshot_id
+        v1 = t.delete_by_key(
+            spark.createDataFrame([(3,), (4,)], "k int")
+        ).snapshot_id
+        log = t.changelog(v0, v1).collect()
+        assert sorted((r.op, r.k) for r in log) == [("delete", 3), ("delete", 4)]
+
+
+def test_equality_delete_requires_pk(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d, props={})
+        t.append(spark.createDataFrame(_rows(0, 10), SCHEMA))
+        with pytest.raises(ValueError, match="requires a primary key"):
+            t.delete_by_key(spark.createDataFrame([(1,)], "k int"))

@@ -669,3 +669,71 @@ def source_overlap(
             ),
         )
     )
+
+
+def passage_dedup(
+    docs: DataFrame, text_col: str = "text", chunk_tokens: int = 20
+) -> DataFrame:
+    """Passage-level exact dedup (the RefinedWeb/CCNet pattern the
+    reference's relational surface implies for a document corpus): split
+    every document into consecutive ``chunk_tokens``-token passages, keep
+    each distinct passage's FIRST occurrence corpus-wide (ordered by
+    doc_id, then position), and reassemble each document from its
+    surviving passages.
+
+    Scale design (two shuffles, both on bounded keys):
+      1. chunking is a pure map (``slice`` over the token array inside
+         whole-stage codegen — no Python, no per-word explode);
+      2. the winner-per-passage pass partitions by the passage's 128-bit
+         fingerprint (``row_number`` over fp) — the one content-hash
+         shuffle every exact dedup needs;
+      3. reassembly partitions the KEPT passages by doc_id (duplicate
+         text has already been dropped, so this shuffle is the output
+         volume, not the input volume).
+    At 100 TB the fp shuffle dominates; it hash-balances by construction
+    (fingerprints are uniform) and carries each passage exactly once.
+
+    Output: (doc_id, kept_text, n_kept_chunks, n_total_chunks) for every
+    input document; fully-duplicated documents survive with kept_text=''.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.trim(F.col(text_col)))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, (i * chunk_tokens + 1).cast("int"), chunk_tokens), " "
+        ),
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(passages).alias("chunk_idx", "passage"),
+    ).withColumn("fp", F.md5(F.col("passage")))
+    win = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "passage"))
+                    ),
+                    lambda x: x["passage"],
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.count(F.lit(1)).cast("int").alias("n_kept_chunks"),
+        )
+    )
+    totals = docs.select(
+        "doc_id", F.when(F.size(toks) > 0, n_chunks).otherwise(0).alias("n_total_chunks")
+    )
+    return totals.join(kept, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        F.coalesce("n_kept_chunks", F.lit(0)).alias("n_kept_chunks"),
+        "n_total_chunks",
+    )

@@ -400,3 +400,65 @@ def unigram_scores(
             "rare_token_frac"
         ),
     )
+
+
+def shard_assignment(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 42,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment — the
+    materialization step of a training-data pipeline (shuffle the corpus
+    once, write N shards, stream them sequentially at train time).
+
+    Every row gets a 128-bit keyed fingerprint md5(seed:key); the shard is
+    the first 24 bits mod n_shards, the within-shard order is the full
+    digest. Properties that matter at 100 TB:
+      * reproducible across runs/engines (no RNG state, pure function of
+        seed+key);
+      * one hash-partition shuffle on `shard` (balanced by construction —
+        digests are uniform), then a within-partition sort; materializing
+        is `df.write.partitionBy("shard")` with no further movement;
+      * adding data re-shuffles ONLY via deterministic recompute — no
+        stateful shuffle files to keep.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    win = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        docs.select(key_col, h.alias("h"), shard.alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(win))
+        .select(key_col, "shard", "pos_in_shard", F.col("h").alias("shuffle_key"))
+    )
+
+
+def ngram_counts(
+    docs: DataFrame, n: int = 2, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus n-gram statistics: the top_k most frequent word n-grams
+    (count desc, ngram asc tie-break). The backbone of repetition /
+    contamination / boilerplate analysis over a corpus.
+
+    Scale shape: per-doc n-gram construction is a JVM-side array
+    transform (no Python); the count is a partial-aggregated groupBy
+    (map-side combine shrinks the shuffle to distinct n-grams per
+    partition); the top-k is TakeOrderedAndProject, never a full sort."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(toks, (i + 1).cast("int"), n), " "
+        ),
+    )
+    # documents shorter than n tokens contribute no n-grams
+    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(top_k)
+    )

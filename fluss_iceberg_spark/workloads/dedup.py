@@ -221,3 +221,46 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level self-joins cannot happen (operators/dedup.source_overlap)."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.source_overlap(docs, n=6)
+
+
+@query(
+    "dedup_passage_level",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(w[i * 20 + 1 : i * 20 + 20], ' ') AS passage
+        FROM words,
+             UNNEST(range(0, CAST(ceil(len(w) / 20.0) AS BIGINT))) AS t(i)
+    ), kept AS (
+        SELECT doc_id, chunk_idx, passage,
+               row_number() OVER (
+                   PARTITION BY passage ORDER BY doc_id, chunk_idx
+               ) AS rn
+        FROM chunks
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(passage, ' ' ORDER BY chunk_idx) AS kept_text,
+               COUNT(1) AS n_kept
+        FROM kept WHERE rn = 1 GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id, COUNT(1) AS n_chunks FROM chunks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.kept_text, '') AS kept_text,
+           CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept_chunks,
+           CAST(t.n_chunks AS INT) AS n_total_chunks
+    FROM documents d
+    JOIN tot t ON d.doc_id = t.doc_id
+    LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def passage_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (20-token windows): keep each distinct
+    passage's first corpus-wide occurrence, reassemble the survivors.
+    Two bounded-key shuffles; the fingerprint pass hash-balances by
+    construction. Reference role: corpus curation over the lake tables
+    (README.md:257-292 analytics surface extended to training-data ops)."""
+    return DD.passage_dedup(load_table(spark, sf_dir, "documents"))

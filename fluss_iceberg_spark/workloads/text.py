@@ -470,3 +470,55 @@ def curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("bigint")).alias("bin_tokens"),
     )
+
+
+@query(
+    "export_training_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, h,
+               CAST(('0x' || substr(h, 1, 6))::BIGINT % 16 AS INT) AS shard
+        FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+           ) AS INT) AS pos_in_shard,
+           h AS shuffle_key
+    FROM s
+    """,
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle into 16 training shards with
+    within-shard positions — the export step of a data pipeline. One
+    balanced hash shuffle; materialization is write.partitionBy(shard)."""
+    return TX.shard_assignment(
+        load_table(spark, sf_dir, "documents"), n_shards=16, seed=42
+    )
+
+
+@query(
+    "text_ngram_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), grams AS (
+        SELECT w[i] || ' ' || w[i + 1] AS ngram
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    )
+    SELECT ngram, COUNT(1) AS n_occurrences
+    FROM grams
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT 50
+    """,
+)
+def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram census: top-50 most frequent word bigrams.
+    Partial-aggregated groupBy + TakeOrderedAndProject top-k."""
+    return TX.ngram_counts(load_table(spark, sf_dir, "documents"), n=2, top_k=50)

@@ -94,6 +94,18 @@ class Engine:
         # (the reference's fluss vs iceberg catalogs, README.md:129-135);
         # USE CATALOG switches self.catalog
         self._catalogs: dict[str, LakeCatalog] = {"default": self.catalog}
+        self._view_managers: dict[str, object] = {}
+
+    @property
+    def views(self):
+        """Per-warehouse view/matview registry (definitions persist in the
+        warehouse, so they follow USE CATALOG switches like tables do)."""
+        from fluss_iceberg_spark.plans.views import ViewManager
+
+        wh = self.catalog.warehouse
+        if wh not in self._view_managers:
+            self._view_managers[wh] = ViewManager(self)
+        return self._view_managers[wh]
 
     # ---- DDL (S8-S13) ----
 
@@ -139,6 +151,16 @@ class Engine:
         """Re-register views after a write (snapshot reads are immutable)."""
         self._register(self.catalog.load(name))
 
+    def _refresh_referenced_tables(self, q: str) -> None:
+        """Re-register the temp view of every lake table a statement
+        references, so SQL always reads the CURRENT snapshot even when the
+        table was last written through the direct API (append/merge),
+        which bypasses the engine's registration hook. Metadata-only:
+        one snapshot-pointer read per referenced table, no data I/O."""
+        for name in self.catalog.tables():
+            if re.search(rf"\b{re.escape(name)}\b", q):
+                self._register(self.catalog.load(name))
+
     def attach_testdata(self, sf_dir: str) -> None:
         register_views(self.spark, sf_dir)
 
@@ -181,6 +203,49 @@ class Engine:
         q = query.strip().rstrip(";").strip()
         u = q.upper()
         self._materialize_metadata_views(q)
+        self._refresh_referenced_tables(q)
+        if re.match(r"CREATE\s+MATERIALIZED\s+VIEW\b", u):
+            m = re.match(
+                r"CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+AS\s+(.*)$",
+                q, re.I | re.S,
+            )
+            if not m:
+                raise ValueError(f"cannot parse CREATE MATERIALIZED VIEW: {q!r}")
+            self.views.create_matview(m.group(1), m.group(2))
+            return self._ok("created materialized view", m.group(1))
+        if re.match(r"REFRESH\s+MATERIALIZED\s+VIEW\b", u):
+            name = q.split()[-1].strip("`")
+            res = self.views.refresh_matview(name)
+            return self.spark.createDataFrame(
+                [(name, bool(res["refreshed"]), res["from"], res["to"])],
+                "name string, refreshed boolean, from_version long, to_version long",
+            )
+        if re.match(r"DROP\s+MATERIALIZED\s+VIEW\b", u):
+            name = q.split()[-1].strip("`")
+            self.views.drop_matview(name)
+            return self._ok("dropped materialized view", name)
+        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", u):
+            m = re.match(
+                r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+`?(\w+)`?\s+AS\s+(.*)$",
+                q, re.I | re.S,
+            )
+            if not m:
+                raise ValueError(f"cannot parse CREATE VIEW: {q!r}")
+            self.views.create_view(
+                m.group(2), m.group(3), replace=bool(m.group(1))
+            )
+            return self._ok("created view", m.group(2))
+        if u.startswith("DROP VIEW"):
+            name = q.split()[-1].strip("`")
+            self.views.drop_view(name)
+            return self._ok("dropped view", name)
+        if u.startswith("SHOW VIEWS"):
+            vm = self.views
+            rows = [(n, "logical") for n in vm.views] + [
+                (n, "materialized") for n in vm.matviews
+            ]
+            return self.spark.createDataFrame(rows or [], "name string, kind string")
+        self.views.materialize_referenced(q)
         if u.startswith("CREATE CATALOG"):
             return self._sql_create_catalog(q)
         if u.startswith("USE CATALOG"):

@@ -1,0 +1,298 @@
+"""SQL views and incrementally-maintained materialized views.
+
+Reference role: the demo's analytics layer re-runs the same aggregation
+query against the lake on every dashboard refresh (README.md:257-292,
+`nation_revenue` is itself a continuously-maintained aggregate,
+README.md:247-250). A lakehouse engine exposes that pattern two ways:
+
+* **logical views** — named SQL macros, re-planned at every reference so
+  they always see the current snapshot of the underlying lake tables;
+* **materialized views** — the aggregate is persisted as a PK lake table
+  and `REFRESH` advances it INCREMENTALLY: only the rows appended to the
+  base table since the last refresh are scanned (Iceberg incremental
+  read), partial-aggregated, and merged into the state by key. Refresh
+  cost is O(delta + touched keys), never O(base table) — the property
+  that matters at 100 TB, where the base grows by appends and a full
+  re-aggregation per refresh would re-scan the world.
+
+Supported MV shape: ``SELECT <keys...>, <AGG(expr) AS alias...> FROM
+<log_table> [WHERE <pred>] GROUP BY <keys>`` with SUM / COUNT / MIN /
+MAX / AVG. The base must be an append-only log table: PK-table bases
+produce retractions (row replacements), which SUM/COUNT cannot undo
+without full recomputation — the same restriction Iceberg/Delta place on
+incremental MV maintenance. AVG keeps hidden (sum, count) state columns
+and finalizes on read.
+
+Definitions persist in ``<warehouse>/_views.json`` so a fresh engine
+session sees the same view surface (the catalog is the durable store,
+the engine object is per-session, mirroring a REST-catalog deployment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_AGG_RE = re.compile(
+    r"^(SUM|COUNT|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S
+)
+_MV_SELECT_RE = re.compile(
+    r"^SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?"
+    r"(?:\s+WHERE\s+(.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(.*?))?$",
+    re.I | re.S,
+)
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+class ViewManager:
+    """Owns the view/matview registry for one Engine's warehouse."""
+
+    def __init__(self, engine) -> None:
+        self.engine = engine
+        # bound to the engine's ACTIVE catalog at construction; the engine
+        # keeps one manager per warehouse and dispatches by current catalog
+        self._path = os.path.join(engine.catalog.warehouse, "_views.json")
+        self._load()
+
+    # ---- persistence ----
+
+    def _load(self) -> None:
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                state = json.load(f)
+        else:
+            state = {}
+        self.views: dict[str, str] = dict(state.get("views") or {})
+        self.matviews: dict[str, dict] = dict(state.get("matviews") or {})
+
+    def _save(self) -> None:
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        _atomic_write(
+            self._path,
+            json.dumps({"views": self.views, "matviews": self.matviews}),
+        )
+
+    # ---- logical views ----
+
+    def create_view(self, name: str, select: str, replace: bool = False) -> None:
+        if not replace and name in self.views:
+            raise ValueError(f"view {name} already exists")
+        # validate eagerly: a broken definition should fail at CREATE,
+        # not at first use (plan-building only, nothing executes)
+        self.engine.sql(select)
+        self.views[name] = select
+        self._save()
+
+    def drop_view(self, name: str) -> None:
+        if name not in self.views:
+            raise ValueError(f"view {name} does not exist")
+        del self.views[name]
+        self.engine.spark.catalog.dropTempView(name)
+        self._save()
+
+    def materialize_referenced(self, q: str) -> None:
+        """Re-register every view/matview a statement references as a
+        fresh temp view. Views capture SQL TEXT, not plans — re-running
+        the definition through the engine re-resolves the CURRENT lake
+        snapshots (a Spark temp view would freeze the plan at creation).
+        Views are materialized in creation order, so a view over a view
+        resolves; only plan construction happens here (lazy, no I/O)."""
+        if getattr(self, "_materializing", False):
+            return  # nested engine.sql() during materialization
+        referenced = False
+        for name in list(self.views) + list(self.matviews):
+            if re.search(rf"\b{re.escape(name)}\b", q):
+                referenced = True
+        if not referenced:
+            return
+        self._materializing = True
+        try:
+            for name, select in self.views.items():
+                df = self.engine.sql(select)
+                df.createOrReplaceTempView(name)
+            for name in self.matviews:
+                self.read_matview(name).createOrReplaceTempView(name)
+        finally:
+            self._materializing = False
+
+    # ---- materialized views ----
+
+    def create_matview(self, name: str, select: str) -> None:
+        if name in self.matviews:
+            raise ValueError(f"materialized view {name} already exists")
+        m = _MV_SELECT_RE.match(select.strip())
+        if not m:
+            raise ValueError(f"cannot parse materialized-view SELECT: {select!r}")
+        proj, base_name, where, group_by = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+        )
+        base = self.engine.catalog.load(base_name)
+        if base.primary_key:
+            raise ValueError(
+                f"materialized view base {base_name} is a PK table; "
+                "incremental maintenance needs an append-only log base "
+                "(PK upserts retract rows, which SUM/COUNT cannot undo)"
+            )
+        keys = [c.strip().strip("`") for c in _split_top_level(group_by or "")]
+        aggs = []  # (func, arg_expr, alias)
+        for item in _split_top_level(proj):
+            am = _AGG_RE.match(item)
+            if am:
+                aggs.append((am.group(1).upper(), am.group(2), am.group(3)))
+            elif item.strip("`") in keys:
+                continue
+            else:
+                raise ValueError(
+                    f"materialized-view projection item {item!r} must be a "
+                    "GROUP BY key or AGG(expr) AS alias"
+                )
+        if not aggs:
+            raise ValueError("materialized view needs at least one aggregate")
+        defn = {
+            "base": base_name,
+            "where": where,
+            "keys": keys,
+            "aggs": [list(a) for a in aggs],
+            "last_version": -1,
+        }
+        # state table: PK = group keys, schema from the partial aggregate
+        state_schema = self._partial_agg(base.read().limit(0), defn).schema
+        self.engine.catalog.create_table(
+            self._state_name(name),
+            state_schema,
+            primary_key=keys,
+            not_null=keys,
+            n_buckets=base.n_buckets,
+        )
+        self.matviews[name] = defn
+        self._save()
+        self.refresh_matview(name)
+
+    def drop_matview(self, name: str) -> None:
+        if name not in self.matviews:
+            raise ValueError(f"materialized view {name} does not exist")
+        del self.matviews[name]
+        self.engine.catalog.drop(self._state_name(name))
+        self.engine.spark.catalog.dropTempView(name)
+        self._save()
+
+    @staticmethod
+    def _state_name(name: str) -> str:
+        return f"__mv_{name}"
+
+    def _partial_agg(self, df: DataFrame, defn: dict) -> DataFrame:
+        """Group the (delta) frame into mergeable per-key state: SUM /
+        COUNT / MIN / MAX merge with themselves; AVG becomes hidden
+        (sum, count) columns finalized at read time."""
+        if defn["where"]:
+            df = df.filter(F.expr(defn["where"]))
+        cols = []
+        for func, arg, alias in defn["aggs"]:
+            e = F.expr(arg)
+            if func == "SUM":
+                cols.append(F.sum(e).alias(alias))
+            elif func == "COUNT":
+                cols.append(F.count(e if arg.strip() != "*" else F.lit(1)).alias(alias))
+            elif func == "MIN":
+                cols.append(F.min(e).alias(alias))
+            elif func == "MAX":
+                cols.append(F.max(e).alias(alias))
+            elif func == "AVG":
+                cols.append(F.sum(e).alias(f"__{alias}_sum"))
+                cols.append(F.count(e).alias(f"__{alias}_cnt"))
+        return df.groupBy(*[F.col(k) for k in defn["keys"]]).agg(*cols)
+
+    def refresh_matview(self, name: str) -> dict:
+        """Incremental refresh: scan ONLY the base files appended since
+        the last refresh, partial-aggregate the delta, and merge it into
+        the state by key. The merge joins the delta against the state
+        table (right side pruned to touched keys by the PK-bucket join)
+        and upserts just those keys — refresh work is proportional to
+        the delta and its touched key set, independent of base size."""
+        defn = self.matviews[name]
+        base = self.engine.catalog.load(defn["base"])
+        state = self.engine.catalog.load(self._state_name(name))
+        cur = base.current_version() if base.snapshot() is not None else -1
+        last = defn["last_version"]
+        if cur <= last:
+            return {"refreshed": False, "from": last, "to": cur}
+        delta = self._partial_agg(
+            base.incremental_read(last, cur), defn
+        )
+        keys = defn["keys"]
+        merged = delta
+        if state.snapshot() is not None and state.snapshot().total_rows > 0:
+            old = state.read()
+            state_cols = [c for c in old.columns if c not in keys]
+            o = old.select(
+                *keys, *[F.col(c).alias(f"__old_{c}") for c in state_cols]
+            )
+            joined = delta.join(o, on=keys, how="left")
+            combine = []
+            for func, _arg, alias in defn["aggs"]:
+                names = (
+                    [f"__{alias}_sum", f"__{alias}_cnt"] if func == "AVG" else [alias]
+                )
+                for i, c in enumerate(names):
+                    new, prev = F.col(c), F.col(f"__old_{c}")
+                    if func in ("SUM", "COUNT") or (func == "AVG"):
+                        merged_col = (
+                            F.when(prev.isNull(), new)
+                            .when(new.isNull(), prev)
+                            .otherwise(new + prev)
+                        )
+                    elif func == "MIN":
+                        merged_col = F.least(new, prev)
+                    else:  # MAX
+                        merged_col = F.greatest(new, prev)
+                    combine.append(merged_col.alias(c))
+            merged = joined.select(*keys, *combine)
+        state.merge(merged)
+        defn["last_version"] = cur
+        self._save()
+        return {"refreshed": True, "from": last, "to": cur}
+
+    def read_matview(self, name: str) -> DataFrame:
+        """Finalized MV content: state columns, with AVG computed from
+        its hidden (sum, count) pair."""
+        defn = self.matviews[name]
+        state = self.engine.catalog.load(self._state_name(name))
+        df = state.read()
+        out = list(defn["keys"])
+        for func, _arg, alias in defn["aggs"]:
+            if func == "AVG":
+                out.append(
+                    (F.col(f"__{alias}_sum") / F.col(f"__{alias}_cnt")).alias(alias)
+                )
+            else:
+                out.append(F.col(alias))
+        return df.select(*out)

@@ -601,3 +601,54 @@ def mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_price").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "lake_matview_refresh",
+    oracle="""
+    SELECT o_orderpriority AS order_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+           COUNT(1) AS n_orders,
+           CAST(AVG(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def lake_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view over an append-only log
+    table, read through a logical view. Batch 1 lands before CREATE
+    MATERIALIZED VIEW (initial build), batch 2 lands after and is folded
+    in by REFRESH via the Iceberg-style incremental read — the refresh
+    scans ONLY batch-2 files and merges per-key state (O(delta), not
+    O(table)). Final MV state must equal the full GROUP BY over both
+    batches (the oracle). Exercises SUM/COUNT/AVG state merge, the
+    `_views.json` persistence, and view-over-matview resolution.
+    Reference role: `nation_revenue` is exactly such a continuously
+    maintained aggregate (README.md:196-203, 247-250)."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, _scratch(sf_dir, "matview"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("order_key"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+    )
+    t = eng.create_table("orders_log", orders.schema, not_null=["order_key"])
+    t.append(orders.filter(F.col("order_key") % 2 == 0))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_priority_rev AS "
+        "SELECT order_priority, SUM(total_price) AS sum_price, "
+        "COUNT(1) AS n_orders, AVG(total_price) AS avg_price "
+        "FROM orders_log GROUP BY order_priority"
+    )
+    t.append(orders.filter(F.col("order_key") % 2 == 1))
+    eng.sql("REFRESH MATERIALIZED VIEW mv_priority_rev")
+    eng.sql(
+        "CREATE OR REPLACE VIEW v_priority_rev AS "
+        "SELECT order_priority, sum_price, n_orders, avg_price "
+        "FROM mv_priority_rev"
+    )
+    return eng.sql(
+        "SELECT order_priority, CAST(sum_price AS DOUBLE) AS sum_price, "
+        "n_orders, CAST(avg_price AS DOUBLE) AS avg_price FROM v_priority_rev"
+    )

@@ -1,0 +1,122 @@
+"""View and materialized-view layer: logical-view freshness, incremental
+MV maintenance (SUM/COUNT/MIN/MAX/AVG state merge), persistence, errors."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluss_iceberg_spark.engine import Engine
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    yield Engine(spark, wh)
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, SCHEMA)
+
+
+def test_logical_view_sees_new_appends(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1)]))
+    eng.sql("CREATE VIEW v_tot AS SELECT k, SUM(v) AS s FROM base GROUP BY k")
+    assert eng.sql("SELECT * FROM v_tot").collect()[0].s == 1
+    t.append(_rows(spark, [("a", 10)]))
+    # view re-plans against the CURRENT snapshot, not the one at CREATE
+    assert eng.sql("SELECT * FROM v_tot").collect()[0].s == 11
+
+
+def test_view_replace_and_drop(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1)]))
+    eng.sql("CREATE VIEW v1 AS SELECT k FROM base")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE VIEW v1 AS SELECT v FROM base")
+    eng.sql("CREATE OR REPLACE VIEW v1 AS SELECT v FROM base")
+    assert eng.sql("SELECT * FROM v1").columns == ["v"]
+    kinds = {r.name: r.kind for r in eng.sql("SHOW VIEWS").collect()}
+    assert kinds == {"v1": "logical"}
+    eng.sql("DROP VIEW v1")
+    assert eng.sql("SHOW VIEWS").count() == 0
+
+
+def test_matview_incremental_min_max(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 5), ("a", 7), ("b", 3)]))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, MIN(v) AS lo, MAX(v) AS hi, "
+        "SUM(v) AS s, COUNT(1) AS n, AVG(v) AS a FROM base GROUP BY k"
+    )
+    t.append(_rows(spark, [("a", 1), ("b", 9), ("c", 4)]))
+    res = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    assert res.refreshed
+    got = {r.k: r for r in eng.sql("SELECT * FROM mv").collect()}
+    assert (got["a"].lo, got["a"].hi, got["a"].s, got["a"].n) == (1, 7, 13, 3)
+    assert got["a"].a == pytest.approx(13 / 3)
+    assert (got["b"].lo, got["b"].hi) == (3, 9)
+    assert (got["c"].lo, got["c"].hi, got["c"].n) == (4, 4, 1)
+    # no new appends -> no-op refresh
+    assert not eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0].refreshed
+
+
+def test_matview_refresh_scans_only_delta(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1)]))
+    eng.sql("CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS s FROM base GROUP BY k")
+    v0 = t.current_version()
+    t.append(_rows(spark, [("b", 2)]))
+    delta = t.incremental_read(v0, t.current_version())
+    # the refresh's input is exactly the appended batch
+    assert [(r.k, r.v) for r in delta.collect()] == [("b", 2)]
+    eng.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {r.k: r.s for r in eng.sql("SELECT * FROM mv").collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_matview_persists_across_engine_sessions(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1)]))
+    eng.sql("CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS s FROM base GROUP BY k")
+    eng2 = Engine(spark, eng.warehouse)
+    t2 = eng2.load_table("base")
+    t2.append(_rows(spark, [("a", 2)]))
+    eng2.sql("REFRESH MATERIALIZED VIEW mv")
+    assert eng2.sql("SELECT * FROM mv").collect()[0].s == 3
+
+
+def test_matview_rejects_pk_base_and_bad_projection(spark, eng):
+    eng.create_table("pkt", SCHEMA, primary_key=["k"])
+    with pytest.raises(ValueError, match="append-only log"):
+        eng.sql("CREATE MATERIALIZED VIEW m1 AS SELECT k, SUM(v) AS s FROM pkt GROUP BY k")
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1)]))
+    with pytest.raises(ValueError, match="GROUP BY key or AGG"):
+        eng.sql("CREATE MATERIALIZED VIEW m2 AS SELECT k, v FROM base GROUP BY k")
+
+
+def test_matview_where_clause_and_drop(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1), ("a", -5), ("b", 2)]))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS s FROM base "
+        "WHERE v > 0 GROUP BY k"
+    )
+    got = {r.k: r.s for r in eng.sql("SELECT * FROM mv").collect()}
+    assert got == {"a": 1, "b": 2}
+    eng.sql("DROP MATERIALIZED VIEW mv")
+    assert eng.sql("SHOW VIEWS").count() == 0
+    assert not eng.catalog.exists("__mv_mv")

@@ -200,12 +200,49 @@ def _stat_decode_key(v):
     return _stat_decode(v)
 
 
+_VALUE_SET_CAP = 64
+
+
+def _file_value_sets(abspath: str, cols: list[str], cap: int = _VALUE_SET_CAP) -> dict:
+    """Per-file distinct-value sets for declared low-cardinality STRING
+    columns (table property ``write.value-set-columns``) — the pruning
+    complement to min/max bounds. Lexicographic [min,max] ranges over
+    codes like src1/src10/src2 span nearly the whole domain, so equality
+    predicates can't prune; the exact value set can. Columns exceeding
+    ``cap`` distincts record no set (falls back to bounds). Mirrors what
+    a writer task would report alongside its footer stats on a cluster;
+    the stand-in reads just the listed columns of each NEW file at commit
+    time (column-pruned, dictionary-encoded — O(file's distinct values),
+    not a data scan of the table)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(abspath)
+    want = [
+        c for c in cols
+        if c in sch.names
+        and (sch.field(c).type == "string" or sch.field(c).type == "large_string")
+    ]
+    if not want:
+        return {}
+    tbl = pq.read_table(abspath, columns=want)
+    out = {}
+    for c in want:
+        uniq = pc.unique(tbl.column(c).combine_chunks()).drop_null().to_pylist()
+        if 0 < len(uniq) <= cap:
+            out[c] = sorted(uniq)
+    return out
+
+
 def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
     """Conservative file-skip test: False only when the footer min/max
     range PROVES no row can satisfy ``col op lit``. Files with no stats
     for the column (all-null, unsupported type, pre-stats snapshot) are
     kept. NULL rows never satisfy a comparison predicate, so ignoring
     them (as parquet stats do) is sound."""
+    vset = (meta or {}).get("value_sets", {}).get(col)
+    if vset is not None and op == "=" and isinstance(lit, str):
+        return lit in vset  # exact membership beats range bounds
     stats = (meta or {}).get("stats", {}).get(col)
     if not stats:
         return True
@@ -756,6 +793,14 @@ class LakeTable:
                 m = _file_column_stats(os.path.join(self.path, f))
                 if self.partition_spec:
                     m["partition"] = self._partition_values_from_path(f)
+                vcols = self.properties.get("write.value-set-columns")
+                if vcols:
+                    vs = _file_value_sets(
+                        os.path.join(self.path, f),
+                        [c.strip() for c in vcols.split(",") if c.strip()],
+                    )
+                    if vs:
+                        m["value_sets"] = vs
             file_meta[f] = m
         if delete_files is None:
             files_set = set(files)

@@ -652,3 +652,52 @@ def lake_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT order_priority, CAST(sum_price AS DOUBLE) AS sum_price, "
         "n_orders, CAST(avg_price AS DOUBLE) AS avg_price FROM v_priority_rev"
     )
+
+
+@query(
+    "lake_value_set_skipping",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source = 'src7'
+    GROUP BY lang
+    """,
+)
+def value_set_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-set (dictionary) file skipping where min/max bounds cannot
+    prune: documents land in 5 ingest batches, each holding the four
+    sources with the same id mod 5 (src2/src7/src12/src17 together, etc).
+    Lexicographic bounds of such a file span most of the src* domain, so
+    an equality scan on `source = 'src7'` keeps every file under min/max
+    pruning — but the per-file value sets (table property
+    `write.value-set-columns`, capped at 64 distincts) prove 4 of the 5
+    batches can't match and skip them exactly. At 100 TB this is the
+    difference between scanning one ingest lineage and the whole corpus
+    for code-valued columns that arrive unsorted. The predicate is
+    re-applied to scanned rows, so the result stays exact; pruning
+    effectiveness is asserted in tests/test_file_skipping.py."""
+    cat = LakeCatalog(spark, _scratch(sf_dir, "vset"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("int").alias("n_chars"),
+    )
+    t = cat.create_table(
+        "docs_log",
+        docs.schema,
+        properties={"write.value-set-columns": "source,lang"},
+    )
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    for i in range(5):
+        t.append(docs.filter(src_num % 5 == i))
+    return (
+        t.read(where=[("source", "=", "src7")])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+    )

@@ -369,3 +369,58 @@ def test_lake_write_restores_timestamp_conf(spark, tmp_path):
     assert spark.conf.get(key) == before
     # and the lake file itself still carries INT64 stats (skipping works)
     assert t.min_max("ts") is not None
+
+
+def test_value_set_pruning_beats_minmax(spark, tmp_path):
+    """Files hold lex-scattered code values (src2+src7+src12+src17 in one
+    batch): min/max keeps everything, value sets prune exactly."""
+    from pyspark.sql import functions as F
+
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from fluss_iceberg_spark.sources.tpch import load_table
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source"
+    )
+    t = cat.create_table(
+        "d",
+        docs.schema,
+        properties={"write.value-set-columns": "source"},
+    )
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    for i in range(5):
+        t.append(docs.filter(src_num % 5 == i).coalesce(1))
+    all_files = t.plan_scan()
+    kept = t.plan_scan(where=[("source", "=", "src7")])
+    # only batch i=2 (src2, src7, src12, src17) may contain src7
+    assert len(kept) < len(all_files)
+    for f in kept:
+        vs = t.snapshot().file_meta[f]["value_sets"]["source"]
+        assert "src7" in vs
+    # a value absent everywhere prunes the whole table
+    assert t.plan_scan(where=[("source", "=", "nope")]) == []
+    # result stays exact through the pruned scan
+    n = t.read(where=[("source", "=", "src7")]).count()
+    expect = docs.filter(F.col("source") == "src7").count()
+    assert n == expect
+
+
+def test_value_set_cap_falls_back_to_bounds(spark, tmp_path):
+    """A column with more distincts than the cap records no set and keeps
+    min/max pruning semantics (conservative, never wrong)."""
+    from pyspark.sql import functions as F
+
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh2"))
+    df = spark.range(200).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("code")
+    )
+    t = cat.create_table(
+        "c", df.schema, properties={"write.value-set-columns": "code"}
+    )
+    t.append(df.coalesce(1))
+    meta = t.snapshot().file_meta[t.plan_scan()[0]]
+    assert "value_sets" not in meta or "code" not in meta.get("value_sets", {})
+    assert t.read(where=[("code", "=", "v42")]).count() == 1

@@ -737,3 +737,75 @@ def passage_dedup(
         F.coalesce("n_kept_chunks", F.lit(0)).alias("n_kept_chunks"),
         "n_total_chunks",
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    n_iters: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    corpus scale without an all-pairs cosine pass. K-means partitions the
+    embedding space (distributed Lloyd, ``similarity.kmeans_fit``); the
+    pairwise keep/drop decision then runs ONLY within each cluster —
+    total cost Σ cluster_size² FLOPs instead of n², with clusters sized
+    n/K and processed in parallel.
+
+    Within a cluster the decision is deterministic greedy: scan vectors
+    in vec_id order, keep a vector iff its max cosine to every
+    already-kept vector is < threshold; dropped vectors record the kept
+    vector that excluded them as ``representative``. The kernel is one
+    Arrow-batched applyInPandas per cluster — BLAS matvec per step, no
+    row-at-a-time Python.
+
+    Output: (vec_id, cluster_id, keep, representative).
+    """
+    import pandas as pd
+
+    from fluss_iceberg_spark.operators.similarity import (
+        _as_double,
+        _assign_clusters,
+        _centroids_df,
+        kmeans_fit,
+    )
+
+    model = kmeans_fit(emb, n_clusters=n_clusters, n_iters=n_iters, dim=dim)
+    v = _as_double(emb)
+    assigned = _assign_clusters(
+        v, _centroids_df(emb.sparkSession, model), dim
+    ).select("vec_id", "v", F.col("cid").alias("cluster_id"))
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.vstack(pdf["v"].to_numpy()).astype("float64")
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        kept_idx: list[int] = []
+        keep = np.zeros(len(pdf), dtype=bool)
+        rep = ids.copy()
+        for i in range(len(pdf)):
+            if kept_idx:
+                sims = X[kept_idx] @ X[i]
+                j = int(sims.argmax())
+                if sims[j] >= threshold:
+                    rep[i] = ids[kept_idx[j]]
+                    continue
+            keep[i] = True
+            kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"].to_numpy(),
+                "keep": keep,
+                "representative": rep,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        _greedy,
+        "vec_id long, cluster_id long, keep boolean, representative long",
+    )

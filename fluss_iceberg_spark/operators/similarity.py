@@ -245,3 +245,83 @@ def embedding_hygiene(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         norm.alias("l2_norm"),
         (norm == 0.0).alias("is_zero"),
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame, n_clusters: int = 8, n_iters: int = 4, dim: int = 64
+) -> list:
+    """Fully-distributed Lloyd's k-means over the embedding table — the
+    scale path when the corpus exceeds any driver sample (complements
+    ``train_ivf_centroids``'s bounded-sample quantizer; same model
+    format, so the two are interchangeable downstream).
+
+    Per iteration, everything data-sized stays on executors:
+      * assignment: centroids BROADCAST (K·dim model), one scan of the
+        vectors, argmax cosine with lowest-cid tie-break;
+      * update: per-component partial sums via posexplode to
+        (cid, comp_idx, value) with map-side combine — the shuffle
+        carries at most K·dim rows per input partition, never vectors;
+      * the only driver materialization is the K·dim centroid model
+        itself, constant in data size.
+    Init is the first K vectors by vec_id (deterministic, same as IVF).
+    Returns [(cid, centroid, norm)].
+    """
+    import numpy as np
+
+    v = _as_double(vectors).select("vec_id", "v", "nrm")
+    seed_rows = v.orderBy("vec_id").limit(n_clusters).collect()
+    C = np.array([r.v for r in seed_rows], dtype="float64")
+    k = len(C)
+    spark = vectors.sparkSession
+    for _ in range(n_iters):
+        model = [
+            (i, [float(x) for x in C[i]], float(np.linalg.norm(C[i])))
+            for i in range(k)
+        ]
+        assigned = _assign_clusters(v, _centroids_df(spark, model), dim)
+        sums = (
+            assigned.select(
+                "cid",
+                F.posexplode(F.col("v")).alias("comp_idx", "val"),
+            )
+            .groupBy("cid", "comp_idx")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        newC = C.copy()
+        counts = np.zeros(k)
+        acc = np.zeros((k, dim))
+        for r in sums:
+            acc[r.cid][r.comp_idx] = r.s
+            counts[r.cid] = r.n
+        for c in range(k):
+            if counts[c] > 0:
+                newC[c] = acc[c] / counts[c]
+        C = newC
+    return [
+        (i, [float(x) for x in C[i]], float(np.linalg.norm(C[i])))
+        for i in range(k)
+    ]
+
+
+def kmeans_assign(
+    vectors: DataFrame, model: list, dim: int = 64
+) -> DataFrame:
+    """(vec_id, cluster_id, cos_to_centroid) under a fitted model —
+    broadcast centroids, one scan (argmax cosine, lowest-cid ties)."""
+    cent = _centroids_df(vectors.sparkSession, model)
+    v = _as_double(vectors)
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos",
+        dot_expanded(F.col("v"), F.col("cv"), dim) / (F.col("nrm") * F.col("cn")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.round("ccos", 4).alias("cos_to_centroid"),
+        )
+    )

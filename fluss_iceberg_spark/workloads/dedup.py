@@ -264,3 +264,15 @@ def passage_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Reference role: corpus curation over the lake tables
     (README.md:257-292 analytics surface extended to training-data ops)."""
     return DD.passage_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_semdedup")
+def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning: k-means partition + within-cluster
+    greedy cosine keep/drop (τ=0.9). Rows-only gate (k-means float
+    iterations are engine-specific); the greedy decision's equivalence
+    to an exact per-cluster reference is unit-tested in
+    tests/test_kmeans_semdedup.py."""
+    return DD.semdedup(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.9
+    )

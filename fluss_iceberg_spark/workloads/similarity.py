@@ -76,3 +76,22 @@ def embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-table hygiene: dims, exact L2 norms, zero-vector flags —
     map-side only, no exchange."""
     return SIM.embedding_hygiene(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("ann_kmeans_clusters")
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means census (rows-only gate — float iteration
+    order makes exact hashes engine-specific; determinism vs a numpy
+    reference is unit-tested in tests/test_kmeans_semdedup.py): cluster
+    count, size, and mean cosine-to-centroid per cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = SIM.kmeans_fit(emb, n_clusters=8, n_iters=4)
+    assigned = SIM.kmeans_assign(emb, model)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_vectors"),
+            F.round(F.avg("cos_to_centroid"), 3).alias("mean_cos"),
+        )
+        .orderBy("cluster_id")
+    )

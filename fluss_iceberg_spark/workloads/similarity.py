@@ -95,3 +95,15 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query("ann_pq_topk")
+def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 for 8 query vectors (16 subspaces
+    x 64 codes = 16 bytes/vector). Rows-only gate (quantization error is
+    codebook-specific); recall vs brute force is unit-gated in
+    tests/test_pq.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    books = SIM.train_pq_codebooks(emb, n_subspaces=16, n_codes=64)
+    return SIM.pq_topk(emb, q, books, k=10)

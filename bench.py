@@ -121,6 +121,15 @@ HEADLINE = [
     "engine_time_travel_sql",
     "engine_timestamp_travel",
     "engine_merge_into",
+    "dedup_passage_level",
+    "export_training_shards",
+    "text_ngram_stats",
+    "lake_matview_refresh",
+    "lake_matview_changelog",
+    "lake_value_set_skipping",
+    "ann_kmeans_clusters",
+    "dedup_semdedup",
+    "ann_pq_topk",
 ]
 
 

@@ -119,7 +119,7 @@ class Engine:
         self._register(t)
         return t
 
-    _META_SUFFIXES = ("snapshots", "files", "history", "partitions")
+    _META_SUFFIXES = ("snapshots", "files", "history", "partitions", "refs")
 
     def _register(self, t: LakeTable) -> None:
         # the reference exposes metadata as `t$snapshots` (README.md:275);
@@ -133,7 +133,9 @@ class Engine:
         # statement references, just in time.
         t.read().createOrReplaceTempView(t.name)
 
-    _META_VIEW_RE = re.compile(r"\b(\w+)__(snapshots|files|history|partitions)\b")
+    _META_VIEW_RE = re.compile(
+        r"\b(\w+)__(snapshots|files|history|partitions|refs)\b"
+    )
 
     def _materialize_metadata_views(self, q: str) -> None:
         """Build the metadata companion views a statement actually
@@ -309,6 +311,14 @@ class Engine:
             )
         if u.startswith("EXECUTE STATEMENT SET"):
             return self._sql_statement_set(q)
+        if u.startswith("EXPLAIN"):
+            m = re.match(r"EXPLAIN\s+(FORMATTED\s+)?(.*)$", q, re.I | re.S)
+            inner = self.sql(m.group(2))
+            mode = "formatted" if m.group(1) else "simple"
+            plan = inner._sc._jvm.PythonSQLUtils.explainString(
+                inner._jdf.queryExecution(), mode
+            )
+            return self.spark.createDataFrame([(plan,)], "plan string")
         q = self._rewrite_time_travel(q)
         return self.spark.sql(q)
 
@@ -575,9 +585,19 @@ class Engine:
             out = [(args[0], "expire_snapshots",
                     f"expired={res['expired_snapshots']} removed_files={len(res['removed_files'])}")]
         elif proc == "rewrite_data_files":
+            # optional 3rd arg: 'col1,col2' = sort-order rewrite;
+            # 'zorder:col1,col2' = Z-order (multi-dim) clustering rewrite
+            cluster = args[2] if len(args) > 2 else None
+            sort_by = zorder_by = None
+            if cluster:
+                if cluster.lower().startswith("zorder:"):
+                    zorder_by = [c.strip() for c in cluster[7:].split(",")]
+                else:
+                    sort_by = [c.strip() for c in cluster.split(",")]
             snap = t.compact(
                 target_file_rows=int(args[1]) if len(args) > 1 else 1_000_000,
-                sort_by=[c.strip() for c in args[2].split(",")] if len(args) > 2 else None,
+                sort_by=sort_by,
+                zorder_by=zorder_by,
             )
             out = [(args[0], "rewrite_data_files", f"snapshot={snap.snapshot_id}")]
         elif proc == "remove_orphan_files":
@@ -598,6 +618,19 @@ class Engine:
         """``ALTER TABLE t ADD COLUMN name TYPE | RENAME COLUMN a TO b |
         DROP COLUMN name`` — metadata-only schema evolution (Iceberg
         §2.7 surface; LakeTable.add_column/rename_column/drop_column)."""
+        pf = re.match(
+            r"ALTER\s+TABLE\s+`?(\w+)`?\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$",
+            q, re.I,
+        )
+        if pf:
+            name, action, spec = pf.groups()
+            t = self.catalog.load(name)
+            if action.upper() == "ADD":
+                t.add_partition_field(spec.strip())
+            else:
+                t.drop_partition_field(spec.strip())
+            self._register(self.catalog.load(name))
+            return self._ok(f"{action.lower()}_partition_field", f"{name}:{spec.strip()}")
         rn = re.match(
             r"ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$",
             q, re.I,

@@ -1865,6 +1865,18 @@ class LakeTable:
             "size_bytes long",
         )
 
+    def refs(self) -> DataFrame:
+        """The ``t$refs`` metadata table (Iceberg's named-ref view): one
+        row per tag/branch plus the implicit ``main`` head — answered
+        from meta/refs.json, zero data I/O."""
+        refs = self._refs()
+        rows = [("main", "BRANCH", self.current_version())]
+        rows += [(n, "TAG", v) for n, v in sorted(refs["tags"].items())]
+        rows += [(n, "BRANCH", v) for n, v in sorted(refs["branches"].items())]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
     def history(self) -> DataFrame:
         """The ``t$history`` metadata table: the commit log as Iceberg
         reports it — when each snapshot became current and whether it is
@@ -2435,6 +2447,57 @@ class LakeTable:
         meta["retired_names"] = self.retired_names
         meta["next_field_id"] = self.next_field_id
         _atomic_write(meta_path, json.dumps(meta))
+
+    def _persist_partition_spec(self) -> None:
+        meta_path = os.path.join(self.path, "meta", "table.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["partition_spec"] = self.partition_spec
+        _atomic_write(meta_path, json.dumps(meta))
+
+    def add_partition_field(self, spec: str) -> None:
+        """Partition-spec evolution, add (Iceberg ``ALTER TABLE ... ADD
+        PARTITION FIELD``): future writes lay out under the extended
+        spec; EXISTING files keep their write-time layout and their
+        manifest partition record. Pruning stays sound without any
+        rewrite because ``_partition_may_match`` evaluates each file
+        against the partition values THAT FILE recorded — spec entries a
+        file predates are simply non-pruning for it (conservative), and
+        footer min/max still applies. This is exactly Iceberg's
+        spec-evolution contract: no data migration, old partitions keep
+        the old scheme."""
+        if self.primary_key:
+            raise ValueError(
+                f"{self.name}: partition spec applies to log tables "
+                "(PK tables are bucket-partitioned by key hash)"
+            )
+        entry = parse_partition_spec([spec], self.schema)[0]
+        if any(p["name"] == entry["name"] for p in self.partition_spec):
+            raise ValueError(
+                f"{self.name}: partition field {entry['name']!r} already exists"
+            )
+        self.partition_spec = self.partition_spec + [entry]
+        self._persist_partition_spec()
+        self._commit_schema_change(f"add-partition-field {entry['name']}")
+
+    def drop_partition_field(self, name_or_spec: str) -> None:
+        """Partition-spec evolution, drop: future writes stop deriving
+        the field; existing files keep and keep pruning by their recorded
+        values (their manifest record is self-describing)."""
+        target = name_or_spec.strip()
+        try:
+            target = parse_partition_spec([target], self.schema)[0]["name"]
+        except ValueError:
+            pass  # already a partition-field name, not a spec expression
+        keep = [p for p in self.partition_spec if p["name"] != target]
+        if len(keep) == len(self.partition_spec):
+            raise ValueError(
+                f"{self.name}: no partition field {target!r} "
+                f"(have {[p['name'] for p in self.partition_spec]})"
+            )
+        self.partition_spec = keep
+        self._persist_partition_spec()
+        self._commit_schema_change(f"drop-partition-field {target}")
 
     def _commit_schema_change(self, what: str) -> None:
         """Schema evolution lands as a snapshot (same files, zero data

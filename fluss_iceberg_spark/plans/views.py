@@ -17,7 +17,13 @@ README.md:247-250). A lakehouse engine exposes that pattern two ways:
 
 Supported MV shape: ``SELECT <keys...>, <AGG(expr) AS alias...> FROM
 <log_table> [WHERE <pred>] GROUP BY <keys>`` with SUM / COUNT / MIN /
-MAX / AVG. The base must be an append-only log table: PK-table bases
+MAX / AVG / APPROX_COUNT_DISTINCT. The last keeps a mergeable
+HyperLogLog sketch (``hll_sketch_agg``/``hll_union``) as its state —
+the only way COUNT(DISTINCT) can be maintained incrementally without
+re-scanning the base, and the standard trade at 100 TB (exact distinct
+state would be O(#distincts) per key).
+
+The base must be an append-only log table: PK-table bases
 produce retractions (row replacements), which SUM/COUNT cannot undo
 without full recomputation — the same restriction Iceberg/Delta place on
 incremental MV maintenance. AVG keeps hidden (sum, count) state columns
@@ -39,7 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _AGG_RE = re.compile(
-    r"^(SUM|COUNT|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S
+    r"^(SUM|COUNT|MIN|MAX|AVG|APPROX_COUNT_DISTINCT)\s*\((.+)\)\s+AS\s+(\w+)$",
+    re.I | re.S,
 )
 _MV_SELECT_RE = re.compile(
     r"^SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?"
@@ -229,6 +236,8 @@ class ViewManager:
             elif func == "AVG":
                 cols.append(F.sum(e).alias(f"__{alias}_sum"))
                 cols.append(F.count(e).alias(f"__{alias}_cnt"))
+            elif func == "APPROX_COUNT_DISTINCT":
+                cols.append(F.hll_sketch_agg(e).alias(f"__{alias}_hll"))
         return df.groupBy(*[F.col(k) for k in defn["keys"]]).agg(*cols)
 
     def refresh_matview(self, name: str) -> dict:
@@ -259,21 +268,30 @@ class ViewManager:
             joined = delta.join(o, on=keys, how="left")
             combine = []
             for func, _arg, alias in defn["aggs"]:
-                names = (
-                    [f"__{alias}_sum", f"__{alias}_cnt"] if func == "AVG" else [alias]
-                )
-                for i, c in enumerate(names):
+                if func == "AVG":
+                    names = [f"__{alias}_sum", f"__{alias}_cnt"]
+                elif func == "APPROX_COUNT_DISTINCT":
+                    names = [f"__{alias}_hll"]
+                else:
+                    names = [alias]
+                for c in names:
                     new, prev = F.col(c), F.col(f"__old_{c}")
-                    if func in ("SUM", "COUNT") or (func == "AVG"):
+                    if func == "MIN":
+                        merged_col = F.least(new, prev)
+                    elif func == "MAX":
+                        merged_col = F.greatest(new, prev)
+                    elif func == "APPROX_COUNT_DISTINCT":
+                        merged_col = (
+                            F.when(prev.isNull(), new)
+                            .when(new.isNull(), prev)
+                            .otherwise(F.hll_union(new, prev))
+                        )
+                    else:  # SUM / COUNT / AVG partial sums
                         merged_col = (
                             F.when(prev.isNull(), new)
                             .when(new.isNull(), prev)
                             .otherwise(new + prev)
                         )
-                    elif func == "MIN":
-                        merged_col = F.least(new, prev)
-                    else:  # MAX
-                        merged_col = F.greatest(new, prev)
                     combine.append(merged_col.alias(c))
             merged = joined.select(*keys, *combine)
         state.merge(merged)
@@ -292,6 +310,10 @@ class ViewManager:
             if func == "AVG":
                 out.append(
                     (F.col(f"__{alias}_sum") / F.col(f"__{alias}_cnt")).alias(alias)
+                )
+            elif func == "APPROX_COUNT_DISTINCT":
+                out.append(
+                    F.hll_sketch_estimate(F.col(f"__{alias}_hll")).alias(alias)
                 )
             else:
                 out.append(F.col(alias))

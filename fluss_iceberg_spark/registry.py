@@ -89,6 +89,8 @@ _PRIORITY = [
     # TPC-H J3/A-class gate (q3 rotates out thrice-green; the J3 class
     # stays gated via q1 + the ref_* joins)
     "tpch_q1_pricing_summary",
+    # corpus n-gram census (first gate r5)
+    "text_ngram_stats",
     # window / aggregation operator families: running-total window rotates
     # in for top-per-group (thrice-green); CUBE and INTERSECT/EXCEPT get
     # their first driver gates beside ROLLUP
@@ -109,7 +111,8 @@ _PRIORITY = [
     # (maintenance-lifecycle rotates out thrice-green r2/r3/r4 — expiry +
     # compaction stay covered by lake_file_skipping's compact and the unit
     # suite; merge-on-read position deletes gate for the first time)
-    "lake_upsert_customers",
+    # (upsert rotates out four-times-green r1-r4; the PK-upsert write path
+    # stays gated through lake_pk_union_read + stream_nation_revenue)
     "lake_union_read",
     "lake_pk_union_read",
     "lake_mor_delete",
@@ -119,25 +122,34 @@ _PRIORITY = [
     "lake_row_level_ops",
     "lake_pk_changelog",
     "lake_incremental_read",
+    # incremental materialized view (+ CDC over its state) and value-set
+    # skipping (first gates r5)
+    "lake_matview_refresh",
+    "lake_matview_changelog",
+    "lake_value_set_skipping",
     # streaming (A1/ST*, S11, U2, stateful, stream-stream, exact dedup,
     # PK changelog, and the gated log-table stream subscription)
     "stream_nation_revenue",
     "stream_enriched_union",
-    "stream_events_hourly",
+    # (events_hourly rotates out thrice-green r2-r4; batch==stream parity
+    # stays unit-tested and the windowed-agg family keeps sliding_rollup)
     "stream_stateful_sessions",
     "stream_interval_join",
     "stream_exact_dedup",
     "stream_pk_changelog",
     "stream_log_appends",
-    # text analysis / curation (tfidf rotates out thrice-green; pii,
-    # stratified sampling, budget mixing, end-to-end chain keep gates)
-    "text_pii_scrub",
+    # text analysis / curation (tfidf + pii rotate out thrice-green;
+    # stratified sampling, budget mixing, end-to-end chain keep gates;
+    # the deterministic shard export gates first r5)
+    "export_training_shards",
     "text_stratified_sample",
     "text_budget_mixing",
     "pipeline_curation_end2end",
-    # deduplication (exact-dedup rotates out thrice-green; its shape
-    # stays gated via stream_exact_dedup)
-    "dedup_ngram_jaccard",
+    # deduplication (exact-dedup and ngram-jaccard rotate out
+    # thrice-green; exact's shape stays via stream_exact_dedup, the
+    # PPJoin index shape via minhash_lsh's verify stage; passage-level
+    # dedup gates first r5)
+    "dedup_passage_level",
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "dedup_embedding_cosine",
@@ -148,13 +160,13 @@ _PRIORITY = [
     "ann_embedding_hygiene",
     # skew-salted join (first gate)
     "join_skew_salted",
-    # multimodal (+ first gates for frame sampling / resize planning)
-    "multimodal_decode_features",
+    # multimodal (decode rotates out thrice-green r2-r4; the Arrow decode
+    # kernel class stays gated via frame sampling / resize planning)
     "multimodal_frame_sample",
     "multimodal_resize_features",
-    # SQL facade / file sources / DDL time travel + first gates for
-    # VERSION AS OF and multi-arm MERGE INTO
-    "sql_region_revenue",
+    # SQL facade / file sources / DDL time travel (sql_region_revenue
+    # rotates out four-times-green r1-r4; the facade stays gated via
+    # engine_merge_into + both time-travel forms)
     "source_formats_roundtrip",
     "engine_timestamp_travel",
     "engine_time_travel_sql",

@@ -701,3 +701,61 @@ def value_set_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
         )
     )
+
+
+@query(
+    "lake_matview_changelog",
+    oracle="""
+    WITH b1 AS (
+        SELECT o_orderpriority AS p,
+               SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS s,
+               COUNT(1) AS c
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+    ), tot AS (
+        SELECT o_orderpriority AS p,
+               SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS s,
+               COUNT(1) AS c
+        FROM orders GROUP BY 1
+    )
+    SELECT CASE WHEN b1.p IS NULL THEN 'insert' ELSE 'update' END AS op,
+           tot.p AS order_priority,
+           CAST(tot.s AS DOUBLE) AS sum_price,
+           tot.c AS n_orders
+    FROM tot LEFT JOIN b1 ON tot.p = b1.p
+    WHERE b1.p IS NULL OR tot.s <> b1.s OR tot.c <> b1.c
+    """,
+)
+def lake_matview_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC over a materialized view: the MV's state is itself a PK lake
+    table, so downstream consumers subscribe to aggregate CHANGES via the
+    standard changelog scan — refresh folds batch 2 in, and the changelog
+    between the two state snapshots must equal the set of groups whose
+    aggregates changed (insert = new group, update = changed group). This
+    is the lakehouse form of the reference's continuously-updated
+    `nation_revenue` + its downstream consumers (README.md:247-250,
+    296-316): aggregate once, stream deltas to everyone."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, _scratch(sf_dir, "matview_cdc"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("order_key"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+    )
+    t = eng.create_table("orders_cdc_log", orders.schema, not_null=["order_key"])
+    t.append(orders.filter(F.col("order_key") % 2 == 0))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_cdc AS "
+        "SELECT order_priority, SUM(total_price) AS sum_price, "
+        "COUNT(1) AS n_orders FROM orders_cdc_log GROUP BY order_priority"
+    )
+    state = eng.catalog.load("__mv_mv_cdc")
+    v_initial = state.current_version()
+    t.append(orders.filter(F.col("order_key") % 2 == 1))
+    eng.sql("REFRESH MATERIALIZED VIEW mv_cdc")
+    return eng.catalog.load("__mv_mv_cdc").changelog(v_initial).select(
+        "op",
+        "order_priority",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "n_orders",
+    )

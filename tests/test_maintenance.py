@@ -185,3 +185,40 @@ def test_sql_time_travel_rewrite_leaves_non_lake_tables(spark):
         # plain queries pass through to Catalyst untouched
         spark.range(3).createOrReplaceTempView("plain_view")
         assert eng.sql("SELECT COUNT(1) AS c FROM plain_view").collect()[0].c == 3
+
+
+def test_refs_metadata_table(spark, tmp_path):
+    """$refs lists main + tags + branches from metadata only."""
+    from pyspark.sql import types as T
+
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "refswh"))
+    sch = T.StructType([T.StructField("x", T.LongType())])
+    t = cat.create_table("rt", sch)
+    t.append(spark.createDataFrame([(1,)], sch))
+    t.create_tag("v1.0")
+    t.create_branch("audit")
+    rows = {(r.name, r.type): r.snapshot_id for r in t.refs().collect()}
+    assert rows[("main", "BRANCH")] == t.current_version()
+    assert ("v1.0", "TAG") in rows
+    assert ("audit", "BRANCH") in rows
+
+
+def test_call_rewrite_zorder(spark, tmp_path):
+    """CALL system.rewrite_data_files(t, n, 'zorder:a,b') routes to the
+    Z-order clustering rewrite."""
+    from pyspark.sql import functions as F
+
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "zwh"))
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") * 37 % 1000).alias("b")
+    )
+    t = eng.create_table("zt", df.schema)
+    t.append(df)
+    eng.sql("CALL system.rewrite_data_files(zt, 250, 'zorder:a,b')")
+    t = eng.load_table("zt")
+    assert t.snapshot().operation == "compact"
+    assert t.read().count() == 1000

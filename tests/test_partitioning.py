@@ -182,3 +182,61 @@ def test_sql_ddl_partitioned(spark, tmp_path):
         "SELECT partition, record_count FROM pev__partitions ORDER BY partition"
     ).collect()
     assert len(rows) == 2 and all(r.record_count == 1 for r in rows)
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """ADD PARTITION FIELD changes only FUTURE writes: old files keep
+    their layout and stay conservatively un-pruned by the new field,
+    new files prune by it; DROP PARTITION FIELD reverses for new writes
+    while old files keep pruning by their recorded values."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "pewh"))
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts", T.DateType(), True),
+            T.StructField("region", T.StringType(), True),
+        ]
+    )
+    t = eng.create_table("ev", sch)
+    jan = [(1, datetime.date(2024, 1, 5), "eu"), (2, datetime.date(2024, 1, 9), "us")]
+    feb = [(3, datetime.date(2024, 2, 5), "eu"), (4, datetime.date(2024, 2, 9), "us")]
+    t.append(spark.createDataFrame(jan, sch))  # unpartitioned layout
+    eng.sql("ALTER TABLE ev ADD PARTITION FIELD month(ts)")
+    t = eng.load_table("ev")
+    t.append(spark.createDataFrame(feb, sch))  # months(ts) layout
+    # predicate on ts: old (jan) file has no recorded partition values ->
+    # conservatively kept; feb file prunes by its month value
+    kept = t.plan_scan(where=[("ts", ">=", datetime.date(2024, 3, 1))])
+    metas = [t.snapshot().file_meta[f] for f in kept]
+    assert all(not m.get("partition") for m in metas), (
+        "files with a recorded month partition must have been pruned"
+    )
+    # exactness through mixed layouts
+    assert t.read(where=[("ts", ">=", datetime.date(2024, 2, 1))]).count() == 2
+    assert t.read().count() == 4
+    # evolve again: add identity field, then drop the month field
+    eng.sql("ALTER TABLE ev ADD PARTITION FIELD region")
+    eng.sql("ALTER TABLE ev DROP PARTITION FIELD month(ts)")
+    t = eng.load_table("ev")
+    assert [p["name"] for p in t.partition_spec] == ["region"]
+    mar = [(5, datetime.date(2024, 3, 2), "ap")]
+    t.append(spark.createDataFrame(mar, sch))
+    kept = t.plan_scan(where=[("region", "=", "ap")])
+    assert t.read(where=[("region", "=", "ap")]).count() == 1
+    # the march file prunes by region; jan/feb files keep their own rules
+    newest = [f for f in kept if t.snapshot().file_meta[f].get("partition", {}).get("region")]
+    assert all(
+        t.snapshot().file_meta[f]["partition"]["region"] == "ap" for f in newest
+    )
+    # dropping a nonexistent field raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no partition field"):
+        t.drop_partition_field("nope")

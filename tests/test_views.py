@@ -120,3 +120,31 @@ def test_matview_where_clause_and_drop(spark, eng):
     eng.sql("DROP MATERIALIZED VIEW mv")
     assert eng.sql("SHOW VIEWS").count() == 0
     assert not eng.catalog.exists("__mv_mv")
+
+
+def test_matview_approx_count_distinct_hll_merge(spark, eng):
+    """APPROX_COUNT_DISTINCT keeps a mergeable HLL sketch: refreshing two
+    disjoint batches must estimate the union's distinct count (within HLL
+    error), not double-count or reset."""
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", i) for i in range(100)]))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+        "APPROX_COUNT_DISTINCT(v) AS nd FROM base GROUP BY k"
+    )
+    # overlap [50, 100) + new [100, 150): union = 150 distincts
+    t.append(_rows(spark, [("a", i) for i in range(50, 150)]))
+    eng.sql("REFRESH MATERIALIZED VIEW mv")
+    nd = eng.sql("SELECT * FROM mv").collect()[0].nd
+    assert 140 <= nd <= 160, nd
+
+
+def test_explain_statement(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1)]))
+    plan = eng.sql("EXPLAIN SELECT k, SUM(v) AS s FROM base GROUP BY k").collect()[0].plan
+    assert "Physical Plan" in plan and "HashAggregate" in plan
+    fplan = eng.sql(
+        "EXPLAIN FORMATTED SELECT k FROM base WHERE v > 0"
+    ).collect()[0].plan
+    assert "Scan" in fplan

@@ -1,0 +1,50 @@
+"""Plan-shape tests for the round-5 operators: shuffle budgets and
+broadcast/TakeOrdered shapes the scale designs rely on."""
+
+from __future__ import annotations
+
+from fluss_iceberg_spark import registry
+from fluss_iceberg_spark.operators import dedup as DD
+from fluss_iceberg_spark.operators import text as TX
+from fluss_iceberg_spark.plans.checks import count_nodes, physical_plan
+from fluss_iceberg_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+registry.load_all()
+
+
+def test_passage_dedup_two_content_shuffles(spark):
+    """Chunking is a map (slice over the token array, no per-word
+    explode); the only hash exchanges are the fp winner pass and the
+    doc reassembly, plus the totals join — no extra repartition creeps
+    in, and nothing sorts globally."""
+    docs = load_table(spark, SF, "documents")
+    df = DD.passage_dedup(docs)
+    plan = physical_plan(df)
+    # window (fp) + groupBy (doc_id) + join-side exchanges; a regression
+    # to per-word explode/groupBy shapes pushes this up sharply
+    assert count_nodes(df, "Exchange") <= 5, plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+    assert count_nodes(df, "Sort [") <= 4  # window-local sorts only
+
+
+def test_shard_assignment_single_shard_exchange(spark):
+    """One hash exchange on `shard`, then a within-partition sort — the
+    materialize-ready shape (write.partitionBy(shard) adds no movement)."""
+    docs = load_table(spark, SF, "documents")
+    df = TX.shard_assignment(docs, n_shards=16)
+    assert count_nodes(df, "Exchange") == 1
+    plan = physical_plan(df)
+    assert "hashpartitioning(shard" in plan
+
+
+def test_ngram_stats_take_ordered_not_full_sort(spark):
+    """Top-k uses TakeOrderedAndProject (partial per-partition heaps),
+    never a global Sort+Limit; the count is partially aggregated before
+    its single exchange."""
+    docs = load_table(spark, SF, "documents")
+    df = TX.ngram_counts(docs, n=2, top_k=50)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(df, "Exchange") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -21,11 +21,13 @@ def test_passage_dedup_two_content_shuffles(spark):
     docs = load_table(spark, SF, "documents")
     df = DD.passage_dedup(docs)
     plan = physical_plan(df)
-    # window (fp) + groupBy (doc_id) + join-side exchanges; a regression
-    # to per-word explode/groupBy shapes pushes this up sharply
-    assert count_nodes(df, "Exchange") <= 5, plan
-    assert "Generate explode" in plan or "Generate posexplode" in plan
-    assert count_nodes(df, "Sort [") <= 4  # window-local sorts only
+    # exactly the fp winner pass + the doc reassembly; the totals join
+    # broadcasts; WindowGroupLimit prunes duplicate passages MAP-SIDE
+    # before the fp shuffle (partial row_number limit)
+    assert count_nodes(df, "Exchange") <= 3, plan
+    assert "posexplode" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_shard_assignment_single_shard_exchange(spark):

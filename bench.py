@@ -126,6 +126,7 @@ HEADLINE = [
     "text_ngram_stats",
     "lake_matview_refresh",
     "lake_matview_changelog",
+    "stream_matview_refresh",
     "lake_value_set_skipping",
     "ann_kmeans_clusters",
     "dedup_semdedup",

@@ -1967,6 +1967,44 @@ class LakeTable:
         self._check_rewrite_allowed("compact")
         if sort_by and zorder_by:
             raise ValueError(f"{self.name}: sort_by and zorder_by are exclusive")
+        return self._compact_impl(target_file_rows, sort_by, zorder_by)
+
+    def maybe_auto_compact(self) -> "Snapshot | None":
+        """Commit-cadence small-file control (the Paimon/Delta
+        auto-compaction role): when the table property
+        ``write.auto-compact.file-threshold`` is set and the CURRENT
+        snapshot references at least that many data files, rewrite them
+        toward ``write.auto-compact.target-rows`` rows per file (default
+        sizes files so the count lands near HALF the threshold —
+        hysteresis, so the trigger doesn't re-fire on every subsequent
+        commit). A streaming lakehouse at 30 s
+        freshness commits 2,880 times/day (README.md:189-190); without a
+        file-count trigger the scan-planning and open-file cost grows
+        linearly with uptime. Call sites: the tiering pipeline and MV
+        refresh invoke this after their commits — the check is
+        metadata-only (one file-count read), so it is free when the
+        threshold isn't crossed."""
+        thr = self.properties.get("write.auto-compact.file-threshold")
+        if not thr:
+            return None
+        self._check_rewrite_allowed("auto-compact")
+        snap = self.snapshot()
+        if snap is None or len(snap.files) < int(thr):
+            return None
+        target = self.properties.get("write.auto-compact.target-rows")
+        rows = (
+            int(target)
+            if target
+            else max(1, snap.total_rows * 2 // max(1, int(thr)))
+        )
+        return self._compact_impl(rows, None, None)
+
+    def _compact_impl(
+        self,
+        target_file_rows: int,
+        sort_by: list[str] | None,
+        zorder_by: list[str] | None,
+    ) -> "Snapshot | None":
         cluster = sort_by or zorder_by
         snap = self.snapshot()
         if snap is None or (len(snap.files) <= 1 and not cluster):

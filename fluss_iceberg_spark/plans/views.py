@@ -295,6 +295,9 @@ class ViewManager:
                     combine.append(merged_col.alias(c))
             merged = joined.select(*keys, *combine)
         state.merge(merged)
+        # commit-cadence small-file control: frequent refreshes accrete
+        # per-bucket files; no-op unless the state table opts in
+        state.maybe_auto_compact()
         defn["last_version"] = cur
         self._save()
         return {"refreshed": True, "from": last, "to": cur}

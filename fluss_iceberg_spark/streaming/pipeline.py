@@ -147,8 +147,11 @@ class ReferencePipeline:
         return True
 
     def tier_enriched(self) -> None:
-        """Freshness-triggered tiering commit for enriched_orders (ST2)."""
+        """Freshness-triggered tiering commit for enriched_orders (ST2),
+        followed by the commit-cadence small-file check (no-op unless the
+        table opts in via write.auto-compact.file-threshold)."""
         self.enriched.tier()
+        self.enriched.maybe_auto_compact()
 
     # -- Structured Streaming driver (S15 statement set) --
 

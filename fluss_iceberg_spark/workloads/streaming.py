@@ -469,3 +469,63 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
+
+
+@query(
+    "stream_matview_refresh",
+    oracle="""
+    SELECT o_orderpriority AS order_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+           COUNT(1) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def stream_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view freshness riding a stream: orders arrive over 4
+    micro-batches; foreachBatch appends each batch to the lake log table
+    and REFRESHes the MV — each refresh incrementally folds exactly that
+    batch's files (O(batch), the lake_matview_refresh contract, at
+    streaming cadence). Final MV state must equal the batch GROUP BY over
+    everything (the oracle). This is the reference's `nation_revenue`
+    loop (README.md:247-250) expressed as MV maintenance instead of a
+    hand-built MERGE pipeline."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, _scratch(sf_dir, "stream_mv_wh"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("order_key"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+    )
+    t = eng.create_table("orders_stream_log", orders.schema, not_null=["order_key"])
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_stream_rev AS "
+        "SELECT order_priority, SUM(total_price) AS sum_price, "
+        "COUNT(1) AS n_orders FROM orders_stream_log GROUP BY order_priority"
+    )
+    src_dir = _scratch(sf_dir, "stream_mv_src")
+    orders.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def _fold(bdf, batch_id):
+        t.append(bdf)
+        eng.sql("REFRESH MATERIALIZED VIEW mv_stream_rev")
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation", _scratch(sf_dir, "stream_mv_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return eng.sql(
+        "SELECT order_priority, CAST(sum_price AS DOUBLE) AS sum_price, "
+        "n_orders FROM mv_stream_rev"
+    )

@@ -222,3 +222,33 @@ def test_call_rewrite_zorder(spark, tmp_path):
     t = eng.load_table("zt")
     assert t.snapshot().operation == "compact"
     assert t.read().count() == 1000
+
+
+def test_auto_compact_threshold(spark, tmp_path):
+    """Auto-compaction fires only past the file-count threshold, bounds
+    the file count, preserves data, and keeps time travel intact."""
+    from pyspark.sql import types as T
+
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "acwh"))
+    sch = T.StructType([T.StructField("x", T.LongType())])
+    t = cat.create_table(
+        "ac", sch, properties={"write.auto-compact.file-threshold": "6"}
+    )
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 10).toDF("x").coalesce(1))
+        assert t.maybe_auto_compact() is None  # under threshold
+    n_before = len(t.snapshot().files)
+    assert n_before >= 4
+    for i in range(4, 8):
+        t.append(spark.range(i * 10, i * 10 + 10).toDF("x").coalesce(1))
+        t.maybe_auto_compact()
+    assert len(t.snapshot().files) < n_before + 4  # bounded, not 8 appends
+    assert len(t.snapshot().files) <= 6
+    assert t.read().count() == 80
+    assert t.snapshot().operation in ("compact", "append")
+    # a table without the property never auto-compacts
+    t2 = cat.create_table("ac2", sch)
+    t2.append(spark.range(5).toDF("x"))
+    assert t2.maybe_auto_compact() is None

@@ -53,3 +53,4 @@ def test_skip_implies_no_match(case):
     if not _file_may_match(meta, "c", op, lit):
         cmp = _OPS[op]
         assert not any(cmp(v, lit) for v in vals), (vals, op, lit)
+

@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_kmeans_clusters",
     "dedup_semdedup",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

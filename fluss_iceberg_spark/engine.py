@@ -268,6 +268,27 @@ class Engine:
             return self._ok("dropped", name)
         if u.startswith("INSERT INTO"):
             return self._sql_insert(q)
+        if u.startswith("INSERT OVERWRITE"):
+            m = re.match(
+                r"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?`?([\w.]+)`?\s+(SELECT\b.*|VALUES\b.*)$",
+                q, re.I | re.S,
+            )
+            if not m:
+                raise ValueError(f"cannot parse INSERT OVERWRITE: {q!r}")
+            name = m.group(1).split(".")[-1]
+            src = (
+                self.spark.sql(self._rewrite_time_travel(m.group(2)))
+                if m.group(2).upper().startswith("SELECT")
+                else self.spark.sql(f"SELECT * FROM {m.group(2)}")
+            )
+            t = self.catalog.load(name)
+            src = src.toDF(*t.schema.fieldNames()[: len(src.columns)])
+            t.overwrite(src)
+            self._register(t)
+            return self._ok("insert overwrite", name)
+        if re.match(r"SHOW\s+PARTITIONS\b", u):
+            name = q.split()[-1].strip("`")
+            return self.catalog.load(name).partitions()
         if u.startswith("ANALYZE TABLE"):
             name = q.split()[-1].strip("`")
             stats = self.catalog.load(name).analyze()

@@ -471,3 +471,89 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", F.round("adc_dist", 4).alias("adc_dist"), "rank")
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 16,
+    n_codes: int = 64,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC composition, Jégou et al. 2011 §IV):
+    coarse clusters bound WHICH vectors each query scores (touch
+    ~n_probe/K of the table), PQ codes bound WHAT is read per candidate
+    (16 B of codes, not the raw vector). The billion-vector serving
+    shape: inverted lists keyed by cluster, compressed codes inside.
+
+    Plan: both models are bounded-sample driver-trained (constant-size);
+    vectors are assigned + encoded in one distributed pass; the query →
+    cluster routing table is broadcast; candidate scoring is an
+    Arrow-batched LUT-gather kernel over the cluster-pruned join, and
+    the final top-k is a per-query window. Approximate → recall
+    unit-gated (tests/test_pq.py), rows-only in the driver gate."""
+    import numpy as np
+    import pandas as pd
+
+    ivf = train_ivf_centroids(vectors, n_clusters, dim=dim)
+    books = train_pq_codebooks(vectors, n_subspaces, n_codes, dim=dim)
+    sub_dim = dim // n_subspaces
+    B = [np.array(b, dtype="float64") for b in books]
+    cent = _centroids_df(vectors.sparkSession, ivf)
+
+    assigned = _assign_clusters(_as_double(vectors), cent, dim)
+    codes = pq_encode(vectors, books, dim).join(
+        assigned.select("vec_id", "cid"), on="vec_id"
+    )
+
+    qrows = _as_double(queries).select("vec_id", "v").orderBy("vec_id").collect()
+    qids = [r.vec_id for r in qrows]
+    qidx = {q: i for i, q in enumerate(qids)}
+    tables = []
+    for r in qrows:
+        qv = np.array(r.v, dtype="float64")
+        qv = qv / np.linalg.norm(qv)
+        tables.append(
+            np.stack(
+                [
+                    ((B[s] - qv[s * sub_dim : (s + 1) * sub_dim]) ** 2).sum(axis=1)
+                    for s in range(n_subspaces)
+                ]
+            )
+        )
+    T_lut = np.stack(tables)  # (n_queries, n_subspaces, n_codes)
+
+    routing = _assign_clusters(
+        _as_double(queries), cent, dim, top_n=n_probe
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+
+    cand = codes.join(F.broadcast(routing), on="cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def _score(batch_iter):
+        sub_idx = np.arange(n_subspaces)
+        for pdf in batch_iter:
+            C = np.vstack(pdf["codes"].to_numpy()).astype("int64")
+            qi = pdf["query_id"].map(qidx).to_numpy()
+            d = T_lut[qi[:, None], sub_idx[None, :], C].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "nn_id": pdf["vec_id"],
+                    "adc_dist": d,
+                }
+            )
+
+    scored = cand.select("query_id", "vec_id", "codes").mapInPandas(
+        _score, "query_id long, nn_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", F.round("adc_dist", 4).alias("adc_dist"), "rank")
+    )

@@ -107,3 +107,14 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     books = SIM.train_pq_codebooks(emb, n_subspaces=16, n_codes=64)
     return SIM.pq_topk(emb, q, books, k=10)
+
+
+@query("ann_ivfpq_topk")
+def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for 8 queries (16 lists, 4 probed; 16x64 codes):
+    cluster-pruned candidates ADC-scored from 16-byte codes. Rows-only
+    gate; recall + cluster-pruning invariants unit-gated in
+    tests/test_pq.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.ivfpq_topk(emb, q, k=10)

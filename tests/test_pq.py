@@ -59,3 +59,38 @@ def test_pq_recall_vs_brute_force(spark):
     # near-uniform synthetic vectors are PQ's worst case; 16 bytes/vector
     # still puts recall@10 far above the 10/499 ~ 0.02 chance floor
     assert recall >= 0.4, recall
+
+
+def test_ivfpq_candidates_stay_in_probed_clusters(spark):
+    """Every returned neighbor must live in one of its query's probed
+    clusters — the invariant that makes the scan touch ~n_probe/K of the
+    table."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter("vec_id < 4")
+    out = SIM.ivfpq_topk(emb, q, k=10, n_clusters=8, n_probe=2)
+    ivf = SIM.train_ivf_centroids(emb, 8)
+    cent = SIM._centroids_df(spark, ivf)
+    v_cid = {
+        r.vec_id: r.cid
+        for r in SIM._assign_clusters(SIM._as_double(emb), cent, 64).collect()
+    }
+    q_cids = {}
+    for r in SIM._assign_clusters(
+        SIM._as_double(q), cent, 64, top_n=2
+    ).collect():
+        q_cids.setdefault(r.vec_id, set()).add(r.cid)
+    for r in out.collect():
+        assert v_cid[r.nn_id] in q_cids[r.query_id], (r.query_id, r.nn_id)
+
+
+def test_ivfpq_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter("vec_id < 8")
+    approx = SIM.ivfpq_topk(emb, q, k=10, n_clusters=8, n_probe=4)
+    exact = SIM.brute_force_topk(emb, q, k=10)
+    a = {(r.query_id, r.nn_id) for r in approx.collect()}
+    e = {(r.query_id, r.nn_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # half the lists probed on worst-case uniform vectors: above the
+    # chance floor and within reach of the PQ-only ceiling (~0.54)
+    assert recall >= 0.25, recall

@@ -148,3 +148,33 @@ def test_explain_statement(spark, eng):
         "EXPLAIN FORMATTED SELECT k FROM base WHERE v > 0"
     ).collect()[0].plan
     assert "Scan" in fplan
+
+
+def test_insert_overwrite_and_show_partitions(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1), ("b", 2)]))
+    eng.sql("INSERT OVERWRITE base SELECT 'z' AS k, CAST(9 AS BIGINT) AS v")
+    rows = [(r.k, r.v) for r in eng.sql("SELECT * FROM base").collect()]
+    assert rows == [("z", 9)]
+    # time travel still sees the pre-overwrite snapshot
+    old = eng.sql("SELECT * FROM base VERSION AS OF 0").count()
+    assert old == 2
+    # SHOW PARTITIONS on a partitioned log table
+    import datetime
+
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("d", T.DateType(), True),
+        ]
+    )
+    p = eng.create_table("pt", sch, partition_by=["month(d)"])
+    p.append(
+        spark.createDataFrame(
+            [(1, datetime.date(2024, 1, 2)), (2, datetime.date(2024, 2, 2))], sch
+        )
+    )
+    parts = eng.sql("SHOW PARTITIONS pt").collect()
+    assert len(parts) == 2

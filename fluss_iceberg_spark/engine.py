@@ -334,6 +334,8 @@ class Engine:
             return self._sql_statement_set(q)
         if u.startswith("EXPLAIN"):
             m = re.match(r"EXPLAIN\s+(FORMATTED\s+)?(.*)$", q, re.I | re.S)
+            if not re.match(r"\s*(SELECT|WITH)\b", m.group(2), re.I):
+                raise ValueError("EXPLAIN supports SELECT/WITH queries only")
             inner = self.sql(m.group(2))
             mode = "formatted" if m.group(1) else "simple"
             plan = inner._sc._jvm.PythonSQLUtils.explainString(

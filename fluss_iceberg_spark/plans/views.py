@@ -113,6 +113,10 @@ class ViewManager:
     def create_view(self, name: str, select: str, replace: bool = False) -> None:
         if not replace and name in self.views:
             raise ValueError(f"view {name} already exists")
+        if not re.match(r"\s*(SELECT|WITH)\b", select, re.I):
+            raise ValueError(
+                f"view body must be a SELECT/WITH query, got: {select[:60]!r}"
+            )
         # validate eagerly: a broken definition should fail at CREATE,
         # not at first use (plan-building only, nothing executes)
         self.engine.sql(select)
@@ -162,6 +166,12 @@ class ViewManager:
         proj, base_name, where, group_by = (
             m.group(1), m.group(2), m.group(3), m.group(4),
         )
+        if not group_by:
+            raise ValueError(
+                "materialized view needs a GROUP BY (the group keys are the "
+                "state table's primary key; for a global aggregate, group by "
+                "a constant column)"
+            )
         base = self.engine.catalog.load(base_name)
         if base.primary_key:
             raise ValueError(

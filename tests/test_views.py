@@ -178,3 +178,17 @@ def test_insert_overwrite_and_show_partitions(spark, eng):
     )
     parts = eng.sql("SHOW PARTITIONS pt").collect()
     assert len(parts) == 2
+
+
+def test_view_and_explain_reject_non_select(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1)]))
+    with pytest.raises(ValueError, match="SELECT/WITH"):
+        eng.sql("CREATE VIEW evil AS DELETE FROM base WHERE v = 1")
+    with pytest.raises(ValueError, match="SELECT/WITH"):
+        eng.sql("EXPLAIN DELETE FROM base WHERE v = 1")
+    with pytest.raises(ValueError, match="GROUP BY"):
+        eng.sql("CREATE MATERIALIZED VIEW g AS SELECT SUM(v) AS s FROM base")
+    # nothing executed: data intact, no view state left behind
+    assert eng.sql("SELECT COUNT(1) AS c FROM base").collect()[0].c == 1
+    assert eng.sql("SHOW VIEWS").count() == 0

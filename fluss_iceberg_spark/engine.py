@@ -289,6 +289,12 @@ class Engine:
         if re.match(r"SHOW\s+PARTITIONS\b", u):
             name = q.split()[-1].strip("`")
             return self.catalog.load(name).partitions()
+        if u.startswith("TRUNCATE TABLE"):
+            name = q.split()[-1].strip("`")
+            t = self.catalog.load(name)
+            t.overwrite(self.spark.createDataFrame([], t.schema))
+            self._register(t)
+            return self._ok("truncated", name)
         if u.startswith("ANALYZE TABLE"):
             name = q.split()[-1].strip("`")
             stats = self.catalog.load(name).analyze()

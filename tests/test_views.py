@@ -192,3 +192,12 @@ def test_view_and_explain_reject_non_select(spark, eng):
     # nothing executed: data intact, no view state left behind
     assert eng.sql("SELECT COUNT(1) AS c FROM base").collect()[0].c == 1
     assert eng.sql("SHOW VIEWS").count() == 0
+
+
+def test_truncate_table(spark, eng):
+    t = eng.create_table("base", SCHEMA)
+    t.append(_rows(spark, [("a", 1), ("b", 2)]))
+    eng.sql("TRUNCATE TABLE base")
+    assert eng.sql("SELECT COUNT(1) AS c FROM base").collect()[0].c == 0
+    # truncation is a snapshot: time travel still reads the old rows
+    assert eng.sql("SELECT * FROM base VERSION AS OF 0").count() == 2

@@ -317,7 +317,7 @@ def simhash_near_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, small_graph_edges: int = 200_000
+    pairs: DataFrame, max_iters: int = 20, small_graph_edges: int = 2_000_000
 ) -> DataFrame:
     """Cluster near-dup pairs into dedup groups: iterative min-label
     propagation over the undirected pair graph (the standard distributed
@@ -331,8 +331,9 @@ def connected_components(
 
     Small-graph fast path: near-dup EDGE sets are orders of magnitude
     smaller than the corpus (only duplicates produce edges), so when the
-    deduplicated edge list is under ``small_graph_edges`` (~a few MB,
-    a bounded model-sized collect like the IVF quantizer sample), a
+    deduplicated edge list is under ``small_graph_edges`` (2M directed
+    edges ~= 32 MB — a bounded model-sized collect like the IVF
+    quantizer sample, far below driver memory at any corpus size), a
     driver-side union-find answers exactly in one pass instead of paying
     O(iterations) of distributed join/agg job overhead. Above the
     threshold the distributed loop runs unchanged — correctness identical

@@ -127,11 +127,25 @@ HEADLINE = [
     "lake_matview_refresh",
     "lake_matview_changelog",
     "stream_matview_refresh",
+    "stream_watermarked_dedup",
     "lake_value_set_skipping",
     "ann_kmeans_clusters",
     "dedup_semdedup",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ref_count_orders",
+    "ref_max_orderdate",
+    "ref_notnull_drop",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_suppliers",
+    "window_order_gaps",
+    "window_moving_avg_price",
+    "window_nation_rank",
+    "events_json_extract",
+    "lake_snapshots",
+    "lake_cold_vs_union_counts",
+    "text_fingerprint",
 ]
 
 

@@ -972,6 +972,7 @@ class LakeTable:
                         if f.endswith(".parquet")
                     ]
             return sorted(files)
+        order = self._write_order_cols()
         if self.partition_spec:
             # Hidden partitioning: the derived value names the directory;
             # the source column stays in the data file (Iceberg §4 —
@@ -989,6 +990,8 @@ class LakeTable:
                     for p in self.partition_spec
                 ],
             ).repartition(*[F.col(n) for n in pnames])
+            if order:
+                pdf = pdf.sortWithinPartitions(*pnames, *order)
             with self._micros_timestamps():
                 self._writer(pdf).partitionBy(*pnames).mode("overwrite").parquet(out)
             files = []
@@ -999,9 +1002,38 @@ class LakeTable:
                             os.path.relpath(os.path.join(root, fn), self.path)
                         )
             return sorted(files)
+        if order:
+            # range-cluster every append on the declared sort order (the
+            # Iceberg write.sort-order role): files get near-disjoint
+            # [min,max] ranges from the FIRST write, so manifest skipping
+            # works continuously instead of only after a sort compaction.
+            # One extra range shuffle per append, amortized across every
+            # subsequent pruned scan.
+            n = self.properties.get("write.cluster-partitions")
+            rcols = [F.col(c) for c in order]
+            df = (
+                df.repartitionByRange(int(n), *rcols)
+                if n
+                else df.repartitionByRange(*rcols)
+            ).sortWithinPartitions(*order)
         with self._micros_timestamps():
             self._writer(df).mode("overwrite").parquet(out)
         return [os.path.join(rel, os.path.basename(f)) for f in _list_parquet(out)]
+
+    def _write_order_cols(self) -> list[str]:
+        """Columns of the ``write.sort-order`` table property (log tables;
+        PK tables are bucket-clustered by key hash instead). Unknown
+        columns raise at write time, not silently no-op."""
+        spec = self.properties.get("write.sort-order")
+        if not spec or self.primary_key:
+            return []
+        cols = [c.strip().strip("`") for c in spec.split(",") if c.strip()]
+        for c in cols:
+            if c not in self.schema.fieldNames():
+                raise ValueError(
+                    f"{self.name}: write.sort-order column {c!r} not in schema"
+                )
+        return cols
 
     def _partition_values_from_path(self, relpath: str) -> dict:
         """Manifest partition record for one data file, parsed from its

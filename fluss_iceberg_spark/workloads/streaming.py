@@ -529,3 +529,63 @@ def stream_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT order_priority, CAST(sum_price AS DOUBLE) AS sum_price, "
         "n_orders FROM mv_stream_rev"
     )
+
+
+@query(
+    "stream_watermarked_dedup",
+    oracle="""
+    SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def stream_watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: the corpus arrives TWICE (each doc
+    duplicated, spread over 4 micro-batches) and flows through
+    ``dropDuplicatesWithinWatermark`` — state for a fingerprint is kept
+    only until the watermark passes its event time, the production answer
+    to unbounded dedup state (stream_exact_dedup's plain dropDuplicates
+    keeps every key forever). The watermark horizon (1 h) covers the
+    synthetic event-time spread (≤20 min), so every duplicate is caught
+    and the surviving fingerprint set equals batch DISTINCT — while the
+    state store's retention is bounded by the horizon, not the corpus."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    src_dir = _scratch(sf_dir, "wm_dedup_src")
+    docs = load_table(spark, sf_dir, "documents")
+    base = 1_700_000_000
+    stamped = docs.select(
+        "text",
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("doc_id") % 1200)
+        ).alias("ts"),
+    )
+    # every doc twice, a second copy 5 min later — still inside the horizon
+    dup = stamped.unionByName(
+        stamped.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    dup.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(dup.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    deduped = (
+        stream.select(fp.alias("fingerprint"), "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint")
+    )
+    sink = f"stream_wm_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)

@@ -424,3 +424,36 @@ def test_value_set_cap_falls_back_to_bounds(spark, tmp_path):
     meta = t.snapshot().file_meta[t.plan_scan()[0]]
     assert "value_sets" not in meta or "code" not in meta.get("value_sets", {})
     assert t.read(where=[("code", "=", "v42")]).count() == 1
+
+
+def test_write_sort_order_clusters_every_append(spark, tmp_path):
+    """write.sort-order range-clusters each append: files carry
+    near-disjoint [min,max] ranges immediately, so a narrow range scan
+    prunes most files WITHOUT any compaction pass."""
+    from pyspark.sql import functions as F
+
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "sowh"))
+    df = (
+        spark.range(4000)
+        .select((F.col("id") * 2654435761 % 4000).alias("k"), F.col("id").alias("v"))
+        .repartition(8)  # thoroughly unsorted input
+    )
+    t = cat.create_table(
+        "so", df.schema,
+        properties={"write.sort-order": "k", "write.cluster-partitions": "8"}
+    )
+    t.append(df)
+    all_files = t.plan_scan()
+    assert len(all_files) > 1
+    kept = t.plan_scan(where=[("k", ">=", 3500)])
+    assert len(kept) < len(all_files) / 2, (len(kept), len(all_files))
+    # exactness through the pruned scan
+    assert t.read(where=[("k", ">=", 3500)]).count() == df.filter("k >= 3500").count()
+    # unknown sort column fails loudly at write time
+    t2 = cat.create_table("so2", df.schema, properties={"write.sort-order": "nope"})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in schema"):
+        t2.append(df)

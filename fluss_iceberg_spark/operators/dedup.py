@@ -52,6 +52,9 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs: distinct word n-grams per document."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    docs = spread(docs)
     toks = tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -64,23 +67,32 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
-def shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shset: array<long>, n) — each doc's distinct word n-grams
-    hashed to int64, built entirely MAP-SIDE (no explode+distinct
-    shuffle; every downstream exchange carries 8-byte longs, not ~25-byte
-    shingle strings). Collision risk over a realistic shingle vocabulary
-    is ~|V|²/2⁶⁵ — immaterial even at 100 TB per-partition vocabularies.
-    """
+def _gram_hash_set(text_col: str, n: int):
+    """Column: the DISTINCT word n-grams of ``text_col`` hashed to int64,
+    built entirely MAP-SIDE (array ops inside whole-stage codegen — no
+    explode+distinct shuffle; downstream exchanges carry 8-byte longs,
+    not ~25-byte shingle strings). Collision risk over a realistic
+    shingle vocabulary is ~|V|²/2⁶⁵ — immaterial even at 100 TB."""
     toks = tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    shset = F.transform(
+    return F.transform(
         F.array_distinct(F.filter(grams, lambda g: g != F.lit(""))),
         lambda g: F.xxhash64(g),
     )
-    return docs.select(
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shset: array<long>, n) — each doc's distinct word n-grams
+    hashed to int64 map-side (see ``_gram_hash_set``). The input is
+    ``spread()`` first so the gram kernel parallelizes even over a
+    single-split scan (no-op on a well-split 100 TB input)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    shset = _gram_hash_set(text_col, n)
+    return spread(docs).select(
         "doc_id", shset.alias("shset"), F.size(shset).alias("n")
     )
 
@@ -264,11 +276,13 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Arrow-batched kernel does the bit voting. ZERO shuffles: the former
     plan exploded every token and ran 64 conditional SUM aggregates over
     a token-keyed exchange (192 s at sf0.1 — CORRECTNESS_r01 bench tail)."""
+    from fluss_iceberg_spark.operators.util import spread
+
     th = F.transform(
         F.filter(tokens(F.col(text_col)), lambda t: t != F.lit("")),
         lambda t: F.xxhash64(t),
     )
-    return docs.select("doc_id", th.alias("th")).mapInPandas(
+    return spread(docs).select("doc_id", th.alias("th")).mapInPandas(
         _simhash_kernel, "doc_id long, simhash long"
     )
 
@@ -598,16 +612,20 @@ def decontaminate(
 
     Scale shape: the benchmark shingle vocabulary is DISTINCT'd (one
     small shuffle — eval sets are bounded) and BROADCAST; training-doc
-    shingles are built map-side by ``shingles()`` and probe the broadcast
-    hash relation with a LEFT join, so the only fact-side shuffle is the
-    final per-doc count. Shingles stay as strings here for cross-engine
-    exactness; at 100 TB swap ``shingles`` for ``shingle_sets``'s int64
-    hashes — identical plan, 8-byte probe keys."""
+    shingles are built MAP-SIDE (``_gram_hash_set``: per-doc
+    array_distinct + xxhash64 inside codegen, no explode+distinct
+    shuffle) and probe the broadcast hash relation with a LEFT join on
+    8-byte int64 keys, so the only fact-side shuffle is the final
+    per-doc count. Counts are identical to the string-shingle form
+    (xxhash64 collisions over a shingle vocabulary: ~|V|²/2⁶⁵)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    hset = _gram_hash_set(text_col, n)
     bench_sh = (
-        shingles(benchmark, text_col, n).select("shingle").distinct()
+        benchmark.select(F.explode(hset).alias("shingle")).distinct()
         .withColumn("hit", F.lit(1))
     )
-    doc_sh = shingles(docs, text_col, n)
+    doc_sh = spread(docs).select("doc_id", F.explode(hset).alias("shingle"))
     return (
         doc_sh.join(F.broadcast(bench_sh), on="shingle", how="left")
         .groupBy("doc_id")
@@ -633,23 +651,28 @@ def source_overlap(
     that is. High overlap means the sources duplicate each other and
     their mixing weights double-count.
 
-    Scale shape: one inverted-index equi-join on the shingle — the probe
-    side is (doc, shingle) pairs, the build side is the DISTINCT
-    (shingle, source) relation (vocabulary-sized, far smaller than the
+    Scale shape: one inverted-index equi-join on the int64 shingle hash
+    — the probe side is (doc, hash) pairs built MAP-SIDE
+    (``_gram_hash_set``: per-doc array_distinct + xxhash64 in codegen;
+    the source column rides along, so there is no doc_id re-join and no
+    string-shingle distinct shuffle), the build side is the DISTINCT
+    (hash, source) relation (vocabulary-sized, far smaller than the
     corpus). Per-shingle fanout is bounded by the number of SOURCES (not
     documents), so the classic hot-shingle blowup of doc-level
     self-joins cannot happen; the final distinct+count shuffles carry
     only (doc, src_a, src_b) triples. At 100 TB add a document-frequency
     cap on shingles (drop shingles present in nearly every source —
     they carry no signal) to shrink the build side further."""
-    sh = shingles(docs, text_col, n).join(
-        docs.select("doc_id", F.col(group_col).alias("src_a")), on="doc_id"
+    from fluss_iceberg_spark.operators.util import spread
+
+    sh = spread(docs).select(
+        "doc_id",
+        F.col(group_col).alias("src_a"),
+        F.explode(_gram_hash_set(text_col, n)).alias("h"),
     )
-    src_sh = (
-        sh.select(F.col("src_a").alias("src_b"), "shingle").distinct()
-    )
+    src_sh = sh.select(F.col("src_a").alias("src_b"), "h").distinct()
     hits = (
-        sh.join(src_sh, on="shingle")
+        sh.join(src_sh, on="h")
         .filter(F.col("src_a") != F.col("src_b"))
         .select("doc_id", "src_a", "src_b")
         .distinct()

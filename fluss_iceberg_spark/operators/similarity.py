@@ -22,7 +22,13 @@ from fluss_iceberg_spark.operators.dedup import dot_expanded, vec_norm
 
 def _as_double(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Project to (vec_id, v: array<double>, nrm) — norms precomputed once
-    per vector so the O(n·q) pair loop only pays one dot product."""
+    per vector so the O(n·q) pair loop only pays one dot product.
+    ``spread()`` first: the downstream dot-product loops inherit the
+    scan's partitioning, and a single-split embedding file would
+    otherwise run them on one core (no-op on a well-split input)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    emb = spread(emb)
     return emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -268,7 +274,9 @@ def kmeans_fit(
     """
     import numpy as np
 
-    v = _as_double(vectors).select("vec_id", "v", "nrm")
+    # persist: every Lloyd iteration (and the seed) re-executes this
+    # frame; without it each iteration re-scans + re-casts the vectors
+    v = _as_double(vectors).select("vec_id", "v", "nrm").persist()
     seed_rows = v.orderBy("vec_id").limit(n_clusters).collect()
     C = np.array([r.v for r in seed_rows], dtype="float64")
     k = len(C)
@@ -298,6 +306,7 @@ def kmeans_fit(
             if counts[c] > 0:
                 newC[c] = acc[c] / counts[c]
         C = newC
+    v.unpersist()
     return [
         (i, [float(x) for x in C[i]], float(np.linalg.norm(C[i])))
         for i in range(k)

@@ -1,0 +1,291 @@
+"""Event-analytics and reshaping operators a warehouse user of the
+reference stack (Flink SQL + Trino over Fluss/Iceberg, fluss-iceberg
+README.md:187's always-fresh analytics demo) reaches for next: gap-free
+time-series resampling, funnel conversion, cohort retention, fuzzy
+name matching, GROUPING SETS and UNPIVOT. All batch DataFrame plans
+over the driver fixtures, each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.registry import query
+from fluss_iceberg_spark.sources.tpch import load_table
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH rng AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ), spine AS (
+        SELECT t.event_type, gs.hour
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM rng
+        ) gs
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(1) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.hour,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(a.sv, 0.0) AS DOUBLE) AS sum_value
+    FROM spine s
+    LEFT JOIN agg a ON s.hour = a.hour AND s.event_type = a.event_type
+    """,
+)
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling / resampling: a dense hourly spine per
+    event_type over the observed range, hours with no events filled with
+    zeros (what every dashboard and forecasting pipeline needs before a
+    rolling window — missing buckets silently skew moving averages).
+
+    Scale shape: the fact side collapses FIRST through one keyed
+    aggregation (hour × type — bounded output); the spine is generated
+    from a 1-row min/max aggregate via sequence+explode (types × hours
+    rows, metadata-sized) and LEFT-joins the aggregate. Nothing
+    row-proportional is ever joined or exploded. Interval arithmetic
+    only — valid for both TIMESTAMP and TIMESTAMP_NTZ testdata
+    vintages."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+    )
+    rng = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    return spine.join(agg, on=["event_type", "hour"], how="left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t0 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t0
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t0 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t0
+        GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', COUNT(*) FROM c
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', COUNT(*) FROM p
+    """,
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    counts at step k only with a step-k event AT OR AFTER their earliest
+    step-(k-1) qualifying event — the standard product-analytics funnel,
+    which a plain per-type COUNT DISTINCT gets wrong (it ignores order).
+
+    Scale shape: one user_id-keyed aggregation per step, each chained
+    through a user_id equi-join with the previous step's (user, ts)
+    frame — every exchange is keyed on user_id, so Catalyst reuses one
+    hash partitioning across all three steps; per-step state is one
+    timestamp per surviving user."""
+    e = load_table(spark, sf_dir, "events")
+
+    def step_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, on="user_id")
+            .filter(F.col("ts") >= F.col("t0"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_next"))
+            .select("user_id", F.col("t_next").alias("t0"))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = step_after(v, "click")
+    p = step_after(c, "purchase")
+
+    def count_step(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+
+    return (
+        count_step(v, 1, "view")
+        .unionByName(count_step(c, 2, "click"))
+        .unionByName(count_step(p, 3, "purchase"))
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each later active day as an offset from their cohort day — the
+    classic retention triangle.
+
+    Scale shape: raw events collapse immediately to DISTINCT (user, day)
+    — the only fact-sized exchange; cohorts derive from that same frame
+    with the same user_id key (exchange reuse), and the final matrix is
+    days² cells at most."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, on="user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "fuzzy_part_names",
+    oracle="""
+    WITH d AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM d a JOIN d b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary join: all DISTINCT part-name pairs within edit
+    distance 1 via deletion-neighborhood signatures + exact Levenshtein
+    verify (operators/fuzzy.py — complete candidates, exact precision).
+    The oracle is DuckDB's quadratic levenshtein self-join; the Spark
+    plan is the linear-signature equi-join that replaces it at scale."""
+    from fluss_iceberg_spark.operators.fuzzy import fuzzy_pairs
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    return fuzzy_pairs(names, col="p_name", max_dist=1)
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(1) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    status×priority cells plus each single-dimension margin, NO grand
+    total — a set CUBE cannot express without a post-filter. One
+    Expand + one keyed exchange, same plan family as the gated
+    ROLLUP/CUBE queries."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(1) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_unpivot_measures",
+    oracle="""
+    WITH a AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS amount FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long reshaping, pivot's inverse): per-returnflag
+    measure columns melt into (measure, amount) rows via the native
+    DataFrame.unpivot — a zero-shuffle Expand over the already-aggregated
+    frame, not a self-union that would rescan the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )

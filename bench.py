@@ -146,6 +146,13 @@ HEADLINE = [
     "lake_snapshots",
     "lake_cold_vs_union_counts",
     "text_fingerprint",
+    "events_gap_fill",
+    "events_funnel",
+    "events_retention_cohorts",
+    "fuzzy_part_names",
+    "agg_grouping_sets",
+    "agg_unpivot_measures",
+    "stream_left_interval_join",
 ]
 
 

@@ -660,6 +660,27 @@ class Engine:
                 t.drop_partition_field(spec.strip())
             self._register(self.catalog.load(name))
             return self._ok(f"{action.lower()}_partition_field", f"{name}:{spec.strip()}")
+        ac = re.match(
+            r"ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+CONSTRAINT\s+`?(\w+)`?\s+"
+            r"CHECK\s*\((.+)\)\s*$",
+            q, re.I | re.S,
+        )
+        if ac:
+            name, cname, cexpr = ac.groups()
+            t = self.catalog.load(name)
+            t.add_constraint(cname, cexpr.strip())
+            self._register(self.catalog.load(name))
+            return self._ok("add_constraint", f"{name}:{cname}")
+        dc = re.match(
+            r"ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+CONSTRAINT\s+`?(\w+)`?\s*$",
+            q, re.I,
+        )
+        if dc:
+            name, cname = dc.groups()
+            t = self.catalog.load(name)
+            t.drop_constraint(cname)
+            self._register(self.catalog.load(name))
+            return self._ok("drop_constraint", f"{name}:{cname}")
         rn = re.match(
             r"ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$",
             q, re.I,

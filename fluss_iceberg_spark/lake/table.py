@@ -234,6 +234,79 @@ def _file_value_sets(abspath: str, cols: list[str], cap: int = _VALUE_SET_CAP) -
     return out
 
 
+_BLOOM_BITS = 2048   # 256 B/column/file in the manifest — negligible
+_BLOOM_K = 4         # ~0.24% FPR at 200 distinct values per file
+
+
+def _bloom_canon(value) -> str | None:
+    """Canonical hash input for a bloomable value. Strings and integers
+    only: their textual form is identical on the write side (pyarrow
+    python values) and the predicate side (SQL literal), so both hash
+    alike. Floats/timestamps are excluded — representation drift between
+    writer and predicate would silently break membership."""
+    if isinstance(value, str):
+        return value
+    if isinstance(value, int) and not isinstance(value, bool):
+        return str(value)
+    return None
+
+
+def _bloom_positions(value, m: int = _BLOOM_BITS, k: int = _BLOOM_K):
+    """k bit positions via Kirsch–Mitzenmacher double hashing over one
+    blake2b digest (deterministic across processes — unlike hash())."""
+    import hashlib
+
+    s = _bloom_canon(value)
+    if s is None:
+        return None
+    d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _file_blooms(abspath: str, cols: list[str]) -> dict:
+    """Per-file bloom filters for declared HIGH-cardinality columns
+    (table property ``write.bloom-columns``) — equality pruning where
+    both min/max bounds (wide lexicographic ranges) and value sets
+    (capped at {cap} distincts) give up. This is Iceberg/Parquet's
+    bloom-filter role (write.parquet.bloom-filter-enabled.column.*):
+    a writer task computes it alongside footer stats; the stand-in
+    reads just the listed columns of each NEW file at commit time.
+    Stored as a hex bitmap; absence of the value's k bits PROVES the
+    file holds no matching row (false positives only cost a read).
+    """.format(cap=_VALUE_SET_CAP)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    sch = pq.read_schema(abspath)
+    want = [
+        c for c in cols
+        if c in sch.names
+        and (pat.is_string(sch.field(c).type)
+             or pat.is_large_string(sch.field(c).type)
+             or pat.is_integer(sch.field(c).type))
+    ]
+    if not want:
+        return {}
+    tbl = pq.read_table(abspath, columns=want)
+    out = {}
+    for c in want:
+        uniq = pc.unique(tbl.column(c).combine_chunks()).drop_null().to_pylist()
+        bits = 0
+        for v in uniq:
+            pos = _bloom_positions(v)
+            if pos is None:
+                bits = None
+                break
+            for p in pos:
+                bits |= 1 << p
+        if bits:
+            out[c] = f"{bits:x}"
+    return out
+
+
 def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
     """Conservative file-skip test: False only when the footer min/max
     range PROVES no row can satisfy ``col op lit``. Files with no stats
@@ -243,6 +316,14 @@ def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
     vset = (meta or {}).get("value_sets", {}).get(col)
     if vset is not None and op == "=" and isinstance(lit, str):
         return lit in vset  # exact membership beats range bounds
+    bloom = (meta or {}).get("blooms", {}).get(col)
+    if bloom is not None and op == "=":
+        pos = _bloom_positions(lit)
+        if pos is not None:
+            bits = int(bloom, 16)
+            if not all((bits >> p) & 1 for p in pos):
+                return False  # definitive: value not in this file
+            # bloom says "maybe" — bounds below may still prune
     stats = (meta or {}).get("stats", {}).get(col)
     if not stats:
         return True
@@ -541,6 +622,7 @@ class LakeTable:
         self.not_null: list[str] = meta.get("not_null") or []
         self.partition_spec: list[dict] = meta.get("partition_spec") or []
         self.properties: dict = meta.get("properties") or {}
+        self.constraints: dict[str, str] = meta.get("constraints") or {}
         # Stable field ids (the Iceberg schema-evolution backbone): names
         # are labels over permanent ids, so RENAME is metadata-only and
         # old files resolve by the names they were written under.
@@ -559,6 +641,9 @@ class LakeTable:
         self._pending_commit_extra: dict | None = None
         # when set (on_branch), snapshot()/commits target this branch ref
         self.write_branch: str | None = None
+        # when set (CatalogTransaction.table), commits stage instead of
+        # publishing — the transaction flips all VERSION pointers at once
+        self._txn: "CatalogTransaction | None" = None
 
     # ---------- snapshot log ----------
 
@@ -577,6 +662,10 @@ class LakeTable:
         head inside ``on_branch``, else main's VERSION pointer."""
         if self.write_branch:
             return self._refs()["branches"].get(self.write_branch, -1)
+        if self._txn is not None:
+            staged = self._txn.staged_version(self)
+            if staged is not None:
+                return staged  # read-your-own-writes inside the txn
         return self.current_version()
 
     def _next_version(self) -> int:
@@ -763,6 +852,11 @@ class LakeTable:
         that arithmetic. ``delete_files=None`` inherits the parent's
         delete files, dropping any whose every referenced data file has
         left the new file list (fully inert after a rewrite)."""
+        if self._txn is not None and self.write_branch:
+            raise ValueError(
+                "transactions do not combine with branch writes "
+                "(on_branch inside a CatalogTransaction)"
+            )
         base = self._head()
         if expected_version is not None and expected_version != base:
             raise CommitConflictError(
@@ -801,6 +895,14 @@ class LakeTable:
                     )
                     if vs:
                         m["value_sets"] = vs
+                bcols = self.properties.get("write.bloom-columns")
+                if bcols:
+                    bl = _file_blooms(
+                        os.path.join(self.path, f),
+                        [c.strip() for c in bcols.split(",") if c.strip()],
+                    )
+                    if bl:
+                        m["blooms"] = bl
             file_meta[f] = m
         if delete_files is None:
             files_set = set(files)
@@ -858,6 +960,25 @@ class LakeTable:
             if extra:  # let a retry carry the watermark/batch-id forward
                 self._pending_commit_extra = extra
             raise
+        if self._txn is not None:
+            # transactional stage: the snapshot file exists (exclusive-
+            # create above = per-snapshot CAS) but the VERSION pointer
+            # stays put until the transaction publishes every table at
+            # once. A concurrent non-txn commit is detected here the
+            # same way as below; an un-published snapshot left by a
+            # crashed transaction is exactly the orphan-file debris the
+            # id-skipping pointer CAS below already tolerates.
+            cur = self.current_version()
+            if cur != self._txn.base_version(self, cur):
+                os.remove(self._meta(f"v{version}.json"))
+                if extra:
+                    self._pending_commit_extra = extra
+                raise CommitConflictError(
+                    f"concurrent commit advanced {self.name} to v{cur} "
+                    f"during the transaction"
+                )
+            self._txn.stage(self, cur, version)
+            return snap
         if self.write_branch:
             # branch commit: advance the branch ref, main stays put (WAP)
             refs = self._refs()
@@ -901,6 +1022,32 @@ class LakeTable:
                     df = df.withColumn(f, F.current_timestamp())
                 elif expr:
                     df = df.withColumn(f, F.expr(expr))
+        # CHECK constraints (the Delta-constraints role; Iceberg has an
+        # open spec discussion): enforced INLINE in the write projection
+        # — a violating row raises during the write job itself, so there
+        # is no extra validation pass over the batch and no partial
+        # commit (the snapshot only lands after the write succeeds).
+        # SQL CHECK semantics: NULL evaluations pass (coalesce TRUE).
+        first = self.schema.fieldNames()[0] if self.schema.fields else None
+        guard = None
+        for cexpr in self.constraints.values():
+            ok = F.coalesce(F.expr(cexpr), F.lit(True))
+            guard = ok if guard is None else (guard & ok)
+        if guard is not None and first is not None:
+            msgs = "; ".join(
+                f"{n}: CHECK ({e})" for n, e in self.constraints.items()
+            )
+            df = df.withColumn(
+                first,
+                F.when(guard, F.col(first)).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"[{self.name}] CHECK constraint violated ({msgs})"
+                        )
+                    ).cast(df.schema[first].dataType if first in df.columns
+                           else self.schema[first].dataType)
+                ),
+            )
         # cast to the declared column types (Iceberg-style write coercion):
         # SQL arithmetic widens decimals (15,2)+(15,2) → (16,2), and a file
         # written at the widened type is unreadable under the table schema
@@ -2031,6 +2178,22 @@ class LakeTable:
         )
         return self._compact_impl(rows, None, None)
 
+    def maybe_auto_expire(self) -> dict | None:
+        """Retention-policy expiry on commit cadence (the
+        ``history.expire.*`` Iceberg table-property role): when
+        ``history.expire.max-snapshots`` is set and more snapshots are
+        retained, expire down to that count. The check is one metadata
+        listing — free when under the cap; tags, branch heads, and the
+        current snapshot are always exempt (``expire_snapshots``'s
+        contract). A 30 s-freshness pipeline commits 2,880×/day — without
+        a policy the metadata directory grows without bound."""
+        cap = self.properties.get("history.expire.max-snapshots")
+        if not cap:
+            return None
+        if len(self.snapshot_versions()) <= int(cap):
+            return None
+        return self.expire_snapshots(keep_last=int(cap))
+
     def _compact_impl(
         self,
         target_file_rows: int,
@@ -2516,6 +2679,7 @@ class LakeTable:
         meta["name_log"] = self.name_log
         meta["retired_names"] = self.retired_names
         meta["next_field_id"] = self.next_field_id
+        meta["constraints"] = self.constraints
         _atomic_write(meta_path, json.dumps(meta))
 
     def _persist_partition_spec(self) -> None:
@@ -2584,6 +2748,40 @@ class LakeTable:
                 0,
                 summary={"change": what},
             )
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """CHECK constraint (Delta-constraints role; SQL ``ALTER TABLE t
+        ADD CONSTRAINT name CHECK (expr)``). Existing rows are validated
+        first — one predicate-pushed scan counting violations (FALSE
+        evaluations; NULLs pass, per SQL CHECK) — then the constraint
+        lands as a metadata-only snapshot and every subsequent write
+        enforces it inline in the write projection (``_prepare``): a
+        violating batch fails before any file is committed."""
+        if name in self.constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        try:
+            F.expr(expr)
+        except Exception as ex:
+            raise ValueError(f"cannot parse CHECK expression {expr!r}: {ex}")
+        n_bad = (
+            self.read()
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing rows violate "
+                f"CHECK ({expr})"
+            )
+        self.constraints[name] = expr
+        self._commit_schema_change(f"add-constraint {name}")
+
+    def drop_constraint(self, name: str) -> None:
+        if name not in self.constraints:
+            raise ValueError(f"no such constraint {name!r}")
+        del self.constraints[name]
+        self._commit_schema_change(f"drop-constraint {name}")
 
     def add_column(self, name: str, dtype: T.DataType) -> None:
         """Schema evolution: append a nullable column. Existing parquet
@@ -2922,6 +3120,143 @@ class LakeTable:
         return untouched.select(*self.schema.fieldNames()).unionByName(resolved)
 
 
+class CatalogTransaction:
+    """Multi-table ATOMIC transaction (the capability single-table
+    Iceberg lacks and catalog-level systems — Nessie, a transactional
+    REST catalog — add): writes against any number of this catalog's
+    tables become visible together or not at all.
+
+    Protocol (write-ahead intent + roll-forward, the standard 2-phase
+    shape):
+
+    1. STAGE — each table commit runs its normal machinery (conflict
+       CAS, manifest stats, constraint enforcement) and exclusive-
+       creates its snapshot json, but does NOT flip the VERSION pointer.
+       Uncommitted work is invisible to every other reader; the txn's
+       own tables read their staged head (read-your-own-writes).
+    2. INTENT — one atomic write of ``_txn/txn-<id>.json`` listing every
+       (table, version). This file is the commit point.
+    3. PUBLISH — flip each table's VERSION pointer, then delete the
+       intent file.
+
+    Crash before INTENT: staged snapshot jsons are orphan debris the
+    pointer CAS already skips past (cleaned by remove_orphan_files).
+    Crash after INTENT: ``LakeCatalog.__init__`` ROLLS FORWARD — it
+    re-applies every pointer flip idempotently (skipping tables a later
+    commit already advanced) and deletes the intent file. Readers
+    therefore never observe a partially-published transaction across a
+    process restart. In a real deployment steps 2-3 are one catalog
+    CAS (the same stand-in boundary as S18's snapshot-log protocol).
+
+    Not combinable with branch writes (``on_branch`` has its own
+    publish path — WAP already gives staged isolation there).
+    """
+
+    def __init__(self, catalog: "LakeCatalog"):
+        self.catalog = catalog
+        self._tables: dict[str, LakeTable] = {}
+        # path -> {"first_base": int, "latest": int, "all": [versions]}
+        self._staged: dict[str, dict] = {}
+        self._done = False
+
+    def table(self, name: str) -> LakeTable:
+        if name not in self._tables:
+            t = self.catalog.load(name)
+            if t.write_branch:
+                raise ValueError("transactions do not combine with branches")
+            t._txn = self
+            self._tables[name] = t
+        return self._tables[name]
+
+    def staged_version(self, t: LakeTable) -> int | None:
+        s = self._staged.get(t.path)
+        return s["latest"] if s else None
+
+    def base_version(self, t: LakeTable, cur: int) -> int:
+        """The pointer value this table must still hold for the txn's
+        stage to be conflict-free: its value at first stage (or now)."""
+        s = self._staged.get(t.path)
+        return s["first_base"] if s else cur
+
+    def stage(self, t: LakeTable, base: int, version: int) -> None:
+        s = self._staged.setdefault(
+            t.path, {"first_base": base, "latest": version, "all": []}
+        )
+        s["latest"] = version
+        s["all"].append(version)
+
+    def commit(self) -> None:
+        if self._done:
+            raise ValueError("transaction already finished")
+        self._done = True
+        try:
+            # re-verify no table moved since its first stage
+            for path, s in self._staged.items():
+                t = self._tables_by_path(path)
+                if t.current_version() != s["first_base"]:
+                    raise CommitConflictError(
+                        f"concurrent commit advanced {t.name} during the "
+                        "transaction"
+                    )
+            intent_dir = os.path.join(self.catalog.warehouse, "_txn")
+            os.makedirs(intent_dir, exist_ok=True)
+            intent = {
+                "entries": [
+                    {"path": path, "version": s["latest"]}
+                    for path, s in self._staged.items()
+                ]
+            }
+            intent_path = os.path.join(
+                intent_dir, f"txn-{uuid.uuid4().hex}.json"
+            )
+            _atomic_write(intent_path, json.dumps(intent))  # commit point
+            for path, s in self._staged.items():
+                _atomic_write(
+                    os.path.join(path, "meta", "VERSION"), str(s["latest"])
+                )
+            os.remove(intent_path)
+        except Exception:
+            self._abort()
+            raise
+        finally:
+            self._detach()
+
+    def abort(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        self._abort()
+        self._detach()
+
+    def _abort(self) -> None:
+        for path, s in self._staged.items():
+            for v in s["all"]:
+                try:
+                    os.remove(os.path.join(path, "meta", f"v{v}.json"))
+                except FileNotFoundError:
+                    pass
+        self._staged.clear()
+
+    def _detach(self) -> None:
+        for t in self._tables.values():
+            t._txn = None
+
+    def _tables_by_path(self, path: str) -> LakeTable:
+        for t in self._tables.values():
+            if t.path == path:
+                return t
+        raise KeyError(path)
+
+    def __enter__(self) -> "CatalogTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.commit()
+
+
 class LakeCatalog:
     """Directory-per-table catalog (the Iceberg-REST-catalog role, S8/S18)."""
 
@@ -2929,6 +3264,40 @@ class LakeCatalog:
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
+        self._recover_transactions()
+
+    def transaction(self) -> CatalogTransaction:
+        """Begin a multi-table atomic transaction (see
+        CatalogTransaction). Use as a context manager."""
+        return CatalogTransaction(self)
+
+    def _recover_transactions(self) -> None:
+        """Roll FORWARD any transaction that crashed after its intent
+        write: re-apply each pointer flip idempotently (a table whose
+        pointer already advanced past the txn's version is skipped),
+        then drop the intent file."""
+        intent_dir = os.path.join(self.warehouse, "_txn")
+        if not os.path.isdir(intent_dir):
+            return
+        for fn in sorted(os.listdir(intent_dir)):
+            p = os.path.join(intent_dir, fn)
+            try:
+                with open(p) as f:
+                    intent = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            for e in intent.get("entries", []):
+                vf = os.path.join(e["path"], "meta", "VERSION")
+                snap_f = os.path.join(e["path"], "meta", f"v{e['version']}.json")
+                if not os.path.exists(snap_f):
+                    continue
+                cur = -1
+                if os.path.exists(vf):
+                    with open(vf) as f:
+                        cur = int(f.read().strip())
+                if cur < e["version"]:
+                    _atomic_write(vf, str(e["version"]))
+            os.remove(p)
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)

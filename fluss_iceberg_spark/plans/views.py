@@ -308,6 +308,7 @@ class ViewManager:
         # commit-cadence small-file control: frequent refreshes accrete
         # per-bucket files; no-op unless the state table opts in
         state.maybe_auto_compact()
+        state.maybe_auto_expire()
         defn["last_version"] = cur
         self._save()
         return {"refreshed": True, "from": last, "to": cur}

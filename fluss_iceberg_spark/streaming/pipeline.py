@@ -152,6 +152,7 @@ class ReferencePipeline:
         table opts in via write.auto-compact.file-threshold)."""
         self.enriched.tier()
         self.enriched.maybe_auto_compact()
+        self.enriched.maybe_auto_expire()
 
     # -- Structured Streaming driver (S15 statement set) --
 

@@ -314,6 +314,112 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_left_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           v.event_id AS view_id,
+           c.user_id
+    FROM events c
+    LEFT JOIN events v
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL 2 HOUR
+     AND v.ts <= c.ts
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the shape append-mode
+    inner joins can't express: clicks with NO view in the 2-hour band
+    must still emit (with NULL view_id) once the watermark proves no
+    matching view can arrive. Spark buffers the unmatched left rows in
+    the join state and emits the null-extended rows only on watermark
+    passage; a SENTINEL event far past the fixture's max ts is appended
+    to the source so the final watermark provably clears every real
+    click (otherwise rows in the last watermark-delay window would stay
+    unemitted and batch != stream). The sentinel is filtered from the
+    output by its negative id. Result equals the batch LEFT band join."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    from pyspark.sql import types as T
+
+    src_dir = _scratch(sf_dir, "left_interval_join_src")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # sentinel rows (one click, one view) 100 h after the max event, in
+    # the SAME on-disk ts representation as the fixture vintage
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        bump = F.col("max_ts") + F.lit(100 * 3600 * 10**9)  # nanos
+    else:
+        bump = F.col("max_ts") + F.expr("INTERVAL 100 HOURS")
+    sentinel = (
+        raw.agg(F.max("ts").alias("max_ts"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(-1, "click"), (-2, "view")], "event_id long, event_type string"
+            )
+        )
+        .select(
+            "event_id",
+            bump.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .select(*raw.columns)  # fixture column order
+    )
+    sentinel.write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+
+    def _side(kind: str, prefix: str) -> DataFrame:
+        return (
+            stream.filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_uid"),
+            )
+            .withWatermark(f"{prefix}_ts", "4 hours")
+        )
+
+    joined = _side("click", "click").join(
+        _side("view", "view"),
+        F.expr(
+            "click_uid = view_uid"
+            " AND view_ts >= click_ts - INTERVAL 2 HOURS"
+            " AND view_ts <= click_ts"
+        ),
+        "left_outer",
+    )
+    sink = f"stream_left_interval_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .filter(F.col("click_id") >= 0)
+        .select("click_id", "view_id", F.col("click_uid").alias("user_id"))
+    )
+
+
+@query(
     "stream_log_appends",
     oracle="""
     SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name

@@ -1,0 +1,133 @@
+"""Multi-table atomic transactions (CatalogTransaction): stage →
+intent → publish with roll-forward recovery."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from fluss_iceberg_spark.lake.table import (
+    CommitConflictError,
+    LakeCatalog,
+    _atomic_write,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _setup(spark, d):
+    cat = LakeCatalog(spark, d)
+    a = cat.create_table("a", SCHEMA)
+    b = cat.create_table("b", SCHEMA)
+    a.append(spark.createDataFrame([(1, "a0")], SCHEMA))
+    b.append(spark.createDataFrame([(1, "b0")], SCHEMA))
+    return cat
+
+
+def test_both_tables_publish_together(spark):
+    with tempfile.TemporaryDirectory() as d:
+        cat = _setup(spark, d)
+        with cat.transaction() as txn:
+            txn.table("a").append(spark.createDataFrame([(2, "a1")], SCHEMA))
+            # mid-txn: external readers see NEITHER write
+            fresh = LakeCatalog(spark, d)
+            assert fresh.load("a").read().count() == 1
+            txn.table("b").append(spark.createDataFrame([(2, "b1")], SCHEMA))
+            assert fresh.load("b").read().count() == 1
+        after = LakeCatalog(spark, d)
+        assert after.load("a").read().count() == 2
+        assert after.load("b").read().count() == 2
+
+
+def test_exception_aborts_everything(spark):
+    with tempfile.TemporaryDirectory() as d:
+        cat = _setup(spark, d)
+        with pytest.raises(RuntimeError, match="boom"):
+            with cat.transaction() as txn:
+                txn.table("a").append(
+                    spark.createDataFrame([(2, "a1")], SCHEMA)
+                )
+                raise RuntimeError("boom")
+        after = LakeCatalog(spark, d)
+        assert after.load("a").read().count() == 1
+        # staged snapshot json cleaned up
+        meta = os.path.join(d, "a", "meta")
+        vs = [f for f in os.listdir(meta) if f.startswith("v")]
+        assert len([f for f in vs if f.endswith(".json")]) == 1
+
+
+def test_read_your_own_writes_inside_txn(spark):
+    with tempfile.TemporaryDirectory() as d:
+        cat = _setup(spark, d)
+        with cat.transaction() as txn:
+            ta = txn.table("a")
+            ta.append(spark.createDataFrame([(2, "a1")], SCHEMA))
+            assert ta.read().count() == 2  # txn sees its own stage
+            ta.append(spark.createDataFrame([(3, "a2")], SCHEMA))
+            assert ta.read().count() == 3  # chained stages
+        assert LakeCatalog(spark, d).load("a").read().count() == 3
+
+
+def test_concurrent_commit_fails_txn_and_publishes_nothing(spark):
+    with tempfile.TemporaryDirectory() as d:
+        cat = _setup(spark, d)
+        txn = cat.transaction()
+        txn.table("a").append(spark.createDataFrame([(2, "a1")], SCHEMA))
+        txn.table("b").append(spark.createDataFrame([(2, "b1")], SCHEMA))
+        # an outside writer advances table a between stage and publish
+        LakeCatalog(spark, d).load("a").append(
+            spark.createDataFrame([(9, "ext")], SCHEMA)
+        )
+        with pytest.raises(CommitConflictError):
+            txn.commit()
+        after = LakeCatalog(spark, d)
+        got = {r.v for r in after.load("a").read().collect()}
+        assert got == {"a0", "ext"}  # txn's write NOT published
+        assert after.load("b").read().count() == 1  # b untouched too
+
+
+def test_roll_forward_recovery_after_intent(spark):
+    with tempfile.TemporaryDirectory() as d:
+        cat = _setup(spark, d)
+        txn = cat.transaction()
+        txn.table("a").append(spark.createDataFrame([(2, "a1")], SCHEMA))
+        txn.table("b").append(spark.createDataFrame([(2, "b1")], SCHEMA))
+        # simulate a crash AFTER the intent write, BEFORE any pointer flip
+        intent_dir = os.path.join(d, "_txn")
+        os.makedirs(intent_dir, exist_ok=True)
+        intent = {
+            "entries": [
+                {"path": p, "version": s["latest"]}
+                for p, s in txn._staged.items()
+            ]
+        }
+        _atomic_write(
+            os.path.join(intent_dir, "txn-crashed.json"), json.dumps(intent)
+        )
+        txn._detach()  # process dies
+        # next catalog open rolls the transaction FORWARD
+        after = LakeCatalog(spark, d)
+        assert after.load("a").read().count() == 2
+        assert after.load("b").read().count() == 2
+        assert os.listdir(intent_dir) == []
+
+
+def test_branch_writes_rejected_in_txn(spark):
+    with tempfile.TemporaryDirectory() as d:
+        cat = _setup(spark, d)
+        cat.load("a").create_branch("audit")
+        txn = cat.transaction()
+        t = txn.table("a")
+        with pytest.raises(ValueError, match="branch"):
+            with t.on_branch("audit"):
+                t.append(spark.createDataFrame([(2, "x")], SCHEMA))
+        txn.abort()

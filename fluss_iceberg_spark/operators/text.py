@@ -302,7 +302,11 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffles: (doc, gram) count, then per-doc conditional max/sum. The
     map-side token stats ride along the exploded rows as constants
     instead of joining back. ``passes_gopher`` applies the standard
-    keep thresholds."""
+    keep thresholds. Input is ``spread()`` first so the gram explode
+    parallelizes even over a single-split scan (no-op at scale)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    df = spread(df)
     toks = tokens(F.col(text_col))
     # tagged gram array, one per n (tag = "<n>\x01<gram>") — concatenated
     # so a single explode covers both gram sizes
@@ -372,7 +376,11 @@ def unigram_scores(
     exactly once — the textbook explode→join-on-word plan scans it twice
     and shuffles every token row by its stopword-skewed word key. The
     vocabulary table is Zipf-small and never collects to the driver."""
-    tok_rows = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("w"))
+    from fluss_iceberg_spark.operators.util import spread
+
+    tok_rows = spread(df).select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("w")
+    )
     # dc feeds BOTH the vocabulary count and the scoring join (a diamond):
     # persist it or each branch re-runs the scan + explode
     dc = (
@@ -445,7 +453,12 @@ def ngram_counts(
     Scale shape: per-doc n-gram construction is a JVM-side array
     transform (no Python); the count is a partial-aggregated groupBy
     (map-side combine shrinks the shuffle to distinct n-grams per
-    partition); the top-k is TakeOrderedAndProject, never a full sort."""
+    partition); the top-k is TakeOrderedAndProject, never a full sort.
+    Input is ``spread()`` first — a single-split scan would otherwise
+    build every gram on one core (no-op on a well-split input)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    docs = spread(docs)
     toks = tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),

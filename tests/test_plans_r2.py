@@ -168,14 +168,18 @@ def test_q2_single_fact_scan(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_repetition_two_shuffles(spark):
-    """Both gram sizes ride one tagged explode: exactly two exchanges
-    ((doc, gram) count then per-doc conditional agg) — a per-n pipeline
-    would double that."""
+def test_repetition_two_key_shuffles(spark):
+    """Both gram sizes ride one tagged explode: exactly two KEY-based
+    exchanges ((doc, gram) count then per-doc conditional agg) — a per-n
+    pipeline would double that. ``spread()``'s guarded round-robin
+    repartition over the under-split scan is allowed on top (no-op at
+    scale, never a key shuffle)."""
     from fluss_iceberg_spark.operators import text as TX
 
     df = TX.repetition_features(load_table(spark, SF, "documents"))
-    assert count_nodes(df, "Exchange") == 2
+    plan = physical_plan(df)
+    assert plan.count("hashpartitioning") == 2
+    assert count_nodes(df, "Exchange") <= 3  # + the roundrobin spread
 
 
 def test_repetition_matches_python_reference(spark):

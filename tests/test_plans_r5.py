@@ -48,5 +48,8 @@ def test_ngram_stats_take_ordered_not_full_sort(spark):
     df = TX.ngram_counts(docs, n=2, top_k=50)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
-    assert count_nodes(df, "Exchange") == 1
+    # one KEY exchange (the partial-aggregated count); spread()'s guarded
+    # round-robin repartition over the under-split scan rides on top
+    assert plan.count("hashpartitioning") == 1
+    assert count_nodes(df, "Exchange") <= 2
     assert "partial_count" in plan or "HashAggregate" in plan

@@ -176,6 +176,8 @@ class Engine:
             cols.append(f"  `{f.name}` {f.dataType.simpleString().upper()}{nn}")
         if t.primary_key:
             cols.append(f"  PRIMARY KEY ({', '.join(t.primary_key)}) NOT ENFORCED")
+        for cn, ce in sorted(t.constraints.items()):
+            cols.append(f"  CONSTRAINT {cn} CHECK ({ce})")
         props = dict(t.properties)
         props["engine.n-buckets"] = str(t.n_buckets)
         with_clause = ",\n".join(f"  '{k}' = '{v}'" for k, v in sorted(props.items()))

@@ -96,16 +96,22 @@ _PRIORITY = [
     # in for top-per-group (thrice-green); CUBE and INTERSECT/EXCEPT get
     # their first driver gates beside ROLLUP
     "window_running_revenue",
-    "agg_rollup_status_priority",
+    # (ROLLUP rotates out r4-green; the Expand family stays gated via CUBE
+    # and the first gates for GROUPING SETS + UNPIVOT)
     "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_unpivot_measures",
     "set_ops_customers",
     # curation scoring (unigram LM + Gopher repetition)
-    "text_unigram_lm_score",
+    # (unigram-LM rotates out r4-green; repetition keeps the scoring gate)
     "text_repetition_filter",
     # event-log operators (sessionize + as-of rotate out green — the r4
     # re-gate proved the TIMESTAMP_NTZ fix; the sliding-window shape
     # gates the family for the first time)
     "events_sliding_rollup",
+    "events_gap_fill",
+    "events_funnel",
+    "events_retention_cohorts",
     # lake layer (S10/U1/M1 + tiering + row-level + changelog + skipping;
     # time-travel rotates to the SQL forms below; clustered scan and the
     # new hidden-partitioning scan gate for the first time)
@@ -117,12 +123,13 @@ _PRIORITY = [
     "lake_union_read",
     "lake_pk_union_read",
     "lake_mor_delete",
-    "lake_file_skipping",
+    # (min/max file skipping + incremental read rotate out r4-green; the
+    # skipping family stays via partition pruning / clustered scan / value
+    # sets, incremental scans via the matview refresh that runs them)
     "lake_partition_pruning",
     "lake_clustered_scan",
     "lake_row_level_ops",
     "lake_pk_changelog",
-    "lake_incremental_read",
     # incremental materialized view (+ CDC over its state) and value-set
     # skipping (first gates r5)
     "lake_matview_refresh",
@@ -135,15 +142,19 @@ _PRIORITY = [
     # (events_hourly rotates out thrice-green r2-r4; batch==stream parity
     # stays unit-tested and the windowed-agg family keeps sliding_rollup)
     "stream_stateful_sessions",
-    "stream_interval_join",
-    "stream_exact_dedup",
+    # (inner interval join + stream exact dedup rotate out r4-green; the
+    # symmetric-hash join state is a strict subset of the LEFT OUTER form
+    # gating first below)
+    "stream_left_interval_join",
     "stream_pk_changelog",
     "stream_log_appends",
     # text analysis / curation (tfidf + pii rotate out thrice-green;
     # stratified sampling, budget mixing, end-to-end chain keep gates;
     # the deterministic shard export gates first r5)
     "export_training_shards",
-    "text_stratified_sample",
+    # (stratified sampling rotates out r4-green; the fuzzy edit-distance
+    # join gates first)
+    "fuzzy_part_names",
     "text_budget_mixing",
     "pipeline_curation_end2end",
     # deduplication (exact-dedup and ngram-jaccard rotate out

@@ -87,6 +87,8 @@ def test_sql_surface(spark):
         eng.sql("CREATE TABLE t_chk (id BIGINT, amount DOUBLE)")
         eng.sql("INSERT INTO t_chk VALUES (1, 5.0)")
         eng.sql("ALTER TABLE t_chk ADD CONSTRAINT amt_pos CHECK (amount > 0)")
+        ddl = eng.show_create_table("t_chk")
+        assert "CONSTRAINT amt_pos CHECK (amount > 0)" in ddl
         with pytest.raises(Exception, match="CHECK constraint"):
             eng.sql("INSERT INTO t_chk VALUES (2, -1.0)")
         eng.sql("ALTER TABLE t_chk DROP CONSTRAINT amt_pos")

@@ -153,6 +153,9 @@ HEADLINE = [
     "agg_grouping_sets",
     "agg_unpivot_measures",
     "stream_left_interval_join",
+    "stream_txn_two_sinks",
+    "lake_cdc_mirror",
+    "stream_full_interval_join",
 ]
 
 

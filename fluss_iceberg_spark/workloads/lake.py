@@ -759,3 +759,82 @@ def lake_matview_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").cast("double").alias("sum_price"),
         "n_orders",
     )
+
+
+@query(
+    "lake_cdc_mirror",
+    oracle="""
+    SELECT CAST(c_custkey AS INT) AS cust_key,
+           c_name AS name,
+           CAST(c_nationkey AS INT) AS nation_key,
+           CAST(CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 500.0
+                          WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000.0
+                          ELSE c_acctbal END AS DECIMAL(15,2)) AS DOUBLE)
+               AS acctbal,
+           CASE WHEN c_custkey % 3 = 0 THEN 'AGAIN'
+                WHEN c_custkey % 5 = 0 THEN 'UPDATED'
+                ELSE c_mktsegment END AS mktsegment
+    FROM customer
+    WHERE c_custkey % 7 != 0 OR c_custkey % 3 = 0
+    """,
+)
+def cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC replication (the Debezium-consumer pattern over the
+    engine's own changelog): a source PK table takes four commits —
+    base load, +1000/'UPDATED' upserts (every 5th key), a key-targeted
+    DELETE (every 7th key), then +500/'AGAIN' upserts (every 3rd key,
+    re-inserting deleted %21 keys) — and a MIRROR table is maintained
+    purely by applying each commit's changelog diff (upserts via merge,
+    'delete' ops via the same commit's key-delete arm). The mirror must
+    equal the source's final state exactly (the oracle restates it from
+    the fixture), proving insert/update/delete round-trip losslessly
+    through the CDC surface.
+
+    Scale shape: each diff scans only that commit's changed buckets
+    (changelog file-set pruning) and each apply rewrites only the
+    touched buckets of the mirror — replication cost is O(changed
+    data), never O(table)."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def _frame(acct_expr, seg_expr, flt=None):
+        d = cust if flt is None else cust.filter(flt)
+        return d.select(
+            F.col("c_custkey").cast("int").alias("cust_key"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("int").alias("nation_key"),
+            acct_expr.cast("decimal(15,2)").alias("acctbal"),
+            seg_expr.alias("mktsegment"),
+        )
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "cdc_mirror"))
+    base = _frame(F.col("c_acctbal"), F.col("c_mktsegment"))
+    src = cat.create_table(
+        "cdc_src", base.schema, primary_key=["cust_key"], n_buckets=8
+    )
+    mirror = cat.create_table(
+        "cdc_mirror", base.schema, primary_key=["cust_key"], n_buckets=8
+    )
+    src.merge(base)                                                   # v0
+    src.merge(_frame(F.col("c_acctbal") + F.lit(1000.0), F.lit("UPDATED"),
+                     F.col("c_custkey") % 5 == 0))                    # v1
+    src.merge(                                                        # v2
+        spark.createDataFrame([], src.schema),
+        deletes=base.filter(F.col("cust_key") % 7 == 0).select("cust_key"),
+    )
+    src.merge(_frame(F.col("c_acctbal") + F.lit(500.0), F.lit("AGAIN"),
+                     F.col("c_custkey") % 3 == 0))                    # v3
+
+    # snapshot-then-stream (the Debezium bootstrap): the initial state is
+    # a snapshot read at the subscription point; the changelog tail then
+    # carries every later commit's diff
+    versions = src.snapshot_versions()
+    mirror.merge(src.read(version=versions[0]))
+    for a, b in zip(versions, versions[1:]):
+        diff = src.changelog(a, b)
+        upserts = diff.filter(F.col("op") != "delete").select(
+            *src.schema.fieldNames()
+        )
+        del_keys = diff.filter(F.col("op") == "delete").select("cust_key")
+        mirror.merge(upserts, deletes=del_keys)
+
+    return mirror.read().withColumn("acctbal", F.col("acctbal").cast("double"))

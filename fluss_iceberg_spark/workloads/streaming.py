@@ -420,6 +420,115 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_full_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           v.event_id AS view_id,
+           COALESCE(c.user_id, v.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND v.ts >= c.ts - INTERVAL 2 HOUR
+     AND v.ts <= c.ts
+    """,
+)
+def stream_full_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both sides null-extend:
+    clicks with no view in the 2-hour band AND views no click's band
+    covers each emit once their watermark proves no match can arrive.
+    Same sentinel flush as the LEFT form (one far-future event per side,
+    filtered from the output by negative id), completing the streaming
+    outer-join family (inner / left / full) against one batch oracle."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    from pyspark.sql import types as T
+
+    src_dir = _scratch(sf_dir, "full_interval_join_src")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        bump = F.col("max_ts") + F.lit(100 * 3600 * 10**9)  # nanos vintage
+    else:
+        bump = F.col("max_ts") + F.expr("INTERVAL 100 HOURS")
+    sentinel = (
+        raw.agg(F.max("ts").alias("max_ts"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(-1, "click"), (-2, "view")], "event_id long, event_type string"
+            )
+        )
+        .select(
+            "event_id",
+            bump.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .select(*raw.columns)
+    )
+    sentinel.write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+
+    def _side(kind: str, prefix: str) -> DataFrame:
+        return (
+            stream.filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_uid"),
+            )
+            .withWatermark(f"{prefix}_ts", "4 hours")
+        )
+
+    joined = _side("click", "click").join(
+        _side("view", "view"),
+        F.expr(
+            "click_uid = view_uid"
+            " AND view_ts >= click_ts - INTERVAL 2 HOURS"
+            " AND view_ts <= click_ts"
+        ),
+        "full_outer",
+    )
+    sink = f"stream_full_interval_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        # drop the two sentinel rows (never joined: user_id -1 on both
+        # sides but opposite types never share a band... they DO share
+        # user -1 and the view sentinel ts == click sentinel ts is inside
+        # [click-2h, click] — so they match each other and form one row)
+        .filter(
+            (F.coalesce("click_id", F.lit(0)) >= 0)
+            & (F.coalesce("view_id", F.lit(0)) >= 0)
+        )
+        .select(
+            "click_id",
+            "view_id",
+            F.coalesce("click_uid", "view_uid").alias("user_id"),
+        )
+    )
+
+
+@query(
     "stream_log_appends",
     oracle="""
     SELECT CAST(n_nationkey AS INT) AS nation_key, n_name AS name
@@ -634,6 +743,109 @@ def stream_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT order_priority, CAST(sum_price AS DOUBLE) AS sum_price, "
         "n_orders FROM mv_stream_rev"
+    )
+
+
+@query(
+    "stream_txn_two_sinks",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(1) AS n_events
+        FROM events GROUP BY 1, 2
+    ), totals AS (
+        SELECT event_type, COUNT(1) AS total_events FROM events GROUP BY 1
+    )
+    SELECT h.hour, h.event_type, h.n_events, t.total_events
+    FROM hourly h JOIN totals t ON h.event_type = t.event_type
+    """,
+)
+def stream_txn_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO lake PK tables maintained from one stream with each
+    micro-batch committed ATOMICALLY across both via CatalogTransaction
+    — the multi-sink consistency the reference's EXECUTE STATEMENT SET
+    implies but per-table Iceberg commits cannot give (a crash between
+    the two sinks' commits leaves them answering different questions
+    about the same stream). Events arrive over 4 micro-batches; each
+    batch MERGE-accumulates an hourly×type count into sink 1 and a
+    per-type total into sink 2 inside one transaction (stage → intent →
+    publish), so no reader ever observes sink 1 reflecting a batch sink
+    2 hasn't applied. Final join of both sinks must equal the batch
+    aggregation of the whole stream (the oracle)."""
+    from pyspark.sql import types as T
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    cat = LakeCatalog(spark, _scratch(sf_dir, "txn_two_sinks_wh"))
+    events = load_table(spark, sf_dir, "events")
+    hourly = cat.create_table(
+        "hourly",
+        T.StructType(
+            [
+                T.StructField("hour", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n_events", T.LongType()),
+            ]
+        ),
+        primary_key=["hour", "event_type"],
+        n_buckets=8,
+    )
+    totals = cat.create_table(
+        "totals",
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("total_events", T.LongType()),
+            ]
+        ),
+        primary_key=["event_type"],
+        n_buckets=4,
+    )
+    src_dir = _scratch(sf_dir, "txn_two_sinks_src")
+    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+
+    def _on_batch(bdf: DataFrame, batch_id: int) -> None:
+        hd = bdf.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp").alias("hour"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("__d"))
+        td = bdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("__d"))
+        with cat.transaction() as txn:
+            th, tt = txn.table("hourly"), txn.table("totals")
+            mh = (
+                hd.join(th.read(), on=["hour", "event_type"], how="left")
+                .select(
+                    "hour", "event_type",
+                    (F.coalesce("n_events", F.lit(0)) + F.col("__d"))
+                    .alias("n_events"),
+                )
+            )
+            th.merge(mh)
+            mt = (
+                td.join(tt.read(), on="event_type", how="left")
+                .select(
+                    "event_type",
+                    (F.coalesce("total_events", F.lit(0)) + F.col("__d"))
+                    .alias("total_events"),
+                )
+            )
+            tt.merge(mt)
+
+    q = (
+        stream.writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", _scratch(sf_dir, "txn_two_sinks_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return hourly.read().join(totals.read(), on="event_type").select(
+        "hour", "event_type", "n_events", "total_events"
     )
 
 

@@ -156,6 +156,7 @@ HEADLINE = [
     "stream_txn_two_sinks",
     "lake_cdc_mirror",
     "stream_full_interval_join",
+    "events_anomaly_zscore",
 ]
 
 

@@ -85,6 +85,81 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(1) AS n_events
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT hour, event_type, n_events,
+               AVG(CAST(n_events AS DOUBLE)) OVER w AS mu,
+               COUNT(1) OVER w AS n_win,
+               SUM(CAST(n_events AS DOUBLE) * n_events) OVER w AS sumsq,
+               SUM(CAST(n_events AS DOUBLE)) OVER w AS s1
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, event_type, n_events,
+           CAST((n_events - mu) /
+                sqrt((sumsq - s1 * s1 / n_win) / (n_win - 1)) AS DOUBLE)
+               AS zscore
+    FROM stats
+    WHERE n_win >= 12
+      AND (sumsq - s1 * s1 / n_win) / (n_win - 1) > 0
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (the monitoring workload every
+    always-fresh lakehouse feeds): each hour's event count scored
+    against the TRAILING 24 hours' mean/stddev per event type (frame
+    excludes the current row — scoring a point against a window that
+    contains it dilutes the signal). Variance is computed from the
+    rolling sum and sum-of-squares so both engines evaluate the exact
+    same arithmetic (engine-native STDDEV differs in Welford vs two-pass
+    rounding); warm-up hours (< 12 trailing points) and zero-variance
+    windows are excluded.
+
+    Scale shape: the fact collapses through one keyed aggregation; the
+    rolling frame is one hash exchange on event_type over the already
+    hour-granular series (bounded rows per type)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    nd = F.col("n_events").cast("double")
+    stats = hourly.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.avg(nd).over(w).alias("mu"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(nd * F.col("n_events")).over(w).alias("sumsq"),
+        F.sum(nd).over(w).alias("s1"),
+    )
+    var = (F.col("sumsq") - F.col("s1") * F.col("s1") / F.col("n_win")) / (
+        F.col("n_win") - 1
+    )
+    return (
+        stats.filter((F.col("n_win") >= 12) & (var > 0))
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            ((nd - F.col("mu")) / F.sqrt(var)).cast("double").alias("zscore"),
+        )
+    )
+
+
+@query(
     "events_funnel",
     oracle="""
     WITH v AS (

@@ -58,7 +58,12 @@ def quality_features(
 ) -> DataFrame:
     """Per-document quality features: length, token stats, character-class
     ratios, stopword density — the standard pre-training quality filters.
-    ``keep`` = extra input columns carried through (e.g. a grouping key)."""
+    ``keep`` = extra input columns carried through (e.g. a grouping key).
+    Input is ``spread()`` first — the regex/ratio kernels otherwise run
+    serially over a single-split scan (no-op on well-split inputs)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    df = spread(df)
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
@@ -147,6 +152,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts,
     ties broken by language code order, 'und' (undetermined) when no
     stopword matches at all."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    df = spread(df)
     t = F.col(text_col)
     scores = lang_scores(t)
     # argmax with deterministic tie-break: iterate langs in sorted order,
@@ -165,6 +173,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (md5 hex output is engine-portable)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    df = spread(df)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
 
@@ -197,6 +208,9 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The standard pre-training redaction pass: per-doc PII counts plus
     an md5 fingerprint of the scrubbed text (fingerprint, not the text
     itself, so the gated output stays narrow at any document size)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    df = spread(df)
     t = F.col(text_col)
     counts = pii_counts(t)
     return df.select(

@@ -20,6 +20,10 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     scale-killer), and a cheap raw-row shuffle when the input is small
     enough that one core would otherwise do all the work.
     """
+    if df.isStreaming:
+        # streaming frames can't be probed via .rdd (and micro-batch
+        # parallelism is the source's concern) — pass through untouched
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     # .rdd builds the RDD plan lazily; no job runs here.

@@ -148,8 +148,12 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-in-string column handling (events.props, FIXTURES.md §B):
-    extract → cast → aggregate, all JVM-side built-ins."""
-    e = load_table(spark, sf_dir, "events")
+    extract → cast → aggregate, all JVM-side built-ins. ``spread()``
+    first: the JSON parse is the dominant map cost and a single-split
+    scan would run it serially (no-op on well-split inputs)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    e = spread(load_table(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
         e.withColumn("k", k)

@@ -161,8 +161,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight tf·N/df instead of a log — bit-identical across engines, same
     ordering). Scale shape: explode → two keyed aggs → broadcast of the
     term-df reduction → per-doc window; no driver materialization."""
+    from fluss_iceberg_spark.operators.util import spread
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tok = spread(d).select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))

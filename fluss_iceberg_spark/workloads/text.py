@@ -25,7 +25,9 @@ from fluss_iceberg_spark.sources.tpch import load_table
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rollup: whitespace tokens + chars per (lang, source).
     Pure built-ins; the shuffle carries only group keys + partial sums."""
-    d = load_table(spark, sf_dir, "documents")
+    from fluss_iceberg_spark.operators.util import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TX.token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
@@ -109,7 +111,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace and BPE-ish (GPT-2-style pre-tokenizer
     regex) counts per document."""
-    d = load_table(spark, sf_dir, "documents")
+    from fluss_iceberg_spark.operators.util import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),

@@ -903,20 +903,47 @@ class Engine:
         )
 
     def _sql_insert(self, q: str) -> DataFrame:
-        m = re.match(r"INSERT\s+INTO\s+`?([\w.]+)`?\s+(SELECT\b.*|VALUES\b.*)$",
-                     q, re.I | re.S)
+        m = re.match(
+            r"INSERT\s+INTO\s+`?([\w.]+)`?\s*(?:\(([^)]*)\))?\s+"
+            r"(SELECT\b.*|VALUES\b.*)$",
+            q, re.I | re.S,
+        )
         if not m:
             raise ValueError(f"cannot parse INSERT INTO: {q!r}")
         name = m.group(1).split(".")[-1]
         src = (
-            self.spark.sql(self._rewrite_time_travel(m.group(2)))
-            if m.group(2).upper().startswith("SELECT")
-            else self.spark.sql(f"SELECT * FROM {m.group(2)}")
+            self.spark.sql(self._rewrite_time_travel(m.group(3)))
+            if m.group(3).upper().startswith("SELECT")
+            else self.spark.sql(f"SELECT * FROM {m.group(3)}")
         )
         if not self.catalog.exists(name):
             raise KeyError(f"INSERT target is not a lake table: {name}")
         t = self.catalog.load(name)
-        src = src.toDF(*t.schema.fieldNames()[: len(src.columns)])
+        if m.group(2):
+            # explicit column list: values map positionally to the listed
+            # columns; unlisted columns land NULL (standard SQL; computed
+            # columns like PROCTIME() are stamped by _prepare)
+            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            unknown = [c for c in cols if c not in t.schema.fieldNames()]
+            if unknown:
+                raise ValueError(f"INSERT column(s) not in {name}: {unknown}")
+            if len(cols) != len(src.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(cols)} names but the "
+                    f"source produces {len(src.columns)} columns"
+                )
+            src = src.toDF(*cols)
+            for f in t.schema.fields:
+                # unlisted columns land NULL — except computed columns,
+                # which stay absent so _prepare stamps them
+                if f.name not in cols and not t.properties.get(
+                    f"engine.computed.{f.name}"
+                ):
+                    src = src.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+        else:
+            src = src.toDF(*t.schema.fieldNames()[: len(src.columns)])
         if t.primary_key:
             t.merge(src)
         else:

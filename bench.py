@@ -157,6 +157,7 @@ HEADLINE = [
     "lake_cdc_mirror",
     "stream_full_interval_join",
     "events_anomaly_zscore",
+    "agg_grouping_id",
 ]
 
 

@@ -325,6 +325,37 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           COUNT(1) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING_ID markers over GROUPING SETS — the standard way a
+    consumer tells a margin row's NULL (column aggregated away) from a
+    genuine NULL group value; both engines follow the SQL convention
+    (one bit per grouping column, groupBy order, 1 = aggregated)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gid")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS INT)
+                   AS gid,
+               COUNT(1) AS n_orders
+        FROM orders_gid
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@query(
     "agg_unpivot_measures",
     oracle="""
     WITH a AS (

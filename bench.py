@@ -201,7 +201,10 @@ def main() -> None:
             # stale blocks otherwise pile up across the run and push later
             # queries into eviction/recompute churn
             spark.catalog.clearCache()
-        if best is not None:
+        # a query that errored on ANY run is an error, full stop — a
+        # green first run must not mask a non-idempotent failure by
+        # counting its time in the headline total
+        if best is not None and name not in errors:
             timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

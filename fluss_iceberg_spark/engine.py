@@ -95,6 +95,13 @@ class Engine:
         # USE CATALOG switches self.catalog
         self._catalogs: dict[str, LakeCatalog] = {"default": self.catalog}
         self._view_managers: dict[str, object] = {}
+        # temp-view name -> (table path, version, committed_at_ms) at
+        # last registration; lets sql() skip re-planning tables that
+        # haven't moved. The full triple guards every aliasing case: a
+        # drop+recreate that reuses version numbers changes
+        # committed_at_ms, and a USE CATALOG switch to a same-named
+        # table changes the path.
+        self._reg_state: dict[str, tuple] = {}
 
     @property
     def views(self):
@@ -132,6 +139,13 @@ class Engine:
         # never touch. sql() materializes exactly the companions a
         # statement references, just in time.
         t.read().createOrReplaceTempView(t.name)
+        self._reg_state[t.name] = self._table_state(t)
+
+    @staticmethod
+    def _table_state(t: LakeTable) -> tuple:
+        cur = t.current_version()
+        snap = t.snapshot() if cur >= 0 else None
+        return (t.path, cur, snap.committed_at_ms if snap else -1)
 
     _META_VIEW_RE = re.compile(
         r"\b(\w+)__(snapshots|files|history|partitions|refs)\b"
@@ -158,10 +172,21 @@ class Engine:
         references, so SQL always reads the CURRENT snapshot even when the
         table was last written through the direct API (append/merge),
         which bypasses the engine's registration hook. Metadata-only:
-        one snapshot-pointer read per referenced table, no data I/O."""
+        one snapshot-pointer read per referenced table, no data I/O —
+        and no re-plan at all for tables whose head hasn't moved since
+        their last registration. The statement is tokenized once
+        (string literals stripped so 'a_table_name' in a literal doesn't
+        trigger a reload) and checked against the catalog by set lookup."""
+        idents = set(
+            re.findall(r"[A-Za-z_]\w*", re.sub(r"'[^']*'", " ", q))
+        )
         for name in self.catalog.tables():
-            if re.search(rf"\b{re.escape(name)}\b", q):
-                self._register(self.catalog.load(name))
+            if name not in idents:
+                continue
+            t = self.catalog.load(name)
+            if self._reg_state.get(name) == self._table_state(t):
+                continue  # head unchanged: existing temp view is current
+            self._register(t)
 
     def attach_testdata(self, sf_dir: str) -> None:
         register_views(self.spark, sf_dir)

@@ -562,6 +562,11 @@ class Snapshot:
     # unchanged across copy-on-write commits.
     delete_files: list = field(default_factory=list)
     delete_meta: dict = field(default_factory=dict)
+    # id of the snapshot this one chained from (-1 = first commit on an
+    # empty table, None = legacy snapshot written before lineage existed).
+    # What makes fast_forward's ancestry check possible (Iceberg's
+    # parent-snapshot-id role).
+    parent_id: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -574,6 +579,7 @@ class Snapshot:
         d.setdefault("field_ids", None)
         d.setdefault("delete_files", [])
         d.setdefault("delete_meta", {})
+        d.setdefault("parent_id", None)
         return Snapshot(**d)
 
     def active_delete_count(self, files: list[str] | None = None) -> int:
@@ -802,17 +808,41 @@ class LakeTable:
 
     def fast_forward(self, branch: str) -> int:
         """Publish a branch: flip main's VERSION pointer to the branch
-        head (the WAP 'publish' step). Fast-forward only — the branch
-        head must be at or ahead of main (it descends from main by
-        construction: branch commits chain from the branch point)."""
+        head (the WAP 'publish' step). Fast-forward only — main's current
+        head must be an ANCESTOR of the branch head. Comparing ids alone
+        is not enough: ids are global across refs, so a branch commit can
+        outnumber a main commit it never saw, and an id-only publish
+        would silently discard those main rows (Iceberg's fast_forward
+        makes the same ancestry check)."""
         heads = self._refs()["branches"]
         if branch not in heads:
             raise ValueError(f"{self.name}: unknown branch {branch!r}")
         head = heads[branch]
-        if head < self.current_version():
+        cur = self.current_version()
+        if head == cur:
+            return head
+        v = head
+        verified = False
+        while True:
+            if v == cur:
+                verified = True
+                break
+            if v < 0:
+                break  # reached the empty-table root without meeting main
+            try:
+                s = self.snapshot(v)
+            except ValueError:
+                break  # chain expired mid-walk: cannot verify descent
+            if s.parent_id is None:
+                # legacy snapshot without lineage: best-effort id ordering
+                verified = head >= cur
+                break
+            v = s.parent_id
+        if not verified:
             raise ValueError(
-                f"{self.name}: branch {branch!r} head v{head} is behind "
-                f"main v{self.current_version()} — not a fast-forward"
+                f"{self.name}: branch {branch!r} head v{head} does not "
+                f"descend from main v{cur} — main advanced since the "
+                "branch point; not a fast-forward (re-branch and replay)"
             )
         _atomic_write(self._meta("VERSION"), str(head))
         return head
@@ -950,6 +980,7 @@ class LakeTable:
             file_meta=file_meta,
             delete_files=delete_files,
             delete_meta=delete_meta or {},
+            parent_id=(parent.snapshot_id if parent else -1),
         )
         # physical CAS: exclusive-create the snapshot file BEFORE flipping
         # the VERSION pointer — a racing same-version writer raises
@@ -2021,27 +2052,45 @@ class LakeTable:
         rollup): one row per live partition with its record/file/byte
         counts — answered entirely from manifest metadata, zero data I/O
         (at 100 TB, the partition census is a catalog question, not a
-        scan). ``partition`` is the {name: value} dict serialized as a
-        JSON string (nested cells crash the driver's canonicalizer)."""
+        scan). Matches Iceberg's contract: ``record_count`` is the
+        DATA-FILE record count (footer basis); merge-on-read tombstones
+        are surfaced separately as ``position_delete_record_count`` so
+        the two never silently disagree with ``read().count()``.
+        ``partition`` is the {name: value} dict serialized as a JSON
+        string (nested cells crash the driver's canonicalizer)."""
         if not self.partition_spec:
             raise ValueError(f"{self.name}: table is not partitioned")
         snap = self.snapshot(version)
+        # exact per-file position-tombstone counts (equality deletes are
+        # PK-bucket-scoped, and PK tables don't take a partition spec)
+        pos_by_file: dict[str, int] = {}
+        if snap:
+            present = set(snap.files)
+            for d in snap.delete_files:
+                meta = snap.delete_meta.get(d) or {}
+                if meta.get("kind") != "equality":
+                    for f, n in (meta.get("files") or {}).items():
+                        if f in present:
+                            pos_by_file[f] = pos_by_file.get(f, 0) + int(n)
         agg: dict[str, dict] = {}
         for f in snap.files if snap else []:
             m = snap.file_meta.get(f) or {}
             key = json.dumps(m.get("partition", {}), sort_keys=True)
-            a = agg.setdefault(key, {"rows": 0, "files": 0, "bytes": 0})
+            a = agg.setdefault(
+                key, {"rows": 0, "files": 0, "bytes": 0, "dels": 0}
+            )
             a["rows"] += int(m.get("rows", 0))
             a["files"] += 1
             a["bytes"] += int(m.get("bytes", 0))
+            a["dels"] += pos_by_file.get(f, 0)
         rows = [
-            (k, v["rows"], v["files"], v["bytes"])
+            (k, v["rows"], v["files"], v["bytes"], v["dels"])
             for k, v in sorted(agg.items())
         ]
         return self.spark.createDataFrame(
             rows,
             "partition string, record_count long, file_count int, "
-            "size_bytes long",
+            "size_bytes long, position_delete_record_count long",
         )
 
     def refs(self) -> DataFrame:
@@ -2515,19 +2564,63 @@ class LakeTable:
         including ``to_version``. Implemented as the file-set difference
         of the two snapshots — planning cost is O(#files) metadata only,
         and the scan reads exactly the delta files, never the table.
-        Raises if the range crosses a non-append commit (overwrite /
-        merge / compact rewrite history, so "added rows" is not defined
-        by file difference there) — Iceberg's incremental scan refuses
-        replace/overwrite snapshots the same way."""
+        Raises if the range crosses a commit that rewrote or deleted
+        data (overwrite / merge / compact / MoR delete — "added rows" is
+        not defined by file difference there) — Iceberg's incremental
+        scan refuses replace/overwrite snapshots the same way. Judged by
+        what each commit DID to the file set, not its operation name, so
+        metadata-only commits (ALTER TABLE schema-change, constraint,
+        partition-spec evolution) pass through: their file diff is
+        exactly the appended files. Walks main's parent chain, so branch
+        snapshots whose ids interleave with the range are ignored."""
         to_v = self.current_version() if to_version is None else to_version
         if from_version > to_v:
             raise ValueError(f"from_version {from_version} > to_version {to_v}")
-        for v in self.snapshot_versions():
-            if from_version < v <= to_v and self.snapshot(v).operation != "append":
+        chain: list[Snapshot] = []
+        v = to_v
+        legacy = False
+        while v > from_version and v >= 0:
+            s = self.snapshot(v)
+            chain.append(s)
+            if s.parent_id is None:
+                legacy = True  # pre-lineage snapshot: can't walk further
+                break
+            v = s.parent_id
+        if legacy:
+            # conservative fallback over the id range (old behavior plus
+            # metadata-only ops, which never move files)
+            for sv in self.snapshot_versions():
+                if (
+                    from_version < sv <= to_v
+                    and self.snapshot(sv).operation
+                    not in ("append", "schema-change")
+                ):
+                    raise ValueError(
+                        f"incremental read range crosses non-append snapshot "
+                        f"{sv} ({self.snapshot(sv).operation})"
+                    )
+        else:
+            if v != from_version and not (v < 0 and from_version < 0):
                 raise ValueError(
-                    f"incremental read range crosses non-append snapshot "
-                    f"{v} ({self.snapshot(v).operation})"
+                    f"{self.name}: v{from_version} is not an ancestor of "
+                    f"v{to_v} — incremental read needs a lineage range"
                 )
+            for i, s in enumerate(chain):
+                if i + 1 < len(chain):
+                    par = chain[i + 1]
+                elif s.parent_id is not None and s.parent_id >= 0:
+                    par = self.snapshot(s.parent_id)
+                else:
+                    par = None
+                removed = (set(par.files) if par else set()) - set(s.files)
+                new_dels = set(s.delete_files) - set(par.delete_files if par else [])
+                if removed or new_dels:
+                    raise ValueError(
+                        f"incremental read range crosses non-append rewrite "
+                        f"snapshot {s.snapshot_id} ({s.operation}: "
+                        f"{len(removed)} file(s) removed, "
+                        f"{len(new_dels)} delete file(s) added)"
+                    )
         base = set(self.snapshot(from_version).files) if from_version >= 0 else set()
         delta = [f for f in self.snapshot(to_v).files if f not in base]
         if not delta:
@@ -2860,6 +2953,36 @@ class LakeTable:
             f"widen_column {name} {old_t.simpleString()}->{new_type.simpleString()}"
         )
 
+    def _guard_column_references(self, col: str, action: str) -> None:
+        """Refuse a metadata-only column change that would brick later
+        writes: CHECK constraints, write.sort-order, and
+        write.clustered-by all store column references by NAME and are
+        evaluated in the write path (_prepare / _write_files), so a
+        rename/drop of a referenced column would make every subsequent
+        append/merge raise. Word-boundary text match on constraint
+        expressions — conservative (a name inside a string literal also
+        refuses), which errs on the safe side."""
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        for cname, expr in self.constraints.items():
+            if pat.search(expr):
+                raise ValueError(
+                    f"{self.name}: cannot {action} column {col!r} — CHECK "
+                    f"constraint {cname!r} references it ({expr}); DROP "
+                    "CONSTRAINT first"
+                )
+        spec = self.properties.get("write.sort-order") or ""
+        if col in [c.strip().strip("`") for c in spec.split(",") if c.strip()]:
+            raise ValueError(
+                f"{self.name}: cannot {action} column {col!r} — it is in "
+                "write.sort-order; unset the property first"
+            )
+        cspec = self.properties.get("write.clustered-by")
+        if cspec and pat.search(cspec):
+            raise ValueError(
+                f"{self.name}: cannot {action} column {col!r} — it is in "
+                "write.clustered-by; unset the property first"
+            )
+
     def rename_column(self, old: str, new: str) -> None:
         """Schema evolution: RENAME COLUMN, metadata-only (Iceberg §2.7).
         The field keeps its id; old data files keep their data under the
@@ -2882,6 +3005,7 @@ class LakeTable:
             raise ValueError(
                 f"{self.name}: cannot rename partition source column {old!r}"
             )
+        self._guard_column_references(old, "rename")
         fid = self.field_ids.pop(old)
         self.field_ids[new] = fid
         self.name_log.setdefault(str(fid), [old])
@@ -2914,6 +3038,7 @@ class LakeTable:
             raise ValueError(
                 f"{self.name}: cannot drop partition source column {name!r}"
             )
+        self._guard_column_references(name, "drop")
         if len(self.schema.fields) == 1:
             raise ValueError(f"{self.name}: cannot drop the only column")
         fid = self.field_ids.pop(name)
@@ -3190,34 +3315,48 @@ class CatalogTransaction:
             raise ValueError("transaction already finished")
         self._done = True
         try:
-            # re-verify no table moved since its first stage
-            for path, s in self._staged.items():
-                t = self._tables_by_path(path)
-                if t.current_version() != s["first_base"]:
-                    raise CommitConflictError(
-                        f"concurrent commit advanced {t.name} during the "
-                        "transaction"
-                    )
-            intent_dir = os.path.join(self.catalog.warehouse, "_txn")
-            os.makedirs(intent_dir, exist_ok=True)
-            intent = {
-                "entries": [
-                    {"path": path, "version": s["latest"]}
-                    for path, s in self._staged.items()
-                ]
-            }
-            intent_path = os.path.join(
-                intent_dir, f"txn-{uuid.uuid4().hex}.json"
-            )
-            _atomic_write(intent_path, json.dumps(intent))  # commit point
-            for path, s in self._staged.items():
-                _atomic_write(
-                    os.path.join(path, "meta", "VERSION"), str(s["latest"])
+            # Pre-intent phase: any failure here aborts (staged snapshot
+            # jsons are unpublished, so deleting them is safe).
+            try:
+                # re-verify no table moved since its first stage
+                for path, s in self._staged.items():
+                    t = self._tables_by_path(path)
+                    if t.current_version() != s["first_base"]:
+                        raise CommitConflictError(
+                            f"concurrent commit advanced {t.name} during the "
+                            "transaction"
+                        )
+                intent_dir = os.path.join(self.catalog.warehouse, "_txn")
+                os.makedirs(intent_dir, exist_ok=True)
+                intent = {
+                    "entries": [
+                        {"path": path, "version": s["latest"]}
+                        for path, s in self._staged.items()
+                    ]
+                }
+                intent_path = os.path.join(
+                    intent_dir, f"txn-{uuid.uuid4().hex}.json"
                 )
-            os.remove(intent_path)
-        except Exception:
-            self._abort()
-            raise
+                _atomic_write(intent_path, json.dumps(intent))  # commit point
+            except Exception:
+                self._abort()
+                raise
+            # Post-intent phase: the transaction IS durably committed.
+            # A failure mid-publish must roll FORWARD, never abort —
+            # some VERSION pointers may already reference staged
+            # snapshots, so deleting them would dangle live pointers.
+            try:
+                for path, s in self._staged.items():
+                    _atomic_write(
+                        os.path.join(path, "meta", "VERSION"), str(s["latest"])
+                    )
+                os.remove(intent_path)
+            except Exception:
+                try:
+                    # finish the publish in-process if possible
+                    self.catalog._recover_transactions()
+                except Exception:
+                    pass  # intent remains; next catalog open rolls forward
         finally:
             self._detach()
 

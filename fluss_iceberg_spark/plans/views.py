@@ -139,19 +139,38 @@ class ViewManager:
         resolves; only plan construction happens here (lazy, no I/O)."""
         if getattr(self, "_materializing", False):
             return  # nested engine.sql() during materialization
-        referenced = False
-        for name in list(self.views) + list(self.matviews):
-            if re.search(rf"\b{re.escape(name)}\b", q):
-                referenced = True
-        if not referenced:
+        # Only the views the statement references (plus their transitive
+        # view dependencies) are re-materialized — a stale definition of
+        # an UNRELATED view must not fail this query, and re-planning
+        # every registered view per statement is O(#views) waste.
+        all_names = list(self.views) + list(self.matviews)
+
+        def refs_in(text: str) -> set[str]:
+            return {
+                n for n in all_names if re.search(rf"\b{re.escape(n)}\b", text)
+            }
+
+        needed = refs_in(q)
+        frontier = list(needed)
+        while frontier:
+            body = self.views.get(frontier.pop())
+            if body:
+                for dep in refs_in(body) - needed:
+                    needed.add(dep)
+                    frontier.append(dep)
+        if not needed:
             return
         self._materializing = True
         try:
-            for name, select in self.views.items():
-                df = self.engine.sql(select)
-                df.createOrReplaceTempView(name)
+            # matviews first: a view body may read a matview, never the
+            # reverse (matview bases are lake tables by construction)
             for name in self.matviews:
-                self.read_matview(name).createOrReplaceTempView(name)
+                if name in needed:
+                    self.read_matview(name).createOrReplaceTempView(name)
+            for name, select in self.views.items():
+                if name in needed:
+                    df = self.engine.sql(select)
+                    df.createOrReplaceTempView(name)
         finally:
             self._materializing = False
 

@@ -103,3 +103,32 @@ def test_pk_branch_merge(spark, tmp_path):
     t.fast_forward("stage")
     got_pub = {r.k: r.v for r in t.read().collect()}
     assert got_pub[2] == 999 and got_pub[10] == 10
+
+
+def test_fast_forward_refuses_nondescendant_higher_id(spark, t):
+    """Snapshot ids are global across refs, so a branch commit can carry
+    a HIGHER id than a main commit it never saw — publishing by id
+    comparison alone would silently discard the main rows. fast_forward
+    must walk ancestry, not compare ids."""
+    t.create_branch("wip")
+    with t.on_branch("wip"):
+        t.append(spark.createDataFrame([(50, 1)], "k int, v long"))
+    t.append(spark.createDataFrame([(60, 2)], "k int, v long"))  # main
+    with t.on_branch("wip"):
+        t.append(spark.createDataFrame([(51, 1)], "k int, v long"))
+    assert t.branches()["wip"] > t.current_version()  # id alone says "ahead"
+    with pytest.raises(ValueError, match="descend"):
+        t.fast_forward("wip")
+    # main rows intact, branch untouched
+    assert t.read().count() == 11
+    assert t.read(version="wip").count() == 12
+
+
+def test_fast_forward_after_main_catches_up(spark, t):
+    """Publish works when main IS an ancestor of the branch head."""
+    t.create_branch("ok")
+    with t.on_branch("ok"):
+        t.append(spark.createDataFrame([(70, 1)], "k int, v long"))
+        t.append(spark.createDataFrame([(71, 1)], "k int, v long"))
+    t.fast_forward("ok")
+    assert t.read().count() == 12

@@ -252,3 +252,40 @@ def test_auto_compact_threshold(spark, tmp_path):
     t2 = cat.create_table("ac2", sch)
     t2.append(spark.range(5).toDF("x"))
     assert t2.maybe_auto_compact() is None
+
+
+def test_incremental_read_allows_metadata_only_commits(spark):
+    """ALTER TABLE metadata commits (constraints, schema change) keep the
+    file list identical, so the file-diff delta stays exact — an
+    incremental range crossing one must NOT raise (a matview REFRESH
+    after ALTER TABLE on its base would otherwise be stuck forever)."""
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("incm", SCHEMA)
+        t.append(spark.createDataFrame([(0, "a")], SCHEMA))          # v0
+        t.add_constraint("k_pos", "k >= 0")                          # v1 meta
+        t.append(spark.createDataFrame([(1, "b")], SCHEMA))          # v2
+        t.add_column("extra", T.LongType())                          # v3 meta
+        t.append(spark.createDataFrame(
+            [(2, "c", 9)], "k int, v string, extra long"))           # v4
+        got = sorted(r.k for r in t.incremental_read(0).collect())
+        assert got == [1, 2]
+        # MoR deletes in range still refuse (rows vanished, not appended)
+        t.properties["write.delete.mode"] = "merge-on-read"
+        t.delete([("k", "=", 1)])
+        with pytest.raises(ValueError, match="non-append"):
+            t.incremental_read(0)
+
+
+def test_incremental_read_ignores_interleaved_branch_snapshots(spark):
+    """Branch commits take ids from the same global sequence; an id
+    inside the range that is NOT on main's lineage must not trip the
+    non-append guard or pollute the delta."""
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("incb", SCHEMA)
+        t.append(spark.createDataFrame([(0, "a")], SCHEMA))          # v0 main
+        t.create_branch("side")
+        with t.on_branch("side"):
+            t.append(spark.createDataFrame([(100, "s")], SCHEMA))    # v1 branch
+        t.append(spark.createDataFrame([(1, "b")], SCHEMA))          # v2 main
+        got = sorted(r.k for r in t.incremental_read(0).collect())
+        assert got == [1]  # branch row invisible, branch id not rejected

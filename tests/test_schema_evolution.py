@@ -191,3 +191,25 @@ def test_widen_sql_surface(spark, tmp_path):
     t = eng.catalog.load("wsql")
     assert t.schema["k"].dataType == T.LongType()
     assert eng.sql("SELECT SUM(k) AS s FROM wsql").collect()[0].s == 10
+
+
+def test_rename_drop_refuse_constraint_and_sort_order_refs(spark, t):
+    """A metadata-only rename/drop of a column referenced by a CHECK
+    constraint or write.sort-order would brick every later write (the
+    stored expression names the old column); it must be refused."""
+    t.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="CHECK"):
+        t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="CHECK"):
+        t.drop_column("v")
+    t.drop_constraint("v_pos")
+    t.properties["write.sort-order"] = "note"
+    with pytest.raises(ValueError, match="sort-order"):
+        t.rename_column("note", "comment")
+    del t.properties["write.sort-order"]
+    # with the references gone, evolution proceeds and writes still work
+    t.rename_column("v", "val")
+    t.append(
+        spark.createDataFrame([(100, 1, "x")], "k int, val long, note string")
+    )
+    assert t.read().count() == 11

@@ -131,3 +131,37 @@ def test_branch_writes_rejected_in_txn(spark):
             with t.on_branch("audit"):
                 t.append(spark.createDataFrame([(2, "x")], SCHEMA))
         txn.abort()
+
+
+def test_post_intent_failure_rolls_forward_not_back(spark, monkeypatch):
+    """A failure AFTER the intent write (the commit point) must never
+    abort: some VERSION pointers may already reference staged snapshots,
+    so deleting them would dangle live pointers. The intent stays on
+    disk and the next catalog open completes the publish."""
+    import fluss_iceberg_spark.lake.table as mod
+
+    with tempfile.TemporaryDirectory() as d:
+        cat = _setup(spark, d)
+        txn = cat.transaction()
+        txn.table("a").append(spark.createDataFrame([(2, "a1")], SCHEMA))
+        txn.table("b").append(spark.createDataFrame([(2, "b1")], SCHEMA))
+        real = mod._atomic_write
+        state = {"fail": True}
+        b_version = os.path.join(d, "b", "meta", "VERSION")
+
+        def flaky(path, payload):
+            if state["fail"] and path == b_version:
+                raise OSError("disk full")
+            real(path, payload)
+
+        monkeypatch.setattr(mod, "_atomic_write", flaky)
+        txn.commit()  # must NOT raise: the txn is durably committed
+        # intent file left behind for roll-forward; staged snapshots kept
+        intent_dir = os.path.join(d, "_txn")
+        assert len(os.listdir(intent_dir)) == 1
+        # disk recovers; next catalog open completes the publish
+        state["fail"] = False
+        after = LakeCatalog(spark, d)
+        assert after.load("a").read().count() == 2
+        assert after.load("b").read().count() == 2
+        assert os.listdir(intent_dir) == []

@@ -201,3 +201,45 @@ def test_truncate_table(spark, eng):
     assert eng.sql("SELECT COUNT(1) AS c FROM base").collect()[0].c == 0
     # truncation is a snapshot: time travel still reads the old rows
     assert eng.sql("SELECT * FROM base VERSION AS OF 0").count() == 2
+
+
+def test_stale_unrelated_view_does_not_break_other_queries(spark, eng):
+    """Only the views a statement actually references are
+    re-materialized: a view whose base table vanished must not fail
+    queries over a different, healthy view."""
+    ta = eng.create_table("t_gone", SCHEMA)
+    ta.append(_rows(spark, [("a", 1)]))
+    tb = eng.create_table("t_here", SCHEMA)
+    tb.append(_rows(spark, [("b", 2)]))
+    eng.sql("CREATE VIEW v_stale AS SELECT k FROM t_gone")
+    eng.sql("CREATE VIEW v_ok AS SELECT k, v FROM t_here")
+    eng.sql("DROP TABLE t_gone")  # v_stale's base is gone
+    # healthy view still answers
+    assert eng.sql("SELECT * FROM v_ok").collect()[0].v == 2
+    # the stale one fails only when itself referenced
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM v_stale").collect()
+
+
+def test_view_over_view_transitively_materialized(spark, eng):
+    t = eng.create_table("vv_base", SCHEMA)
+    t.append(_rows(spark, [("a", 1), ("a", 2)]))
+    eng.sql("CREATE VIEW vv_inner AS SELECT k, SUM(v) AS s FROM vv_base GROUP BY k")
+    eng.sql("CREATE VIEW vv_outer AS SELECT k, s + 1 AS s1 FROM vv_inner")
+    assert eng.sql("SELECT * FROM vv_outer").collect()[0].s1 == 4
+    t.append(_rows(spark, [("a", 10)]))
+    # freshness flows through the dependency chain
+    assert eng.sql("SELECT * FROM vv_outer").collect()[0].s1 == 14
+
+
+def test_drop_recreate_same_name_serves_fresh_data(spark, eng):
+    """The registration cache must not serve a stale temp view across a
+    drop+recreate of the same table name (the (path, version,
+    committed_at_ms) key changes even if version numbers repeat)."""
+    t = eng.create_table("rr", SCHEMA)
+    t.append(_rows(spark, [("old", 1)]))
+    assert eng.sql("SELECT * FROM rr").collect()[0].k == "old"
+    eng.sql("DROP TABLE rr")
+    t2 = eng.create_table("rr", SCHEMA)
+    t2.append(_rows(spark, [("new", 2)]))
+    assert eng.sql("SELECT * FROM rr").collect()[0].k == "new"

@@ -626,8 +626,9 @@ class Engine:
     def _sql_call(self, q: str) -> DataFrame:
         """Iceberg-style maintenance procedures (the `CALL system.<proc>`
         Spark surface): expire_snapshots, rewrite_data_files,
-        remove_orphan_files, rollback_to_snapshot, create_tag. Args are
-        positional literals; table name first."""
+        remove_orphan_files, rollback_to_snapshot, create_tag, drop_tag,
+        create_branch, fast_forward, drop_branch. Args are positional
+        literals; table name first."""
         m = re.match(r"CALL\s+(?:system\.)?(\w+)\s*\((.*)\)\s*$", q, re.I | re.S)
         if not m:
             raise ValueError(f"cannot parse CALL: {q!r}")
@@ -665,6 +666,18 @@ class Engine:
         elif proc == "create_tag":
             v = t.create_tag(args[1], int(args[2]) if len(args) > 2 else None)
             out = [(args[0], "create_tag", f"{args[1]}=v{v}")]
+        elif proc == "drop_tag":
+            t.drop_tag(args[1])
+            out = [(args[0], "drop_tag", args[1])]
+        elif proc == "create_branch":
+            v = t.create_branch(args[1], int(args[2]) if len(args) > 2 else None)
+            out = [(args[0], "create_branch", f"{args[1]}=v{v}")]
+        elif proc == "fast_forward":
+            v = t.fast_forward(args[1])
+            out = [(args[0], "fast_forward", f"main=v{v}")]
+        elif proc == "drop_branch":
+            t.drop_branch(args[1])
+            out = [(args[0], "drop_branch", args[1])]
         else:
             raise ValueError(f"unknown procedure {proc!r}")
         self._register(t)
@@ -928,27 +941,33 @@ class Engine:
         )
 
     def _sql_insert(self, q: str) -> DataFrame:
+        """``INSERT INTO t [BRANCH b] [(cols)] SELECT ...|VALUES ...``.
+        BRANCH routes the write onto a branch ref (the WAP staging step,
+        Iceberg's ``INSERT INTO t.branch_b`` role): main readers see
+        nothing until ``CALL fast_forward(t, b)`` publishes."""
         m = re.match(
-            r"INSERT\s+INTO\s+`?([\w.]+)`?\s*(?:\(([^)]*)\))?\s+"
+            r"INSERT\s+INTO\s+`?([\w.]+)`?\s*"
+            r"(?:BRANCH\s+`?(\w+)`?\s*)?(?:\(([^)]*)\))?\s+"
             r"(SELECT\b.*|VALUES\b.*)$",
             q, re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse INSERT INTO: {q!r}")
         name = m.group(1).split(".")[-1]
+        branch = m.group(2)
         src = (
-            self.spark.sql(self._rewrite_time_travel(m.group(3)))
-            if m.group(3).upper().startswith("SELECT")
-            else self.spark.sql(f"SELECT * FROM {m.group(3)}")
+            self.spark.sql(self._rewrite_time_travel(m.group(4)))
+            if m.group(4).upper().startswith("SELECT")
+            else self.spark.sql(f"SELECT * FROM {m.group(4)}")
         )
         if not self.catalog.exists(name):
             raise KeyError(f"INSERT target is not a lake table: {name}")
         t = self.catalog.load(name)
-        if m.group(2):
+        if m.group(3):
             # explicit column list: values map positionally to the listed
             # columns; unlisted columns land NULL (standard SQL; computed
             # columns like PROCTIME() are stamped by _prepare)
-            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            cols = [c.strip().strip("`") for c in m.group(3).split(",")]
             unknown = [c for c in cols if c not in t.schema.fieldNames()]
             if unknown:
                 raise ValueError(f"INSERT column(s) not in {name}: {unknown}")
@@ -969,6 +988,10 @@ class Engine:
                     )
         else:
             src = src.toDF(*t.schema.fieldNames()[: len(src.columns)])
+        if branch:
+            with t.on_branch(branch):
+                t.merge(src) if t.primary_key else t.append(src)
+            return self._ok("insert_branch", f"{name}@{branch}")
         if t.primary_key:
             t.merge(src)
         else:

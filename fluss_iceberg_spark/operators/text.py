@@ -144,6 +144,67 @@ def budget_select(
     )
 
 
+def budget_select_two_phase(
+    df: DataFrame,
+    token_budget: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The 100 TB form of ``budget_select`` (the two-phase threshold its
+    docstring documents): SAME selected set, but the only full-width
+    sort is over the single boundary quality level per group instead of
+    the whole group.
+
+    Phase 1 aggregates token mass per (group, quality) — map-side
+    combined, and since quality is 4-decimal-rounded the aggregate is at
+    most #groups × 10⁴ rows regardless of corpus size. A tiny window
+    over that aggregate finds, per group, the quality levels that fit
+    the budget entirely (``cum_mass ≤ budget``) and the one BOUNDARY
+    level that straddles it. Phase 2 broadcast-joins the level table
+    back: fully-fitting levels keep all their docs with no sort at all;
+    only the boundary level's docs — one quality value per group — get
+    the (doc_id-ordered) running-sum window, offset by the mass of the
+    better levels. Greedy order is (quality DESC, doc_id), so equality
+    with the exact form holds level by level.
+
+    Returns (doc_id, group, n_tokens, quality) WITHOUT the per-row
+    running total: materializing cum_tokens for every kept row would
+    require exactly the whole-group sort this plan exists to avoid."""
+    from pyspark.sql.functions import broadcast
+
+    q = quality_score(df, text_col, keep=(group_col,)).select(
+        "doc_id", group_col, "n_tokens", "quality"
+    )
+    mass = q.groupBy(group_col, "quality").agg(
+        F.sum(F.col("n_tokens").cast("bigint")).alias("tok_mass")
+    )
+    wq = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    levels = (
+        mass.withColumn("cum_mass", F.sum("tok_mass").over(wq))
+        .withColumn("prev_mass", F.col("cum_mass") - F.col("tok_mass"))
+        .filter(F.col("prev_mass") < token_budget)
+        .select(group_col, "quality", "cum_mass", "prev_mass")
+    )
+    joined = q.join(broadcast(levels), on=[group_col, "quality"], how="inner")
+    full = joined.filter(F.col("cum_mass") <= token_budget)
+    boundary = joined.filter(F.col("cum_mass") > token_budget)
+    wb = (
+        Window.partitionBy(group_col, "quality")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary_kept = boundary.withColumn(
+        "__cum",
+        F.col("prev_mass") + F.sum(F.col("n_tokens").cast("bigint")).over(wb),
+    ).filter(F.col("__cum") <= token_budget)
+    out_cols = ["doc_id", group_col, "n_tokens", "quality"]
+    return full.select(*out_cols).unionByName(boundary_kept.select(*out_cols))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
 

@@ -398,6 +398,54 @@ def budget_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_budget_two_phase",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang, n_tokens,
+               round(least(stopword_ratio * 4.0, 1.0) * 0.4
+                     + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+                            THEN 0.3 ELSE 0.0 END
+                     + greatest(0.0, 0.2 - digit_ratio * 2.0)
+                     + greatest(0.0, 0.1 - punct_ratio), 4) AS quality
+        FROM f
+    ),
+    s AS (
+        SELECT doc_id, lang, n_tokens, quality,
+               SUM(CAST(n_tokens AS BIGINT)) OVER (
+                   PARTITION BY lang ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, lang, n_tokens, quality
+    FROM s WHERE cum_tokens <= 2000
+    """,
+)
+def budget_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-sort scale path of token-budget mixing: token mass per
+    (lang, quality) level decides which levels fit entirely; only the one
+    straddling level per language is doc_id-sorted. Selected set is
+    proven equal to the exact greedy form (the oracle IS the exact
+    form, minus the running total the scale path never materializes)."""
+    return TX.budget_select_two_phase(
+        load_table(spark, sf_dir, "documents"), token_budget=2000
+    )
+
+
+@query(
     "pipeline_curation_end2end",
     oracle="""
     WITH dedup AS (

@@ -132,3 +132,27 @@ def test_fast_forward_after_main_catches_up(spark, t):
         t.append(spark.createDataFrame([(71, 1)], "k int, v long"))
     t.fast_forward("ok")
     assert t.read().count() == 12
+
+
+def test_sql_wap_roundtrip(spark, tmp_path):
+    """Full write-audit-publish through SQL alone: CALL create_branch →
+    INSERT INTO ... BRANCH → audit via VERSION AS OF 'branch' →
+    CALL fast_forward → main sees the rows."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whsql"))
+    df = spark.createDataFrame([(1, 10)], "k int, v long")
+    t = eng.create_table("wap_t", df.schema)
+    t.append(df)
+    eng.sql("CALL create_branch(wap_t, audit)")
+    eng.sql("INSERT INTO wap_t BRANCH audit VALUES (2, 20)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM wap_t").collect()[0].n == 1
+    got = eng.sql(
+        "SELECT COUNT(*) AS n FROM wap_t VERSION AS OF 'audit'"
+    ).collect()[0].n
+    assert got == 2
+    eng.sql("CALL fast_forward(wap_t, audit)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM wap_t").collect()[0].n == 2
+    eng.sql("CALL drop_branch(wap_t, audit)")
+    eng.sql("CALL create_tag(wap_t, published)")
+    eng.sql("CALL drop_tag(wap_t, published)")

@@ -77,3 +77,28 @@ def test_semantic_representatives_clusters_and_singletons(spark):
     assert rows[2].representative == 1 and not rows[2].keep
     assert rows[3].representative == 1 and not rows[3].keep
     assert rows[4].representative == 4 and rows[4].keep
+
+
+def test_budget_two_phase_equals_exact_greedy(spark):
+    """The bounded-sort two-phase threshold must select EXACTLY the same
+    documents as the one-window greedy form — including quality-tie
+    levels straddling the budget, a group fitting entirely, and a group
+    whose best single doc already overflows."""
+    import random
+
+    rng = random.Random(7)
+    words = ["the", "and", "of", "to", "is", "data", "spark", "x9", "!!", "lake"]
+    rows = []
+    for i in range(400):
+        lang = ["en", "de", "fr", "tiny"][i % 4]
+        n = rng.randint(3, 40) if lang != "tiny" else 2
+        rows.append((i, lang, " ".join(rng.choice(words) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for budget in (50, 400, 100000):
+        exact = {
+            r.doc_id
+            for r in TX.budget_select(docs, budget).collect()
+        }
+        fast = TX.budget_select_two_phase(docs, budget).collect()
+        assert {r.doc_id for r in fast} == exact, f"budget={budget}"
+        assert len(fast) == len({r.doc_id for r in fast})  # no dup rows

@@ -53,3 +53,19 @@ def test_ngram_stats_take_ordered_not_full_sort(spark):
     assert plan.count("hashpartitioning") == 1
     assert count_nodes(df, "Exchange") <= 2
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_budget_two_phase_broadcast_and_bounded_sort(spark):
+    """The scale form's shape: the level table joins back as a
+    BROADCAST (it is ≤ groups × 10⁴ rows by construction), and the only
+    doc-width windows partition by (group, quality) — the boundary
+    level — never by group alone (that would be the whole-group sort
+    the plan exists to avoid)."""
+    docs = load_table(spark, SF, "documents")
+    df = TX.budget_select_two_phase(docs, token_budget=2000)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the doc-width window partitions by (lang, quality) — the boundary
+    # level — and the union of full + boundary halves is plan-visible
+    assert "windowspecdefinition(lang" in plan and "quality" in plan
+    assert "Union" in plan

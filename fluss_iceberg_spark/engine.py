@@ -102,6 +102,10 @@ class Engine:
         # committed_at_ms, and a USE CATALOG switch to a same-named
         # table changes the path.
         self._reg_state: dict[str, tuple] = {}
+        # set while a BEGIN TRANSACTION block executes: write handlers
+        # load their targets through the transaction so every commit
+        # stages instead of publishing
+        self._active_txn = None
 
     @property
     def views(self):
@@ -128,7 +132,21 @@ class Engine:
 
     _META_SUFFIXES = ("snapshots", "files", "history", "partitions", "refs")
 
+    def _load_for_write(self, name: str) -> LakeTable:
+        """DML target resolution: inside a BEGIN TRANSACTION block the
+        table comes from the active CatalogTransaction (commits stage;
+        read-your-own-writes within the block), else a plain load."""
+        if self._active_txn is not None:
+            return self._active_txn.table(name)
+        return self.catalog.load(name)
+
     def _register(self, t: LakeTable) -> None:
+        # mid-transaction, NOTHING registers: t.read() would resolve the
+        # staged head, leaking uncommitted rows into the session's temp
+        # view (and dangling if the txn aborts). The commit path
+        # re-registers every touched table after publish.
+        if self._active_txn is not None:
+            return
         # the reference exposes metadata as `t$snapshots` (README.md:275);
         # Spark temp view names reject '$', so the companion view is
         # `t__snapshots`. Companion views are built LAZILY — eager
@@ -293,6 +311,8 @@ class Engine:
             for suffix in ("__snapshots", "__files", "__history"):
                 self.spark.catalog.dropTempView(f"{name}{suffix}")
             return self._ok("dropped", name)
+        if re.match(r"BEGIN\s+TRANSACTION\b", u):
+            return self._sql_transaction(q)
         if u.startswith("INSERT INTO"):
             return self._sql_insert(q)
         if u.startswith("INSERT OVERWRITE"):
@@ -593,7 +613,7 @@ class Engine:
         if not m:
             raise ValueError(f"cannot parse DELETE: {q!r}")
         name = m.group(1)
-        snap = self.catalog.load(name).delete(self._parse_where(m.group(2)))
+        snap = self._load_for_write(name).delete(self._parse_where(m.group(2)))
         self.refresh(name)
         return self.spark.createDataFrame(
             [(name, snap.summary.get("files_rewritten", 0))],
@@ -616,7 +636,9 @@ class Engine:
             if not expr:
                 raise ValueError(f"cannot parse SET clause: {part.strip()!r}")
             set_exprs[col.strip().strip("`")] = expr.strip()
-        snap = self.catalog.load(name).update(set_exprs, self._parse_where(m.group(3)))
+        snap = self._load_for_write(name).update(
+            set_exprs, self._parse_where(m.group(3))
+        )
         self.refresh(name)
         return self.spark.createDataFrame(
             [(name, snap.summary.get("files_rewritten", 0))],
@@ -643,20 +665,41 @@ class Engine:
                     f"expired={res['expired_snapshots']} removed_files={len(res['removed_files'])}")]
         elif proc == "rewrite_data_files":
             # optional 3rd arg: 'col1,col2' = sort-order rewrite;
-            # 'zorder:col1,col2' = Z-order (multi-dim) clustering rewrite
-            cluster = args[2] if len(args) > 2 else None
+            # 'zorder:col1,col2' = Z-order (multi-dim) clustering rewrite;
+            # '' = plain bin-packing. Optional 4th arg: a conjunctive
+            # predicate ('day = 3 AND ...') scoping the rewrite to the
+            # matching files (Iceberg's rewrite_data_files where => ...)
+            cluster = where_raw = None
+            extras = args[2:]
+            if len(extras) == 2:
+                cluster, where_raw = extras
+            elif len(extras) == 1:
+                # a predicate always carries a comparison operator; a
+                # sort/zorder column list never does
+                if re.search(r"[=<>]", extras[0]):
+                    where_raw = extras[0]
+                else:
+                    cluster = extras[0]
             sort_by = zorder_by = None
             if cluster:
                 if cluster.lower().startswith("zorder:"):
                     zorder_by = [c.strip() for c in cluster[7:].split(",")]
                 else:
                     sort_by = [c.strip() for c in cluster.split(",")]
+            where = self._parse_where(where_raw) if where_raw else None
             snap = t.compact(
                 target_file_rows=int(args[1]) if len(args) > 1 else 1_000_000,
                 sort_by=sort_by,
                 zorder_by=zorder_by,
+                where=where,
             )
-            out = [(args[0], "rewrite_data_files", f"snapshot={snap.snapshot_id}")]
+            res_txt = (
+                f"snapshot={snap.snapshot_id}"
+                f" rewritten={snap.summary.get('files_rewritten', 'all')}"
+                if snap is not None
+                else "noop"
+            )
+            out = [(args[0], "rewrite_data_files", res_txt)]
         elif proc == "remove_orphan_files":
             removed = t.remove_orphan_files()
             out = [(args[0], "remove_orphan_files", f"removed={len(removed)}")]
@@ -821,7 +864,7 @@ class Engine:
             raise ValueError(f"cannot parse MERGE INTO: {q!r}")
         name, t_alias, using, on, whens = m.groups()
         t_alias = t_alias or name
-        t = self.catalog.load(name)
+        t = self._load_for_write(name)
         if not t.primary_key:
             raise ValueError(f"MERGE target must be a PK table: {name}")
         fields = t.schema.fieldNames()
@@ -962,7 +1005,7 @@ class Engine:
         )
         if not self.catalog.exists(name):
             raise KeyError(f"INSERT target is not a lake table: {name}")
-        t = self.catalog.load(name)
+        t = self._load_for_write(name)
         if m.group(3):
             # explicit column list: values map positionally to the listed
             # columns; unlisted columns land NULL (standard SQL; computed
@@ -998,6 +1041,58 @@ class Engine:
             t.append(src)
         self._register(t)
         return self._ok("insert", name)
+
+    def _sql_transaction(self, q: str) -> DataFrame:
+        """``BEGIN TRANSACTION; <DML>; ...; COMMIT`` — every write in the
+        block stages through one CatalogTransaction and publishes
+        atomically at COMMIT (write-ahead intent + roll-forward, see
+        CatalogTransaction): readers never observe a partially-applied
+        block, across any number of tables. ``ROLLBACK`` as the
+        terminator discards the staged writes. DML only inside the
+        block (INSERT/MERGE/UPDATE/DELETE — DDL is not transactional
+        here, matching Iceberg/Nessie semantics). Statements split on
+        ';' (semicolons inside string literals are not supported in a
+        block, same as EXECUTE STATEMENT SET)."""
+        stmts = [s.strip() for s in q.split(";") if s.strip()]
+        if not re.match(r"BEGIN\s+TRANSACTION$", stmts[0], re.I):
+            raise ValueError(f"cannot parse transaction block: {stmts[0]!r}")
+        if len(stmts) < 2 or not re.match(
+            r"(COMMIT|ROLLBACK)$", stmts[-1], re.I
+        ):
+            raise ValueError(
+                "transaction block must end with COMMIT or ROLLBACK"
+            )
+        if self._active_txn is not None:
+            raise ValueError("nested BEGIN TRANSACTION is not supported")
+        body, final = stmts[1:-1], stmts[-1].upper()
+        allowed = ("INSERT INTO", "MERGE INTO", "DELETE FROM", "UPDATE ")
+        txn = self.catalog.transaction()
+        self._active_txn = txn
+        try:
+            for s in body:
+                if not s.upper().startswith(allowed):
+                    raise ValueError(
+                        "only DML (INSERT INTO / MERGE INTO / UPDATE / "
+                        f"DELETE FROM) is allowed in a transaction block: "
+                        f"{s[:60]!r}"
+                    )
+                self.sql(s)
+            if final == "COMMIT":
+                txn.commit()
+            else:
+                txn.abort()
+        except Exception:
+            txn.abort()  # no-op if commit/abort already finished
+            raise
+        finally:
+            self._active_txn = None
+        # publish done: refresh the temp views of every touched table
+        for name in list(txn._tables):
+            if self.catalog.exists(name):
+                self._register(self.catalog.load(name))
+        return self.spark.createDataFrame(
+            [(final.lower(), len(body))], "op string, statements int"
+        )
 
     def _sql_statement_set(self, q: str) -> DataFrame:
         """S15 ``EXECUTE STATEMENT SET BEGIN ... END`` (README.md:211-216):

@@ -2168,6 +2168,7 @@ class LakeTable:
         target_file_rows: int = 1_000_000,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        where: list[tuple] | None = None,
     ) -> Snapshot | None:
         """Small-file compaction (the Iceberg rewrite_data_files role):
         rewrite the current snapshot's files into ~target_file_rows-sized
@@ -2191,11 +2192,20 @@ class LakeTable:
         interleaved-bit Morton code instead (the Delta/Iceberg OPTIMIZE
         ZORDER role) — every listed column's min/max bounds tighten
         per-file, so predicates on ANY of them prune, where a plain sort
-        only serves its leading column."""
+        only serves its leading column.
+
+        ``where`` (log tables): scope the rewrite to the files the
+        conjunctive predicate ``[(col, op, lit), ...]`` can touch
+        (Iceberg's ``rewrite_data_files(where => ...)``): matched files
+        are rewritten IN FULL (they are dropped from the snapshot, so
+        every row they hold must move), all other files carry forward
+        untouched. At 100 TB compaction runs partition-by-partition on
+        the freshly-written slice — rewriting the whole table per
+        maintenance tick is not a plan."""
         self._check_rewrite_allowed("compact")
         if sort_by and zorder_by:
             raise ValueError(f"{self.name}: sort_by and zorder_by are exclusive")
-        return self._compact_impl(target_file_rows, sort_by, zorder_by)
+        return self._compact_impl(target_file_rows, sort_by, zorder_by, where)
 
     def maybe_auto_compact(self) -> "Snapshot | None":
         """Commit-cadence small-file control (the Paimon/Delta
@@ -2248,13 +2258,36 @@ class LakeTable:
         target_file_rows: int,
         sort_by: list[str] | None,
         zorder_by: list[str] | None,
+        where: list[tuple] | None = None,
     ) -> "Snapshot | None":
         cluster = sort_by or zorder_by
         snap = self.snapshot()
-        if snap is None or (len(snap.files) <= 1 and not cluster):
+        if snap is None:
             return None
-        df = self.read()
-        n = snap.total_rows
+        if where is not None:
+            if self.primary_key:
+                raise ValueError(
+                    f"{self.name}: where-scoped compaction applies to log "
+                    "tables; PK tables compact whole (bucket layout)"
+                )
+            touched = self.plan_scan(where, snapshot=snap)
+            keep = [f for f in snap.files if f not in set(touched)]
+            if not touched or (len(touched) <= 1 and not cluster):
+                return None
+            df = self._read_live(touched, self.schema, self.field_ids, snap)
+            # live rows of the rewritten slice: footer rows minus the
+            # tombstones active against exactly these files (log tables
+            # carry position deletes only, which count per file)
+            n = sum(
+                int((snap.file_meta.get(f) or {}).get("rows", 0))
+                for f in touched
+            ) - snap.active_delete_count(touched)
+        else:
+            if len(snap.files) <= 1 and not cluster:
+                return None
+            touched, keep = snap.files, []
+            df = self.read()
+            n = snap.total_rows
         n_files = max(1, -(-n // target_file_rows))
         version = self._next_version()
         rel = f"data/s{version}"
@@ -2315,7 +2348,13 @@ class LakeTable:
             summary["sort_by"] = sort_by
         if zorder_by:
             summary["zorder_by"] = zorder_by
-        return self._commit("compact", files, n, 0, summary=summary)
+        if where is not None:
+            summary["files_rewritten"] = len(touched)
+            summary["where"] = [[c, o, str(v)] for c, o, v in where]
+        total_footer = n + sum(
+            int((snap.file_meta.get(f) or {}).get("rows", 0)) for f in keep
+        )
+        return self._commit("compact", keep + files, total_footer, 0, summary=summary)
 
     def analyze(self, columns: list[str] | None = None) -> dict:
         """ANALYZE TABLE (the Iceberg puffin/table-stats role): one scan

@@ -356,6 +356,73 @@ def stratified_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-flattened domain mixing (the mT5/XLM-R data-mixture
+    rule, arXiv:1910.10683 §3.4.2): sample domain d with probability
+    ∝ p_d^α, so dominant domains are DOWN-sampled toward a flatter
+    mix while small domains keep everything. Realized as per-domain
+    deterministic hash-rate sampling with
+    ``rate_d = (min_tokens / tokens_d)^(1-α)`` — expected kept tokens
+    ∝ tokens_d · rate_d = tokens_d^α · min^(1-α) ∝ p_d^α, the
+    temperature law with the smallest domain as the implicit unit (its
+    rate is exactly 1.0: nothing rare is dropped).
+
+    Engine-exact by construction at the default α=0.5: the rate is
+    floor(sqrt(int/int) · 10⁶) — IEEE division and sqrt are correctly
+    rounded in both the JVM and DuckDB, so the micro-rate threshold is
+    bit-identical cross-engine (general α uses pow(), where the last
+    ulp is not guaranteed portable; documented).
+
+    Scale shape: one small shuffle for the per-domain token census
+    (map-side combined, #domains rows), the global min and the rates
+    ride broadcast joins, and the per-doc decision is a pure map-side
+    hash — the sample rides the scan, like stratified_sample."""
+    from fluss_iceberg_spark.operators.util import spread
+    from pyspark.sql.functions import broadcast
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    d = spread(df).select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        toks.alias("n_tokens"),
+    )
+    stats = d.groupBy("domain").agg(
+        F.sum(F.col("n_tokens").cast("bigint")).alias("domain_tokens")
+    )
+    mn = stats.agg(F.min("domain_tokens").alias("__m"))
+    ratio = F.col("__m").cast("double") / F.col("domain_tokens").cast("double")
+    scaled = (
+        F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = stats.crossJoin(broadcast(mn)).select(
+        "domain",
+        F.floor(scaled * F.lit(1_000_000)).cast("bigint").alias("rate_micro"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        d.join(broadcast(rates), on="domain")
+        .withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < F.col("rate_micro"))
+        .select(id_col, "domain", "n_tokens", "sample_bucket", "rate_micro")
+    )
+
+
 def _ngram_array(toks: str, n: int) -> str:
     """SQL expr: array of space-joined n-grams of ``toks`` (0-based
     subscripts), empty when the doc has fewer than n tokens (guards the

@@ -907,3 +907,80 @@ def stream_watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
+
+
+@query(
+    "stream_wap_gated",
+    oracle="""
+    SELECT event_type, COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_wap_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming write-audit-publish (the Iceberg spark.wap.branch
+    pattern at micro-batch cadence): every batch lands on a branch, an
+    AUDIT validates the staged table state — the branch delta read back
+    from the lake via lineage-walked incremental_read, so write-path
+    corruption is caught, not just source rows — and only audited
+    batches fast_forward to main. A poison batch (NULL event_type rows
+    injected into the stream source) must never reach main: its audit
+    fails, the branch resets to main's head, and the pipeline continues.
+    Final main state == the batch aggregation of the CLEAN events (the
+    oracle; the poison rows vanish without a trace).
+
+    Scale shape: the audit reads O(batch) — incremental_read plans the
+    staged file diff from manifest metadata; publish is one pointer
+    flip; a rejected batch costs two metadata writes (drop + re-branch).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    src_dir = _scratch(sf_dir, "wap_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
+    # poison file: same schema, NULL event_type — written beside the
+    # clean files so availableNow replays it as its own micro-batch
+    poison_dir = _scratch(sf_dir, "wap_poison")
+    ev.limit(7).withColumn(
+        "event_type", F.lit(None).cast("string")
+    ).coalesce(1).write.mode("overwrite").parquet(poison_dir)
+    for fn in os.listdir(poison_dir):
+        if fn.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(poison_dir, fn),
+                os.path.join(src_dir, "zz_poison.parquet"),
+            )
+    cat = LakeCatalog(spark, _scratch(sf_dir, "wap_wh"))
+    t = cat.create_table("events_audited", ev.schema)
+    t.create_branch("staging")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def _on_batch(bdf, batch_id):
+        main_v = t.current_version()
+        with t.on_branch("staging"):
+            t.append(bdf)
+        staged = t.branches()["staging"]
+        delta = t.incremental_read(main_v, staged)
+        if delta.filter(F.col("event_type").isNull()).limit(1).count() == 0:
+            t.fast_forward("staging")
+        else:
+            t.drop_branch("staging")  # audit failed: discard the stage
+            t.create_branch("staging")  # re-branch at main's head
+    q = (
+        stream.writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", _scratch(sf_dir, "wap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )

@@ -274,6 +274,44 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_temperature_mixing",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang AS domain,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT domain, SUM(CAST(n_tokens AS BIGINT)) AS domain_tokens
+        FROM d GROUP BY domain
+    ),
+    mn AS (SELECT MIN(domain_tokens) AS m FROM s),
+    r AS (
+        SELECT s.domain,
+               CAST(floor(sqrt(CAST(mn.m AS DOUBLE) / CAST(s.domain_tokens AS DOUBLE))
+                          * 1000000) AS BIGINT) AS rate_micro
+        FROM s, mn
+    ),
+    h AS (
+        SELECT d.doc_id, d.domain, d.n_tokens,
+               CAST(('0x' || substr(md5('temp-v1' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000000 AS sample_bucket,
+               r.rate_micro
+        FROM d JOIN r ON d.domain = r.domain
+    )
+    SELECT doc_id, domain, n_tokens, sample_bucket, rate_micro
+    FROM h WHERE sample_bucket < rate_micro
+    """,
+)
+def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixing (α=0.5): dominant languages
+    down-sample toward p^α while the smallest language keeps 100% —
+    deterministic hash-rate selection, engine-exact micro-rates (IEEE
+    sqrt/div are correctly rounded in both engines)."""
+    return TX.temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_repetition_filter",
     oracle="""
     WITH toks AS (

@@ -240,3 +240,52 @@ def test_partition_spec_evolution(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no partition field"):
         t.drop_partition_field("nope")
+
+
+def test_where_scoped_compaction_rewrites_only_matching_partition(
+    spark, events_df, tmp_path
+):
+    """CALL rewrite_data_files with a predicate: files of non-matching
+    partitions carry forward byte-identical (same relpaths); the
+    matching partition's small files collapse; data and time travel
+    are unchanged."""
+    cat = LakeCatalog(spark, str(tmp_path / "whsc"))
+    t = cat.create_table("ev", events_df.schema, partition_by=["cat"])
+    # 4 small appends → ≥4 files per partition
+    for i in range(4):
+        t.append(events_df.filter(F.col("k") % 4 == i))
+    before = t.snapshot()
+    cat0_before = [f for f in before.files if "cat=0" in f]
+    cat1_before = [f for f in before.files if "cat=1" in f]
+    assert len(cat0_before) >= 4 and len(cat1_before) >= 4
+    pre_rows = sorted(r.k for r in t.read().collect())
+
+    snap = t.compact(where=[("cat", "=", 0)])
+    assert snap.operation == "compact"
+    assert snap.summary["files_rewritten"] == len(cat0_before)
+    cat0_after = [f for f in snap.files if "cat=0" in f]
+    cat1_after = [f for f in snap.files if "cat=1" in f]
+    assert sorted(cat1_after) == sorted(cat1_before)  # untouched
+    assert len(cat0_after) < len(cat0_before)         # collapsed
+    assert sorted(r.k for r in t.read().collect()) == pre_rows
+    # time travel still sees the pre-compaction layout
+    assert sorted(
+        r.k for r in t.read(version=before.snapshot_id).collect()
+    ) == pre_rows
+    # row counts in the manifest stay live-exact
+    assert snap.total_rows == before.total_rows
+
+
+def test_where_scoped_compaction_sql_surface(spark, events_df, tmp_path):
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whsql2"))
+    t = eng.create_table("ev2", events_df.schema, partition_by=["cat"])
+    for i in range(3):
+        t.append(events_df.filter(F.col("k") % 4 == i))  # all cats per append
+    t.append(events_df.filter(F.col("k") % 4 == 3))
+    res = eng.sql(
+        "CALL rewrite_data_files(ev2, 1000000, 'cat = 1')"
+    ).collect()[0]
+    assert "rewritten=" in res.result
+    assert eng.sql("SELECT COUNT(*) AS n FROM ev2").collect()[0].n == 300

@@ -165,3 +165,50 @@ def test_post_intent_failure_rolls_forward_not_back(spark, monkeypatch):
         assert after.load("a").read().count() == 2
         assert after.load("b").read().count() == 2
         assert os.listdir(intent_dir) == []
+
+
+def test_sql_transaction_block(spark, tmp_path):
+    """BEGIN TRANSACTION; <DML>; COMMIT publishes atomically across
+    tables; ROLLBACK and mid-block failures leave no trace; DDL is
+    rejected inside the block."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whtxn"))
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    eng.create_table("ta", df.schema).append(df)
+    eng.create_table("tb", df.schema).append(df)
+    res = eng.sql(
+        """BEGIN TRANSACTION;
+           INSERT INTO ta VALUES (2, 'x');
+           INSERT INTO tb VALUES (2, 'y');
+           COMMIT"""
+    ).collect()[0]
+    assert (res.op, res.statements) == ("commit", 2)
+    assert eng.sql("SELECT COUNT(*) AS n FROM ta").collect()[0].n == 2
+    assert eng.sql("SELECT COUNT(*) AS n FROM tb").collect()[0].n == 2
+    # ROLLBACK discards the staged writes
+    eng.sql("BEGIN TRANSACTION; INSERT INTO ta VALUES (3, 'z'); ROLLBACK")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ta").collect()[0].n == 2
+    # a failing statement mid-block rolls the whole block back
+    with pytest.raises(Exception):
+        eng.sql(
+            """BEGIN TRANSACTION;
+               INSERT INTO ta VALUES (4, 'w');
+               INSERT INTO missing_t VALUES (1, 'q');
+               COMMIT"""
+        )
+    assert eng.sql("SELECT COUNT(*) AS n FROM ta").collect()[0].n == 2
+    # DDL refused inside the block (nothing applied)
+    with pytest.raises(ValueError, match="only DML"):
+        eng.sql("BEGIN TRANSACTION; DROP TABLE ta; COMMIT")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ta").collect()[0].n == 2
+    # UPDATE and DELETE stage through the same transaction
+    eng.sql(
+        """BEGIN TRANSACTION;
+           UPDATE ta SET v = 'u' WHERE k = 1;
+           DELETE FROM tb WHERE k = 1;
+           COMMIT"""
+    )
+    got = {r.k: r.v for r in eng.sql("SELECT * FROM ta").collect()}
+    assert got[1] == "u"
+    assert eng.sql("SELECT COUNT(*) AS n FROM tb").collect()[0].n == 1

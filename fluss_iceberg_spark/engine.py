@@ -130,7 +130,9 @@ class Engine:
         self._register(t)
         return t
 
-    _META_SUFFIXES = ("snapshots", "files", "history", "partitions", "refs")
+    _META_SUFFIXES = (
+        "snapshots", "files", "history", "partitions", "refs", "delete_files",
+    )
 
     def _load_for_write(self, name: str) -> LakeTable:
         """DML target resolution: inside a BEGIN TRANSACTION block the
@@ -165,8 +167,10 @@ class Engine:
         snap = t.snapshot() if cur >= 0 else None
         return (t.path, cur, snap.committed_at_ms if snap else -1)
 
+    # delete_files before files: the alternation is ordered, so
+    # t__delete_files resolves as (t, delete_files), not (t__delete, files)
     _META_VIEW_RE = re.compile(
-        r"\b(\w+)__(snapshots|files|history|partitions|refs)\b"
+        r"\b(\w+)__(snapshots|delete_files|files|history|partitions|refs)\b"
     )
 
     def _materialize_metadata_views(self, q: str) -> None:
@@ -784,6 +788,33 @@ class Engine:
             t.drop_column(col)
             self._register(self.catalog.load(name))
             return self._ok("drop_column", f"{name}.{col}")
+        sp = re.match(
+            r"ALTER\s+TABLE\s+`?(\w+)`?\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$",
+            q, re.I | re.S,
+        )
+        if sp:
+            name, body = sp.groups()
+            props = {}
+            for item in _split_top_level(body):
+                pm = re.match(r"'([^']+)'\s*=\s*'([^']*)'$", item.strip())
+                if not pm:
+                    raise ValueError(f"cannot parse TBLPROPERTIES item: {item!r}")
+                props[pm.group(1)] = pm.group(2)
+            t = self.catalog.load(name)
+            t.set_properties(props)
+            self._register(self.catalog.load(name))
+            return self._ok("set_properties", f"{name}:{','.join(sorted(props))}")
+        up = re.match(
+            r"ALTER\s+TABLE\s+`?(\w+)`?\s+UNSET\s+TBLPROPERTIES\s*\((.*)\)\s*$",
+            q, re.I | re.S,
+        )
+        if up:
+            name, body = up.groups()
+            keys = [i.strip().strip("'") for i in _split_top_level(body)]
+            t = self.catalog.load(name)
+            t.unset_properties(keys)
+            self._register(self.catalog.load(name))
+            return self._ok("unset_properties", f"{name}:{','.join(sorted(keys))}")
         wd = re.match(
             r"ALTER\s+TABLE\s+`?(\w+)`?\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+"
             r"(?:SET\s+DATA\s+)?TYPE\s+([\w(),\s]+?)\s*$",

@@ -2093,6 +2093,31 @@ class LakeTable:
             "size_bytes long, position_delete_record_count long",
         )
 
+    def delete_files(self, version: int | None = None) -> DataFrame:
+        """The ``t$delete_files`` metadata table (Iceberg v2): one row
+        per ACTIVE delete file in the snapshot — kind (position /
+        equality), tombstone record count, and the data files it still
+        references — answered from manifest metadata, zero data I/O."""
+        snap = self.snapshot(version)
+        rows = []
+        for d in (snap.delete_files if snap else []):
+            meta = (snap.delete_meta or {}).get(d) or {}
+            refs = sorted((meta.get("files") or {}).keys())
+            rows.append(
+                (
+                    d,
+                    meta.get("kind", "position"),
+                    int(meta.get("rows", 0)),
+                    len(refs),
+                    json.dumps(refs),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, kind string, record_count long, "
+            "referenced_data_files int, references string",
+        )
+
     def refs(self) -> DataFrame:
         """The ``t$refs`` metadata table (Iceberg's named-ref view): one
         row per tag/branch plus the implicit ``main`` head — answered
@@ -2813,6 +2838,44 @@ class LakeTable:
         meta["next_field_id"] = self.next_field_id
         meta["constraints"] = self.constraints
         _atomic_write(meta_path, json.dumps(meta))
+
+    def _persist_properties(self) -> None:
+        meta_path = os.path.join(self.path, "meta", "table.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["properties"] = self.properties
+        _atomic_write(meta_path, json.dumps(meta))
+
+    def set_properties(self, props: dict) -> None:
+        """``ALTER TABLE t SET TBLPROPERTIES (...)``: persisted to table
+        metadata and landed as a metadata-only snapshot, so write-path
+        properties (write.sort-order, bloom/value-set columns,
+        auto-compact thresholds, retention, delete/update modes) take
+        effect for every subsequent write from any session. Write-path
+        column specs are validated eagerly — a typo fails at ALTER, not
+        at the next append."""
+        before = dict(self.properties)
+        self.properties.update({str(k): str(v) for k, v in props.items()})
+        try:
+            self._write_order_cols()
+            self._cluster_column()
+        except ValueError:
+            self.properties = before
+            raise
+        self._persist_properties()
+        self._commit_schema_change(
+            "set-properties " + ",".join(sorted(map(str, props)))
+        )
+
+    def unset_properties(self, keys: list) -> None:
+        """``ALTER TABLE t UNSET TBLPROPERTIES (...)`` — removing an
+        absent key is a no-op, matching Spark/Iceberg."""
+        for k in keys:
+            self.properties.pop(str(k), None)
+        self._persist_properties()
+        self._commit_schema_change(
+            "unset-properties " + ",".join(sorted(map(str, keys)))
+        )
 
     def _persist_partition_spec(self) -> None:
         meta_path = os.path.join(self.path, "meta", "table.json")

@@ -304,3 +304,43 @@ def test_equality_delete_requires_pk(spark):
         t.append(spark.createDataFrame(_rows(0, 10), SCHEMA))
         with pytest.raises(ValueError, match="requires a primary key"):
             t.delete_by_key(spark.createDataFrame([(1,)], "k int"))
+
+
+def test_delete_files_metadata_table(spark, tmp_path):
+    """$delete_files: one row per active delete file with kind, count,
+    and referenced data files; empties after a rewrite materializes the
+    tombstones."""
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "whdf"))
+    t = cat.create_table(
+        "dfm",
+        spark.createDataFrame([(1, "a")], "k int, v string").schema,
+        properties=dict(MOR),
+    )
+    t.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], t.schema)
+    )
+    t.delete([("k", ">=", 7)])
+    rows = t.delete_files().collect()
+    assert len(rows) == 1
+    assert rows[0].kind == "position"
+    assert rows[0].record_count == 3
+    assert rows[0].referenced_data_files >= 1
+    # compaction materializes the tombstones: the view drains
+    t.compact()
+    assert t.delete_files().count() == 0
+
+
+def test_delete_files_sql_companion_view(spark, tmp_path):
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whdf2"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k int, v string")
+    t = eng.create_table("dfm2", df.schema, properties=dict(MOR))
+    t.append(df)
+    t.delete([("k", "=", 3)])
+    got = eng.sql(
+        "SELECT kind, record_count FROM dfm2__delete_files"
+    ).collect()
+    assert [(r.kind, r.record_count) for r in got] == [("position", 1)]

@@ -213,3 +213,33 @@ def test_rename_drop_refuse_constraint_and_sort_order_refs(spark, t):
         spark.createDataFrame([(100, 1, "x")], "k int, val long, note string")
     )
     assert t.read().count() == 11
+
+
+def test_set_unset_tblproperties_sql(spark, tmp_path):
+    """SET/UNSET TBLPROPERTIES: persisted across sessions, landed as a
+    metadata snapshot, write-path specs validated eagerly."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whp"))
+    df = spark.range(5).select(
+        F.col("id").cast("int").alias("k"), F.col("id").alias("v")
+    )
+    t = eng.create_table("props_t", df.schema)
+    t.append(df)
+    eng.sql(
+        "ALTER TABLE props_t SET TBLPROPERTIES "
+        "('write.sort-order' = 'k', 'history.expire.max-snapshots' = '10')"
+    )
+    # persisted: a fresh catalog load sees them
+    t2 = LakeCatalog(spark, str(tmp_path / "whp")).load("props_t")
+    assert t2.properties["write.sort-order"] == "k"
+    # the property is live: sorted append still works, and the
+    # metadata snapshot recorded the change
+    assert t2.snapshot().operation == "schema-change"
+    t2.append(spark.createDataFrame([(9, 9)], df.schema))
+    # unknown sort column refused at ALTER time
+    with pytest.raises(ValueError, match="not in schema"):
+        eng.sql("ALTER TABLE props_t SET TBLPROPERTIES ('write.sort-order' = 'nope')")
+    eng.sql("ALTER TABLE props_t UNSET TBLPROPERTIES ('write.sort-order')")
+    t3 = LakeCatalog(spark, str(tmp_path / "whp")).load("props_t")
+    assert "write.sort-order" not in t3.properties

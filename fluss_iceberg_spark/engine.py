@@ -62,14 +62,20 @@ def _parse_type(s: str) -> T.DataType:
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas at paren depth 0 (column list / WITH list)."""
-    parts, depth, cur = [], 0, []
+    """Split on commas at paren depth 0, OUTSIDE single-quoted string
+    literals (column list / WITH list / CALL args: 'zorder:a,b' is one
+    argument, not two). A doubled '' inside a literal is the SQL escape
+    and stays inside."""
+    parts, depth, cur, in_str = [], 0, [], False
     for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(cur))
             cur = []
         else:

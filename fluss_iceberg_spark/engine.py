@@ -412,8 +412,11 @@ class Engine:
         r"\b(FROM|JOIN)\s+`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([\w.-]+)')",
         re.IGNORECASE,
     )
+    # TIMESTAMP AS OF (Spark/Iceberg) and FOR SYSTEM_TIME AS OF
+    # (SQL:2011 / Flink temporal syntax) are the same read
     _TIME_TRAVEL_TS_RE = re.compile(
-        r"\b(FROM|JOIN)\s+`?(\w+)`?\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))",
+        r"\b(FROM|JOIN)\s+`?(\w+)`?\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF"
+        r"|TIMESTAMP\s+AS\s+OF)\s+(?:'([^']+)'|(\d+))",
         re.IGNORECASE,
     )
 
@@ -481,6 +484,42 @@ class Engine:
         return self._ok("use_catalog", name)
 
     def _sql_create_table(self, q: str) -> DataFrame:
+        like = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s+"
+            r"LIKE\s+`?([\w.]+)`?\s*$",
+            q, re.I,
+        )
+        if like:
+            # CREATE TABLE ... LIKE: clone the source's full definition
+            # (schema, PK, not-null, buckets, partition spec, properties,
+            # CHECK constraints) with no data — the standard shape for
+            # staging tables that must accept the same writes
+            name = like.group(2).split(".")[-1]
+            src_name = like.group(3).split(".")[-1]
+            if self.catalog.exists(name):
+                if like.group(1):
+                    self._register(self.catalog.load(name))
+                    return self._ok("exists", name)
+                raise ValueError(f"table {name} already exists")
+            src = self.catalog.load(src_name)
+            part = [
+                p["col"] if p["transform"] == "identity"
+                else f"{p['transform']}({p['col']})"
+                for p in src.partition_spec
+            ]
+            t = self.catalog.create_table(
+                name,
+                src.schema,
+                primary_key=list(src.primary_key) or None,
+                not_null=list(src.not_null) or None,
+                n_buckets=src.n_buckets,
+                properties=dict(src.properties),
+                partition_by=part or None,
+            )
+            for cname, cexpr in sorted(src.constraints.items()):
+                t.add_constraint(cname, cexpr)
+            self._register(t)
+            return self._ok("create_table_like", f"{name}<-{src_name}")
         ctas = re.match(
             r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*"
             r"(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT\b.*)$",

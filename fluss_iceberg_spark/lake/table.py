@@ -1986,14 +1986,22 @@ class LakeTable:
                 },
                 sort_keys=True,
             )
+            # real lineage when the snapshot recorded it (branch commits
+            # don't chain from id-1); legacy snapshots fall back to the
+            # id-adjacency heuristic. Expired parents display as None,
+            # matching Iceberg's $snapshots.
+            if s.parent_id is not None:
+                shown_parent = s.parent_id if s.parent_id in retained else None
+            else:
+                shown_parent = (
+                    s.snapshot_id - 1
+                    if s.snapshot_id > 0 and s.snapshot_id - 1 in retained
+                    else None
+                )
             rows.append(
                 (
                     s.snapshot_id,
-                    (
-                        s.snapshot_id - 1
-                        if s.snapshot_id > 0 and s.snapshot_id - 1 in retained
-                        else None
-                    ),
+                    shown_parent,
                     s.committed_at_ms,
                     s.operation,
                     self._meta(f"v{s.snapshot_id}.json"),
@@ -2194,6 +2202,7 @@ class LakeTable:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         where: list[tuple] | None = None,
+        only_smaller_than_bytes: int | None = None,
     ) -> Snapshot | None:
         """Small-file compaction (the Iceberg rewrite_data_files role):
         rewrite the current snapshot's files into ~target_file_rows-sized
@@ -2226,11 +2235,23 @@ class LakeTable:
         every row they hold must move), all other files carry forward
         untouched. At 100 TB compaction runs partition-by-partition on
         the freshly-written slice — rewriting the whole table per
-        maintenance tick is not a plan."""
+        maintenance tick is not a plan.
+
+        ``only_smaller_than_bytes`` (log tables): bin-pack SELECTION
+        (Iceberg's binpack strategy with its size threshold): only files
+        below the byte threshold rewrite; already-right-sized files
+        carry forward untouched — the steady-state maintenance shape
+        where each tick folds the small-file tail, never the table."""
         self._check_rewrite_allowed("compact")
         if sort_by and zorder_by:
             raise ValueError(f"{self.name}: sort_by and zorder_by are exclusive")
-        return self._compact_impl(target_file_rows, sort_by, zorder_by, where)
+        if where is not None and only_smaller_than_bytes is not None:
+            raise ValueError(
+                f"{self.name}: where and only_smaller_than_bytes are exclusive"
+            )
+        return self._compact_impl(
+            target_file_rows, sort_by, zorder_by, where, only_smaller_than_bytes
+        )
 
     def maybe_auto_compact(self) -> "Snapshot | None":
         """Commit-cadence small-file control (the Paimon/Delta
@@ -2284,18 +2305,27 @@ class LakeTable:
         sort_by: list[str] | None,
         zorder_by: list[str] | None,
         where: list[tuple] | None = None,
+        only_smaller_than_bytes: int | None = None,
     ) -> "Snapshot | None":
         cluster = sort_by or zorder_by
         snap = self.snapshot()
         if snap is None:
             return None
-        if where is not None:
+        if where is not None or only_smaller_than_bytes is not None:
             if self.primary_key:
                 raise ValueError(
-                    f"{self.name}: where-scoped compaction applies to log "
+                    f"{self.name}: scoped compaction applies to log "
                     "tables; PK tables compact whole (bucket layout)"
                 )
-            touched = self.plan_scan(where, snapshot=snap)
+            if where is not None:
+                touched = self.plan_scan(where, snapshot=snap)
+            else:
+                touched = [
+                    f
+                    for f in snap.files
+                    if int((snap.file_meta.get(f) or {}).get("bytes", 0))
+                    < only_smaller_than_bytes
+                ]
             keep = [f for f in snap.files if f not in set(touched)]
             if not touched or (len(touched) <= 1 and not cluster):
                 return None
@@ -2376,6 +2406,9 @@ class LakeTable:
         if where is not None:
             summary["files_rewritten"] = len(touched)
             summary["where"] = [[c, o, str(v)] for c, o, v in where]
+        elif only_smaller_than_bytes is not None:
+            summary["files_rewritten"] = len(touched)
+            summary["small_file_threshold_bytes"] = only_smaller_than_bytes
         total_footer = n + sum(
             int((snap.file_meta.get(f) or {}).get("rows", 0)) for f in keep
         )

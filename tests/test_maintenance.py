@@ -289,3 +289,70 @@ def test_incremental_read_ignores_interleaved_branch_snapshots(spark):
         t.append(spark.createDataFrame([(1, "b")], SCHEMA))          # v2 main
         got = sorted(r.k for r in t.incremental_read(0).collect())
         assert got == [1]  # branch row invisible, branch id not rejected
+
+
+def test_small_files_only_compaction(spark):
+    """only_smaller_than_bytes: the small-file tail folds; right-sized
+    files carry forward byte-identical."""
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table("sfc", SCHEMA)
+        # one big-ish file, then several tiny commits
+        t.append(
+            spark.createDataFrame(
+                [(i, "x" * 200) for i in range(2000)], SCHEMA
+            )
+        )
+        big = list(t.snapshot().files)
+        for i in range(4):
+            t.append(spark.createDataFrame([(10_000 + i, "tiny")], SCHEMA))
+        before = t.snapshot()
+        big_bytes = max(
+            int(m.get("bytes", 0)) for m in before.file_meta.values()
+        )
+        snap = t.compact(only_smaller_than_bytes=big_bytes // 2)
+        assert snap.summary["files_rewritten"] == len(before.files) - len(big)
+        assert set(big) <= set(snap.files)  # big file untouched
+        assert len(snap.files) < len(before.files)
+        assert snap.total_rows == before.total_rows
+        assert t.read().count() == 2004
+
+
+def test_system_time_as_of_sql(spark, tmp_path):
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whst"))
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    t = eng.create_table("stt", df.schema)
+    t.append(df)
+    ts0 = t.snapshot().committed_at_ms
+    t.append(spark.createDataFrame([(2, "b")], df.schema))
+    n = eng.sql(
+        f"SELECT COUNT(*) AS n FROM stt FOR SYSTEM_TIME AS OF {ts0}"
+    ).collect()[0].n
+    assert n == 1
+    assert eng.sql("SELECT COUNT(*) AS n FROM stt").collect()[0].n == 2
+
+
+def test_create_table_like(spark, tmp_path):
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whlk"))
+    df = spark.createDataFrame([(1, 5)], "k int, v long")
+    src = eng.create_table(
+        "src_t", df.schema, primary_key=["k"], not_null=["k"], n_buckets=4,
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    src.add_constraint("v_pos", "v >= 0")
+    src.merge(df)
+    eng.sql("CREATE TABLE dst_t LIKE src_t")
+    dst = eng.catalog.load("dst_t")
+    assert dst.schema == src.schema
+    assert dst.primary_key == ["k"] and dst.n_buckets == 4
+    assert dst.properties["write.delete.mode"] == "merge-on-read"
+    assert dst.constraints == {"v_pos": "v >= 0"}
+    assert eng.sql("SELECT COUNT(*) AS n FROM dst_t").collect()[0].n == 0
+    # constraint is live on the clone
+    with pytest.raises(Exception):
+        dst.merge(spark.createDataFrame([(2, -1)], df.schema))
+    # IF NOT EXISTS is a no-op on the second run
+    eng.sql("CREATE TABLE IF NOT EXISTS dst_t LIKE src_t")

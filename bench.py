@@ -158,6 +158,9 @@ HEADLINE = [
     "stream_full_interval_join",
     "events_anomaly_zscore",
     "agg_grouping_id",
+    "text_budget_two_phase",
+    "text_temperature_mixing",
+    "stream_wap_gated",
 ]
 
 

@@ -149,11 +149,15 @@ class Engine:
         return self.catalog.load(name)
 
     def _register(self, t: LakeTable) -> None:
-        # mid-transaction, NOTHING registers: t.read() would resolve the
-        # staged head, leaking uncommitted rows into the session's temp
-        # view (and dangling if the txn aborts). The commit path
-        # re-registers every touched table after publish.
-        if self._active_txn is not None:
+        # mid-transaction, tables the block has TOUCHED don't re-register
+        # from here: the block manages their temp views itself (staged
+        # reads for read-your-own-writes), and a published-state register
+        # would clobber that — while a register of published state would
+        # leak nothing for untouched tables, which proceed normally.
+        if (
+            self._active_txn is not None
+            and t.name in self._active_txn._tables
+        ):
             return
         # the reference exposes metadata as `t$snapshots` (README.md:275);
         # Spark temp view names reject '$', so the companion view is
@@ -171,7 +175,16 @@ class Engine:
     def _table_state(t: LakeTable) -> tuple:
         cur = t.current_version()
         snap = t.snapshot() if cur >= 0 else None
-        return (t.path, cur, snap.committed_at_ms if snap else -1)
+        # table.json mtime catches definition changes version numbers
+        # can't: a direct-API drop+recreate of an EMPTY table repeats
+        # (path, -1, -1), and ALTERs rewrite the file
+        try:
+            meta_mtime = os.path.getmtime(
+                os.path.join(t.path, "meta", "table.json")
+            )
+        except OSError:
+            meta_mtime = -1.0
+        return (t.path, cur, snap.committed_at_ms if snap else -1, meta_mtime)
 
     # delete_files before files: the alternation is ordered, so
     # t__delete_files resolves as (t, delete_files), not (t__delete, files)
@@ -212,7 +225,9 @@ class Engine:
             if name not in idents:
                 continue
             t = self.catalog.load(name)
-            if self._reg_state.get(name) == self._table_state(t):
+            if self._reg_state.get(name) == self._table_state(
+                t
+            ) and self.spark.catalog.tableExists(name):
                 continue  # head unchanged: existing temp view is current
             self._register(t)
 
@@ -318,8 +333,9 @@ class Engine:
             name = q.split()[-1].strip("`")
             self.catalog.drop(name)
             self.spark.catalog.dropTempView(name)
-            for suffix in ("__snapshots", "__files", "__history"):
-                self.spark.catalog.dropTempView(f"{name}{suffix}")
+            self._reg_state.pop(name, None)
+            for suffix in self._META_SUFFIXES:
+                self.spark.catalog.dropTempView(f"{name}__{suffix}")
             return self._ok("dropped", name)
         if re.match(r"BEGIN\s+TRANSACTION\b", u):
             return self._sql_transaction(q)
@@ -704,7 +720,21 @@ class Engine:
         if not m:
             raise ValueError(f"cannot parse CALL: {q!r}")
         proc = m.group(1).lower()
-        args = [a.strip().strip("'\"`") for a in _split_top_level(m.group(2)) if a.strip()]
+
+        def _unquote(a: str) -> str:
+            # exactly ONE enclosing quote layer: a where-predicate arg
+            # like 'cat = ''x''' must keep its inner literal quotes
+            # (blanket .strip would eat them)
+            if len(a) >= 2 and a[0] == a[-1] and a[0] in "'\"`":
+                a = a[1:-1]
+                if a and "'" in a:
+                    a = a.replace("''", "'")  # SQL doubled-quote escape
+                return a
+            return a
+
+        args = [
+            _unquote(a.strip()) for a in _split_top_level(m.group(2)) if a.strip()
+        ]
         if not args:
             raise ValueError(f"CALL {proc}: table name argument required")
         t = self.catalog.load(args[0])
@@ -1153,6 +1183,13 @@ class Engine:
                         f"{s[:60]!r}"
                     )
                 self.sql(s)
+                # read-your-own-writes for the REST of the block: point
+                # the touched tables' temp views at their staged heads,
+                # so a later statement's SELECT source sees the block's
+                # earlier writes (the views are re-registered to the
+                # published/rolled-back state in the finally below)
+                for t in txn._tables.values():
+                    t.read().createOrReplaceTempView(t.name)
             if final == "COMMIT":
                 txn.commit()
             else:
@@ -1162,10 +1199,12 @@ class Engine:
             raise
         finally:
             self._active_txn = None
-        # publish done: refresh the temp views of every touched table
-        for name in list(txn._tables):
-            if self.catalog.exists(name):
-                self._register(self.catalog.load(name))
+            # on COMMIT this registers the published state; on
+            # abort/failure it repairs views that pointed at staged
+            # (now-deleted) snapshots
+            for name in list(txn._tables):
+                if self.catalog.exists(name):
+                    self._register(self.catalog.load(name))
         return self.spark.createDataFrame(
             [(final.lower(), len(body))], "op string, statements int"
         )

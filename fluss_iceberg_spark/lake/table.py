@@ -2677,7 +2677,15 @@ class LakeTable:
         v = to_v
         legacy = False
         while v > from_version and v >= 0:
-            s = self.snapshot(v)
+            try:
+                s = self.snapshot(v)
+            except ValueError:
+                # mid-chain snapshot expired: lineage unverifiable, fall
+                # back to the retained-range operation check (the old
+                # behavior, which serves append-only ranges correctly —
+                # appended files stay referenced by retained snapshots)
+                legacy = True
+                break
             chain.append(s)
             if s.parent_id is None:
                 legacy = True  # pre-lineage snapshot: can't walk further
@@ -2814,6 +2822,21 @@ class LakeTable:
             | set(refs["branches"].values())
             | {self.current_version()}
         )
+        # a branch's whole ANCESTRY down to main's current head is also
+        # protected: fast_forward verifies descent by walking parent ids,
+        # and an expired mid-chain snapshot would make a legitimate
+        # publish unverifiable (wedging the WAP pipeline). O(branch
+        # length) metadata reads, no data I/O.
+        cur = self.current_version()
+        retained_set = set(versions)
+        for head in refs["branches"].values():
+            v = head
+            while v >= 0 and v != cur and v in retained_set:
+                tagged.add(v)
+                s = self.snapshot(v)
+                if s.parent_id is None:
+                    break
+                v = s.parent_id
         expired = [v for v in versions[:-keep_last] if v not in tagged]
         retained = [v for v in versions if v not in expired]
         keep_files = set()

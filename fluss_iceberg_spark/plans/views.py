@@ -64,20 +64,12 @@ def _atomic_write(path: str, payload: str) -> None:
 
 
 def _split_top_level(s: str) -> list[str]:
-    parts, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    return [p.strip() for p in parts if p.strip()]
+    """Quote- and paren-aware comma split — the engine's implementation
+    (one definition, so a literal containing a comma parses identically
+    in MV projections and engine SQL lists)."""
+    from fluss_iceberg_spark.engine import _split_top_level as _impl
+
+    return _impl(s)
 
 
 class ViewManager:

@@ -156,3 +156,17 @@ def test_sql_wap_roundtrip(spark, tmp_path):
     eng.sql("CALL drop_branch(wap_t, audit)")
     eng.sql("CALL create_tag(wap_t, published)")
     eng.sql("CALL drop_tag(wap_t, published)")
+
+
+def test_expiry_preserves_branch_ancestry_for_publish(spark, t):
+    """expire_snapshots must keep a branch's parent chain intact down to
+    main's head — otherwise a legitimate fast_forward becomes
+    unverifiable and the WAP pipeline wedges."""
+    t.create_branch("staging")
+    with t.on_branch("staging"):
+        t.append(spark.createDataFrame([(50, 1)], "k int, v long"))
+        t.append(spark.createDataFrame([(51, 1)], "k int, v long"))
+    t.expire_snapshots(keep_last=1)
+    # mid-chain branch snapshot survived; publish verifies and lands
+    t.fast_forward("staging")
+    assert t.read().count() == 12

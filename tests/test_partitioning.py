@@ -289,3 +289,27 @@ def test_where_scoped_compaction_sql_surface(spark, events_df, tmp_path):
     ).collect()[0]
     assert "rewritten=" in res.result
     assert eng.sql("SELECT COUNT(*) AS n FROM ev2").collect()[0].n == 300
+
+
+def test_call_rewrite_where_with_string_literal(spark, events_df, tmp_path):
+    """A where-predicate CALL arg containing a quoted string literal
+    keeps its inner quotes (one unquote layer, '' unescapes)."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whq"))
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("par"),
+    )
+    t = eng.create_table("evq", df.schema, partition_by=["par"])
+    for i in range(3):
+        t.append(df.filter(F.col("k") % 3 == i))
+    before = t.snapshot()
+    odd_before = [f for f in before.files if "par=odd" in f]
+    res = eng.sql(
+        "CALL rewrite_data_files(evq, 1000000, 'par = ''even''')"
+    ).collect()[0]
+    assert "rewritten=" in res.result and "rewritten=all" not in res.result
+    after = t.snapshot()
+    assert sorted(f for f in after.files if "par=odd" in f) == sorted(odd_before)
+    assert eng.sql("SELECT COUNT(*) AS n FROM evq").collect()[0].n == 100

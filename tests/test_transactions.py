@@ -212,3 +212,24 @@ def test_sql_transaction_block(spark, tmp_path):
     got = {r.k: r.v for r in eng.sql("SELECT * FROM ta").collect()}
     assert got[1] == "u"
     assert eng.sql("SELECT COUNT(*) AS n FROM tb").collect()[0].n == 1
+
+
+def test_txn_read_your_own_writes_in_sql_sources(spark, tmp_path):
+    """A later statement's SELECT source must see the block's earlier
+    staged writes (read-your-own-writes across statements)."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whryow"))
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    eng.create_table("rx", df.schema).append(df)
+    eng.create_table("ry", df.schema)
+    eng.sql(
+        """BEGIN TRANSACTION;
+           INSERT INTO rx VALUES (2, 'staged');
+           INSERT INTO ry SELECT * FROM rx;
+           COMMIT"""
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM ry").collect()[0].n == 2
+    # and after a ROLLBACK the views are repaired to published state
+    eng.sql("BEGIN TRANSACTION; INSERT INTO rx VALUES (3, 'x'); ROLLBACK")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rx").collect()[0].n == 2

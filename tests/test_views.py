@@ -243,3 +243,14 @@ def test_drop_recreate_same_name_serves_fresh_data(spark, eng):
     t2 = eng.create_table("rr", SCHEMA)
     t2.append(_rows(spark, [("new", 2)]))
     assert eng.sql("SELECT * FROM rr").collect()[0].k == "new"
+
+
+def test_drop_table_sql_evicts_cache_and_companions(spark, eng):
+    t = eng.create_table("ev_t", SCHEMA)
+    t.append(_rows(spark, [("a", 1)]))
+    assert eng.sql("SELECT COUNT(*) AS n FROM ev_t__snapshots").collect()[0].n == 1
+    eng.sql("DROP TABLE ev_t")
+    # recreate EMPTY via the direct catalog API (bypasses engine hooks):
+    # the cache must not serve the old view
+    eng.catalog.create_table("ev_t", SCHEMA)
+    assert eng.sql("SELECT COUNT(*) AS n FROM ev_t").collect()[0].n == 0

@@ -161,6 +161,8 @@ HEADLINE = [
     "text_budget_two_phase",
     "text_temperature_mixing",
     "stream_wap_gated",
+    "events_value_percentiles",
+    "events_value_histogram",
 ]
 
 

@@ -395,3 +395,64 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="amount",
     )
+
+
+@query(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+           COUNT(1) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles via SQL-standard PERCENTILE_DISC —
+    discrete selection (an actual data value, no interpolation), which
+    is what makes the result engine-exact where PERCENTILE_CONT's
+    float-interpolation order would flake by an ulp. Plans as a single
+    keyed sort-aggregate; at scale the grouped sort is bounded by the
+    largest group, and approx sketches (percentile_approx) are the
+    documented fallback when even that is too hot."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__pct_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+               COUNT(1) AS n_events
+        FROM __pct_events
+        GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           COUNT(1) AS n_events,
+           CAST(MIN(value) AS DOUBLE) AS bin_min,
+           CAST(MAX(value) AS DOUBLE) AS bin_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (the warehouse profiling shape):
+    bin id is floor(value/width) — IEEE double division is correctly
+    rounded, so bin assignment is engine-exact. Pure map-side bin
+    computation + one partial-aggregated shuffle on ~10 bins."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").cast("double").alias("bin_min"),
+        F.max("value").cast("double").alias("bin_max"),
+    )

@@ -85,7 +85,8 @@ _PRIORITY = [
     # reference pipeline core (S9-S16, P*, J*, A*, T1; notnull-drop and
     # max_orderdate rotate out thrice-hash-green, r2+r3+r4 records stand)
     "ref_enriched_orders",
-    "ref_nation_revenue",
+    # (nation_revenue rotates out four-times-green r1-r4; the SUM(DECIMAL)
+    # aggregate stays gated via stream_nation_revenue's identical shape)
     "ref_top5_nations",
     # TPC-H J3/A-class gate (q3 rotates out thrice-green; the J3 class
     # stays gated via q1 + the ref_* joins)
@@ -138,10 +139,13 @@ _PRIORITY = [
     # streaming (A1/ST*, S11, U2, stateful, stream-stream, exact dedup,
     # PK changelog, and the gated log-table stream subscription)
     "stream_nation_revenue",
-    "stream_enriched_union",
-    # (events_hourly rotates out thrice-green r2-r4; batch==stream parity
-    # stays unit-tested and the windowed-agg family keeps sliding_rollup)
-    "stream_stateful_sessions",
+    # (enriched_union rotates out four-times-green r1-r4: its union-read +
+    # enrichment shape stays via stream_nation_revenue + lake_union_read;
+    # stateful_sessions rotates out thrice-green r2-r4, sessionization
+    # stays via events_sliding_rollup; events_hourly likewise r2-r4)
+    # streaming write-audit-publish (branch stage -> lineage audit ->
+    # gated publish; first gate r5)
+    "stream_wap_gated",
     # (inner interval join + stream exact dedup rotate out r4-green; the
     # symmetric-hash join state is a strict subset of the LEFT OUTER form
     # gating first below)
@@ -156,6 +160,10 @@ _PRIORITY = [
     # join gates first)
     "fuzzy_part_names",
     "text_budget_mixing",
+    # bounded-sort scale twin of budget mixing + temperature-flattened
+    # domain mixing (both first gates r5)
+    "text_budget_two_phase",
+    "text_temperature_mixing",
     "pipeline_curation_end2end",
     # deduplication (exact-dedup and ngram-jaccard rotate out
     # thrice-green; exact's shape stays via stream_exact_dedup, the
@@ -164,8 +172,9 @@ _PRIORITY = [
     "dedup_passage_level",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_decontaminate",
+    # (embedding_cosine + decontaminate rotate out multi-green r2-r4; the
+    # block-matrix cosine shape stays via dedup_semantic_representatives'
+    # composition and the broadcast-vocab shape via unit + local oracles)
     "dedup_semantic_representatives",
     # similarity search (+ first gate for embedding hygiene)
     "ann_cosine_topk",
@@ -183,6 +192,9 @@ _PRIORITY = [
     "engine_timestamp_travel",
     "engine_time_travel_sql",
     "engine_merge_into",
+    # exact PERCENTILE_DISC + histogram binning (first gates r5)
+    "events_value_percentiles",
+    "events_value_histogram",
 ]
 
 

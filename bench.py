@@ -163,6 +163,7 @@ HEADLINE = [
     "stream_wap_gated",
     "events_value_percentiles",
     "events_value_histogram",
+    "stream_neardup_admission",
 ]
 
 

@@ -833,3 +833,132 @@ def semdedup(
         _greedy,
         "vec_id long, cluster_id long, keep boolean, representative long",
     )
+
+
+def band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, bkey) — a doc's 16 LSH bucket keys, band id baked into
+    the key so buckets never collide across bands. Map-side (the
+    signature frame is already map-side); the bucket key doubles as the
+    PRIMARY KEY of the streaming admission state table."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(b),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).cast("string"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bkey"),
+    )
+
+
+def neardup_admit_batch(
+    buckets,
+    owner_sets,
+    admitted,
+    batch_docs: DataFrame,
+    batch_id: int,
+    threshold: float = 0.8,
+) -> int:
+    """One micro-batch of STREAMING near-duplicate admission control —
+    the ingestion-time form of MinHash-LSH dedup (a crawl pipeline
+    admits the first copy and drops later near-copies, without ever
+    re-clustering the corpus):
+
+    1. batch docs compute shingle sets + banded signatures map-side;
+    2. bucket collisions against the ADMITTED state (a PK lake table
+       keyed by bucket) propose candidates, exact-verified by Jaccard
+       against the owners' stored shingle sets — first-seen wins;
+    3. survivors dedup within the batch (banded candidates → exact
+       verify → connected components, min doc_id per cluster admits);
+    4. admitted docs append their shingle sets and claim their buckets
+       (insert-only: buckets already owned keep their first owner).
+
+    Scale shape: per-batch cost is O(batch × state-collisions) — the
+    state joins are PK-bucket reads, candidate verification touches
+    only colliding pairs, and nothing ever rescans the admitted corpus.
+    Returns the number of admitted docs (a driver-sized count).
+    """
+    spark = batch_docs.sparkSession
+    sets_b = shingle_sets(batch_docs).persist()
+    bands_b = band_keys(minhash_signatures(sets_b)).persist()
+
+    # (a) first-seen-wins vs the admitted state
+    state = buckets.read()
+    cand_ext = (
+        bands_b.join(state, on="bkey")
+        .select(F.col("owner").alias("d1"), F.col("doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = owner_sets.read().select(
+        F.col("doc_id").alias("d1"),
+        F.col("shset").alias("set1"),
+        F.col("n").alias("n1"),
+    )
+    s2 = sets_b.select(
+        F.col("doc_id").alias("d2"),
+        F.col("shset").alias("set2"),
+        F.col("n").alias("n2"),
+    )
+    rejected = (
+        cand_ext.join(s1, on="d1")
+        .join(s2, on="d2")
+        .withColumn(
+            "shared", F.size(F.array_intersect("set1", "set2")).cast("long")
+        )
+        .withColumn(
+            "j",
+            F.col("shared").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .filter(F.col("j") >= threshold)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    survivors = sets_b.join(rejected, on="doc_id", how="left_anti").persist()
+
+    # (b) intra-batch: banded candidates among survivors, exact verify,
+    # min-id per connected component admits
+    bands_s = bands_b.join(survivors.select("doc_id"), on="doc_id", how="left_semi")
+    cand_in = (
+        bands_s.select(F.col("doc_id").alias("d1"), "bkey")
+        .join(bands_s.select(F.col("doc_id").alias("d2"), "bkey"), on="bkey")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    verified = _verify_candidates(survivors, cand_in, threshold)
+    losers = (
+        connected_components(verified)
+        .filter(F.col("component") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    admit = survivors.join(losers, on="doc_id", how="left_anti").persist()
+
+    # (c) claim state: sets for future verification, buckets insert-only
+    n_admitted = admit.count()
+    if n_admitted:
+        owner_sets.append(admit.select("doc_id", "shset", "n"))
+        new_keys = (
+            bands_b.join(admit.select("doc_id"), on="doc_id", how="left_semi")
+            .groupBy("bkey")
+            .agg(F.min("doc_id").alias("owner"))
+            .join(state.select("bkey"), on="bkey", how="left_anti")
+        )
+        buckets.merge(new_keys)
+        admitted.append(
+            admit.select(
+                "doc_id", F.lit(batch_id).cast("int").alias("batch")
+            )
+        )
+    return n_admitted

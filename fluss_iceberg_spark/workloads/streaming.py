@@ -984,3 +984,51 @@ def stream_wap_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").cast("double").alias("sum_value"),
     )
+
+
+@query("stream_neardup_admission")
+def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate ADMISSION CONTROL (rows-only gate: the
+    greedy first-seen-wins stream semantics are not a single SQL query;
+    the rule is unit-tested against a pure-Python replay in
+    tests/test_stream_neardup.py): documents arrive over 4 deterministic
+    micro-batches (doc_id mod 4, the registry's replay form); each batch
+    is screened against everything admitted so far via LSH bucket
+    collisions + exact-Jaccard verification, deduped within itself
+    (connected components, min doc_id wins), and only novel docs are
+    admitted into the corpus. State lives in lake tables: a PK bucket
+    table (bucket → first owner), the owners' shingle sets, and the
+    admitted log.
+
+    Scale shape: per-batch work is O(batch + collisions) — admission
+    never rescans or re-clusters the admitted corpus (the failure mode
+    of running batch dedup per ingestion tick at 100 TB)."""
+    from fluss_iceberg_spark.operators import dedup as DD
+
+    # per-batch state joins are small; 200 default shuffle partitions
+    # would dominate wall time with empty-task overhead
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    cat = LakeCatalog(spark, _scratch(sf_dir, "neardup_wh"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    buckets = cat.create_table(
+        "nd_buckets",
+        spark.createDataFrame([], "bkey string, owner long").schema,
+        primary_key=["bkey"],
+        n_buckets=8,
+    )
+    owner_sets = cat.create_table(
+        "nd_sets",
+        spark.createDataFrame([], "doc_id long, shset array<long>, n int").schema,
+    )
+    admitted = cat.create_table(
+        "nd_admitted",
+        spark.createDataFrame([], "doc_id long, batch int").schema,
+    )
+    try:
+        for b in range(4):
+            batch = docs.filter(F.pmod("doc_id", F.lit(4)) == b)
+            DD.neardup_admit_batch(buckets, owner_sets, admitted, batch, b)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return admitted.read().select("doc_id", "batch")

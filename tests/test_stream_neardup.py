@@ -1,0 +1,129 @@
+"""Streaming near-duplicate admission control: first-seen-wins across
+batches, min-id-per-cluster within a batch, novel docs admitted, and
+replay idempotence — checked on a handcrafted corpus whose duplicate
+pairs are EXACT copies (signature-identical, so LSH collision is
+deterministic) and whose unique docs share no shingles (exact verify
+rejects any stray bucket collision)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.lake.table import LakeCatalog
+from fluss_iceberg_spark.operators import dedup as DD
+
+
+def _corpus(spark):
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def unique_text():
+        return " ".join(rng.choice(vocab) for _ in range(40))
+
+    text_a = unique_text()
+    text_b = unique_text()
+    text_c = unique_text()
+    rows = []
+    for i in range(12):
+        rows.append((i, unique_text()))
+    # exact-copy clusters: {0, 5, 10} (batches 0,1,2), {2, 3} (batches
+    # 2,3), and {4, 8} both in batch 0 (intra-batch, min id wins)
+    rows[0] = (0, text_a)
+    rows[5] = (5, text_a)
+    rows[10] = (10, text_a)
+    rows[2] = (2, text_b)
+    rows[3] = (3, text_b)
+    rows[4] = (4, text_c)
+    rows[8] = (8, text_c)
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run(spark, wh, docs):
+    cat = LakeCatalog(spark, wh)
+    buckets = cat.create_table(
+        "b", spark.createDataFrame([], "bkey string, owner long").schema,
+        primary_key=["bkey"], n_buckets=4, replace=True,
+    )
+    owner_sets = cat.create_table(
+        "s",
+        spark.createDataFrame([], "doc_id long, shset array<long>, n int").schema,
+        replace=True,
+    )
+    admitted = cat.create_table(
+        "a", spark.createDataFrame([], "doc_id long, batch int").schema,
+        replace=True,
+    )
+    for b in range(4):
+        DD.neardup_admit_batch(
+            buckets, owner_sets, admitted,
+            docs.filter(F.pmod("doc_id", F.lit(4)) == b), b,
+        )
+    return buckets, owner_sets, admitted
+
+
+def test_stream_admission_first_seen_wins(spark, tmp_path):
+    docs = _corpus(spark)
+    buckets, owner_sets, admitted = _run(spark, str(tmp_path / "wh"), docs)
+    got = {r.doc_id for r in admitted.read().collect()}
+    # 5 and 10 lose to 0 (earlier batches win); 3 loses to 2; 8 loses to
+    # 4 within batch 0; everything else is novel
+    assert got == {0, 1, 2, 4, 6, 7, 9, 11}
+    # the batch attribution matches doc_id mod 4 of each winner
+    batches = {r.doc_id: r.batch for r in admitted.read().collect()}
+    assert all(b == d % 4 for d, b in batches.items())
+    # bucket owners are admitted docs only
+    owners = {r.owner for r in buckets.read().collect()}
+    assert owners <= got
+
+
+def test_stream_admission_replay_is_idempotent(spark, tmp_path):
+    docs = _corpus(spark)
+    buckets, owner_sets, admitted = _run(spark, str(tmp_path / "wh2"), docs)
+    before = {r.doc_id for r in admitted.read().collect()}
+    # replaying every batch admits nothing: each doc now collides with
+    # its own stored copy at jaccard 1.0
+    for b in range(4):
+        n = DD.neardup_admit_batch(
+            buckets, owner_sets, admitted,
+            docs.filter(F.pmod("doc_id", F.lit(4)) == b), b,
+        )
+        assert n == 0
+    assert {r.doc_id for r in admitted.read().collect()} == before
+
+
+def test_stream_admission_python_replay_parity(spark, tmp_path):
+    """Full-rule parity against a pure-Python replay (exact all-pairs
+    Jaccard on the same 3-gram shingle rule) over a corpus with only
+    exact-copy duplicates, where LSH recall is certain."""
+    docs = _corpus(spark)
+    _, _, admitted = _run(spark, str(tmp_path / "wh3"), docs)
+    got = {r.doc_id for r in admitted.read().collect()}
+
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda x: x[0]
+    )
+
+    def grams(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i: i + 3]) for i in range(len(ws) - 2)}
+
+    def jac(a, b):
+        return len(a & b) / len(a | b)
+
+    state: dict[int, set] = {}
+    expect = set()
+    for b in range(4):
+        batch = [(d, grams(t)) for d, t in rows if d % 4 == b]
+        surv = [
+            (d, g)
+            for d, g in batch
+            if all(jac(g, sg) < 0.8 for sg in state.values())
+        ]
+        # within-batch clusters, min id admits
+        for i, (d, g) in enumerate(surv):
+            if all(jac(g, g2) < 0.8 for d2, g2 in surv[:i] if d2 < d):
+                expect.add(d)
+                state[d] = g
+    assert got == expect

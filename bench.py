@@ -164,6 +164,7 @@ HEADLINE = [
     "events_value_percentiles",
     "events_value_histogram",
     "stream_neardup_admission",
+    "text_chunk_passages",
 ]
 
 

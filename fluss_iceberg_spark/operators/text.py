@@ -617,3 +617,41 @@ def ngram_counts(
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(top_k)
     )
+
+
+def chunk_passages(
+    df: DataFrame,
+    width: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping passage chunking (the RAG / training-prep windowing
+    step): each document splits into ``width``-token chunks every
+    ``stride`` tokens (overlap = width - stride), tagged with the chunk
+    index and token offset so chunks map back to their source span.
+    Pure map-side — tokenize, generate starts, slice — zero shuffles,
+    zero UDFs; at 100 TB chunking rides the scan like every other
+    map-only text operator."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = spread(df).select("doc_id", toks.alias("toks"))
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("toks"), F.lit(1)) - 1,
+                F.lit(stride),
+            )
+        ).alias("start_tok"),
+    )
+    sl = F.slice("toks", F.col("start_tok") + 1, F.lit(width))
+    return c.select(
+        "doc_id",
+        (F.col("start_tok") / stride).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(sl).cast("int").alias("n_tok"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+    )

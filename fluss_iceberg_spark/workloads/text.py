@@ -616,3 +616,27 @@ def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram census: top-50 most frequent word bigrams.
     Partial-aggregated groupBy + TakeOrderedAndProject top-k."""
     return TX.ngram_counts(load_table(spark, sf_dir, "documents"), n=2, top_k=50)
+
+
+@query(
+    "text_chunk_passages",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, CAST(s AS INT) AS start_tok
+        FROM t, unnest(range(0, GREATEST(len(toks), 1), 48)) AS u(s)
+    )
+    SELECT doc_id, CAST(start_tok / 48 AS INT) AS chunk_idx, start_tok,
+           CAST(len(toks[start_tok + 1 : start_tok + 64]) AS INT) AS n_tok,
+           array_to_string(toks[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping passage chunking (64-token windows every 48 tokens,
+    16-token overlap) with chunk index and source token offset — the
+    RAG / training-prep windowing step, zero-shuffle map-side."""
+    return TX.chunk_passages(load_table(spark, sf_dir, "documents"))

@@ -97,15 +97,24 @@ def shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     )
 
 
-def _verify_candidates(sets: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+def _verify_candidates(
+    sets: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    right_sets: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard for candidate (d1, d2) pairs only: join each side's
     full shingle-hash array and intersect JVM-side. Cost is
     O(|candidates| · doc length) — never the O(Σ df²) of a full
-    inverted-index self-join."""
+    inverted-index self-join. ``right_sets`` supplies d2's sets from a
+    different frame (the streaming admission path, where d1 is an
+    admitted owner and d2 an arriving doc); default is the self-join
+    form. ONE implementation on purpose — batch LSH dedup and streaming
+    admission must never drift on the similarity rule."""
     s1 = sets.select(
         F.col("doc_id").alias("d1"), F.col("shset").alias("set1"), F.col("n").alias("n1")
     )
-    s2 = sets.select(
+    s2 = (sets if right_sets is None else right_sets).select(
         F.col("doc_id").alias("d2"), F.col("shset").alias("set2"), F.col("n").alias("n2")
     )
     return (
@@ -202,26 +211,13 @@ def minhash_lsh_pairs(
     ContextCleaner unpersists when the plan is garbage collected.
     """
     sets = shingle_sets(docs, text_col, n).persist()
-    sig = minhash_signatures(sets)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                        ).alias("bh"),
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    # ONE banding implementation (band_keys) serves both this batch path
+    # and the streaming admission state — bucket keys must stay
+    # byte-identical across the two or cross-path collisions break
+    bands = band_keys(minhash_signatures(sets))
     cand = (
         bands.alias("x")
-        .join(bands.alias("y"), on=["band", "bh"])
+        .join(bands.alias("y"), on="bkey")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
@@ -881,13 +877,20 @@ def neardup_admit_batch(
        against the owners' stored shingle sets — first-seen wins;
     3. survivors dedup within the batch (banded candidates → exact
        verify → connected components, min doc_id per cluster admits);
-    4. admitted docs append their shingle sets and claim their buckets
-       (insert-only: buckets already owned keep their first owner).
+    4. admitted docs append their shingle sets and ALL 16 of their
+       bucket keys (multi-owner buckets: claiming only unowned keys
+       would let a doc whose keys are pre-owned by DISSIMILAR docs go
+       unindexed, and later near-copies of it would slip through).
 
-    Scale shape: per-batch cost is O(batch × state-collisions) — the
-    state joins are PK-bucket reads, candidate verification touches
-    only colliding pairs, and nothing ever rescans the admitted corpus.
-    Returns the number of admitted docs (a driver-sized count).
+    Scale shape, stated honestly: admission never re-CLUSTERS or
+    pairwise-rescans the admitted corpus — per-batch comparison work is
+    O(batch + colliding pairs). The state joins on this Parquet
+    stand-in are hash joins over the bucket table (16 short rows per
+    admitted doc) and the owners' shingle sets, so each tick also pays
+    a linear state SCAN; in the reference's architecture that lookup is
+    the hot store's key-value read (the Fluss role), which is the
+    deployment-shaped fix, not more Spark. Returns the number of
+    admitted docs (a driver-sized count).
     """
     spark = batch_docs.sparkSession
     sets_b = shingle_sets(batch_docs).persist()
@@ -900,28 +903,10 @@ def neardup_admit_batch(
         .select(F.col("owner").alias("d1"), F.col("doc_id").alias("d2"))
         .distinct()
     )
-    s1 = owner_sets.read().select(
-        F.col("doc_id").alias("d1"),
-        F.col("shset").alias("set1"),
-        F.col("n").alias("n1"),
-    )
-    s2 = sets_b.select(
-        F.col("doc_id").alias("d2"),
-        F.col("shset").alias("set2"),
-        F.col("n").alias("n2"),
-    )
     rejected = (
-        cand_ext.join(s1, on="d1")
-        .join(s2, on="d2")
-        .withColumn(
-            "shared", F.size(F.array_intersect("set1", "set2")).cast("long")
+        _verify_candidates(
+            owner_sets.read(), cand_ext, threshold, right_sets=sets_b
         )
-        .withColumn(
-            "j",
-            F.col("shared").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("shared")),
-        )
-        .filter(F.col("j") >= threshold)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )
@@ -945,17 +930,15 @@ def neardup_admit_batch(
     )
     admit = survivors.join(losers, on="doc_id", how="left_anti").persist()
 
-    # (c) claim state: sets for future verification, buckets insert-only
+    # (c) claim state: sets for future verification; EVERY admitted
+    # doc's bucket keys append (multi-owner buckets — see docstring)
     n_admitted = admit.count()
     if n_admitted:
         owner_sets.append(admit.select("doc_id", "shset", "n"))
-        new_keys = (
+        buckets.append(
             bands_b.join(admit.select("doc_id"), on="doc_id", how="left_semi")
-            .groupBy("bkey")
-            .agg(F.min("doc_id").alias("owner"))
-            .join(state.select("bkey"), on="bkey", how="left_anti")
+            .select("bkey", F.col("doc_id").alias("owner"))
         )
-        buckets.merge(new_keys)
         admitted.append(
             admit.select(
                 "doc_id", F.lit(batch_id).cast("int").alias("batch")

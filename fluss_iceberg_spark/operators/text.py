@@ -636,15 +636,22 @@ def chunk_passages(
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = spread(df).select("doc_id", toks.alias("toks"))
+    # last start = first grid point whose window reaches the doc end —
+    # later grid points would emit chunks fully contained in this one
+    # (pure duplicate text, the thing a corpus-prep operator must not add)
+    last = F.greatest(
+        (
+            F.ceil(
+                (F.size("toks") - F.lit(width)) / F.lit(float(stride))
+            ) * stride
+        ).cast("int"),
+        F.lit(0),
+    )
     c = t.select(
         "doc_id",
         "toks",
         F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.size("toks"), F.lit(1)) - 1,
-                F.lit(stride),
-            )
+            F.sequence(F.lit(0), last, F.lit(stride))
         ).alias("start_tok"),
     )
     sl = F.slice("toks", F.col("start_tok") + 1, F.lit(width))

@@ -1014,8 +1014,6 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = cat.create_table(
         "nd_buckets",
         spark.createDataFrame([], "bkey string, owner long").schema,
-        primary_key=["bkey"],
-        n_buckets=8,
     )
     owner_sets = cat.create_table(
         "nd_sets",

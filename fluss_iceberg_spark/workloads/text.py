@@ -627,7 +627,9 @@ def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT doc_id, toks, CAST(s AS INT) AS start_tok
-        FROM t, unnest(range(0, GREATEST(len(toks), 1), 48)) AS u(s)
+        FROM t, unnest(range(0,
+            GREATEST(CAST(ceil((len(toks) - 64) / 48.0) * 48 AS BIGINT), 0) + 1,
+            48)) AS u(s)
     )
     SELECT doc_id, CAST(start_tok / 48 AS INT) AS chunk_idx, start_tok,
            CAST(len(toks[start_tok + 1 : start_tok + 64]) AS INT) AS n_tok,

@@ -44,7 +44,7 @@ def _run(spark, wh, docs):
     cat = LakeCatalog(spark, wh)
     buckets = cat.create_table(
         "b", spark.createDataFrame([], "bkey string, owner long").schema,
-        primary_key=["bkey"], n_buckets=4, replace=True,
+        replace=True,
     )
     owner_sets = cat.create_table(
         "s",
@@ -73,9 +73,13 @@ def test_stream_admission_first_seen_wins(spark, tmp_path):
     # the batch attribution matches doc_id mod 4 of each winner
     batches = {r.doc_id: r.batch for r in admitted.read().collect()}
     assert all(b == d % 4 for d, b in batches.items())
-    # bucket owners are admitted docs only
-    owners = {r.owner for r in buckets.read().collect()}
-    assert owners <= got
+    # bucket owners are admitted docs only, and EVERY admitted doc is
+    # fully indexed (16 band keys each — the multi-owner design; an
+    # insert-only claim would leave pre-owned keys unindexed and let
+    # later near-copies slip past screening)
+    brows = buckets.read().collect()
+    assert {r.owner for r in brows} == got
+    assert len(brows) == 16 * len(got)
 
 
 def test_stream_admission_replay_is_idempotent(spark, tmp_path):

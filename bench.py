@@ -165,6 +165,7 @@ HEADLINE = [
     "events_value_histogram",
     "stream_neardup_admission",
     "text_chunk_passages",
+    "lake_scd2_dimension",
 ]
 
 

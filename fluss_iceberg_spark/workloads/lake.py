@@ -838,3 +838,72 @@ def cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         mirror.merge(upserts, deletes=del_keys)
 
     return mirror.read().withColumn("acctbal", F.col("acctbal").cast("double"))
+
+
+@query(
+    "lake_scd2_dimension",
+    oracle="""
+    WITH all_u AS (
+        SELECT c_custkey AS cust_key, c_mktsegment AS segment, 100 AS ts
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'PROMO', 200 FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, 300 FROM customer WHERE c_custkey % 8 = 0
+    ),
+    seq AS (
+        SELECT *, lag(segment) OVER (PARTITION BY cust_key ORDER BY ts) AS prev
+        FROM all_u
+    ),
+    vers AS (
+        SELECT cust_key, segment, CAST(ts AS BIGINT) AS valid_from
+        FROM seq WHERE prev IS NULL OR segment <> prev
+    )
+    SELECT cust_key, segment, valid_from,
+           lead(valid_from) OVER (PARTITION BY cust_key ORDER BY valid_from)
+               AS valid_to,
+           lead(valid_from) OVER (PARTITION BY cust_key ORDER BY valid_from)
+               IS NULL AS is_current
+    FROM vers
+    """,
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension maintenance: three update batches over the
+    customer segment dimension — initial load (ts=100), a PROMO
+    re-segmentation of every 4th customer (ts=200), and a revert of
+    every 8th (ts=300) — applied through scd2_apply's atomic
+    close+insert merges. The oracle replays the same batches with
+    window functions (consecutive-duplicate collapse + lead() validity
+    ranges), so the whole write path — change detection, no-op
+    skipping, atomic versioning — is value-checked, not just counted."""
+    from fluss_iceberg_spark.operators.scd import scd2_apply
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "scd2"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    schema = spark.createDataFrame(
+        [],
+        "cust_key long, segment string, valid_from long, valid_to long, "
+        "is_current boolean",
+    ).schema
+    t = cat.create_table(
+        "dim_customer_scd2", schema,
+        primary_key=["cust_key", "valid_from"], not_null=["cust_key"],
+    )
+    scd2_apply(t, cust, 100, "cust_key", ("segment",))
+    scd2_apply(
+        t,
+        cust.filter(F.col("cust_key") % 4 == 0).withColumn(
+            "segment", F.lit("PROMO")
+        ),
+        200, "cust_key", ("segment",),
+    )
+    scd2_apply(
+        t, cust.filter(F.col("cust_key") % 8 == 0), 300,
+        "cust_key", ("segment",),
+    )
+    return t.read().select(
+        "cust_key", "segment", "valid_from", "valid_to", "is_current"
+    )

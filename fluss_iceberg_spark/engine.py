@@ -436,6 +436,37 @@ class Engine:
         re.IGNORECASE,
     )
 
+    _TABLE_CHANGES_RE = re.compile(
+        r"\b(FROM|JOIN)\s+TABLE_CHANGES\s*\(\s*'?`?(\w+)'?`?\s*,\s*(-?\d+)"
+        r"\s*(?:,\s*(-?\d+)\s*)?\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_table_changes(self, q: str) -> str:
+        """Delta-style CDC reads in SQL: ``SELECT ... FROM
+        TABLE_CHANGES(t, from_v[, to_v])``. PK tables resolve to the
+        per-commit changelog (op, columns, change_version); log tables
+        to the incremental append scan tagged op='insert' — one SQL
+        surface over both CDC shapes."""
+
+        def sub(m: re.Match) -> str:
+            kw, name, from_v, to_v = m.groups()
+            if not self.catalog.exists(name):
+                return m.group(0)
+            t = self.catalog.load(name)
+            a, b = int(from_v), int(to_v) if to_v is not None else None
+            if t.primary_key:
+                df = t.changelog_stream(a, b)
+            else:
+                df = t.incremental_read(a, b).withColumn(
+                    "op", F.lit("insert")
+                )
+            view = f"{name}__changes_{a}_{b if b is not None else 'head'}"
+            df.createOrReplaceTempView(view)
+            return f"{kw} {view}"
+
+        return self._TABLE_CHANGES_RE.sub(sub, q)
+
     def _rewrite_time_travel(self, q: str) -> str:
         """Spark/Iceberg ``SELECT ... FROM t VERSION AS OF n`` and
         ``TIMESTAMP AS OF '<ts>'`` over lake tables: each versioned
@@ -476,7 +507,9 @@ class Engine:
             t.read(version=version).createOrReplaceTempView(view)
             return f"{kw} {view}"
 
-        return self._TIME_TRAVEL_TS_RE.sub(sub_ts, self._TIME_TRAVEL_RE.sub(sub, q))
+        return self._rewrite_table_changes(
+            self._TIME_TRAVEL_TS_RE.sub(sub_ts, self._TIME_TRAVEL_RE.sub(sub, q))
+        )
 
     def _ok(self, op: str, name: str) -> DataFrame:
         return self.spark.createDataFrame([(op, name)], "op string, name string")

@@ -356,3 +356,27 @@ def test_create_table_like(spark, tmp_path):
         dst.merge(spark.createDataFrame([(2, -1)], df.schema))
     # IF NOT EXISTS is a no-op on the second run
     eng.sql("CREATE TABLE IF NOT EXISTS dst_t LIKE src_t")
+
+
+def test_table_changes_sql(spark, tmp_path):
+    """Delta-style TABLE_CHANGES(t, from[, to]) SQL: log tables emit
+    tagged inserts from the incremental scan, PK tables the per-commit
+    changelog ops."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whtc"))
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    t = eng.create_table("tc_log", df.schema)
+    t.append(df)  # v0
+    t.append(spark.createDataFrame([(2, "b")], df.schema))  # v1
+    rows = eng.sql("SELECT op, k FROM TABLE_CHANGES(tc_log, 0)").collect()
+    assert [(r.op, r.k) for r in rows] == [("insert", 2)]
+    p = eng.create_table("tc_pk", df.schema, primary_key=["k"], n_buckets=2)
+    p.merge(df)  # v0
+    p.merge(spark.createDataFrame([(1, "a2"), (2, "b")], df.schema))  # v1
+    got = {
+        (r.op, r.k)
+        for r in eng.sql("SELECT op, k FROM TABLE_CHANGES(tc_pk, 0, 1)").collect()
+    }
+    assert ("insert", 2) in got
+    assert any(k == 1 and op != "insert" for op, k in got)

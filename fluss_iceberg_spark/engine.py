@@ -461,7 +461,13 @@ class Engine:
                 df = t.incremental_read(a, b).withColumn(
                     "op", F.lit("insert")
                 )
-            view = f"{name}__changes_{a}_{b if b is not None else 'head'}"
+            # 'm' for minus: a negative from_version ("from the
+            # beginning") must not put a hyphen into the view identifier
+            view = "{}__changes_{}_{}".format(
+                name,
+                str(a).replace("-", "m"),
+                "head" if b is None else str(b).replace("-", "m"),
+            )
             df.createOrReplaceTempView(view)
             return f"{kw} {view}"
 

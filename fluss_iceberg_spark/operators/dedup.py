@@ -834,8 +834,10 @@ def semdedup(
 def band_keys(sig: DataFrame) -> DataFrame:
     """(doc_id, bkey) — a doc's 16 LSH bucket keys, band id baked into
     the key so buckets never collide across bands. Map-side (the
-    signature frame is already map-side); the bucket key doubles as the
-    PRIMARY KEY of the streaming admission state table."""
+    signature frame is already map-side); the bucket key is the join
+    key of the streaming admission state table — a multi-owner LOG
+    table (declaring it PK-on-bkey would turn the appends into
+    last-write-wins and evict earlier owners of shared buckets)."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -872,8 +874,9 @@ def neardup_admit_batch(
     re-clustering the corpus):
 
     1. batch docs compute shingle sets + banded signatures map-side;
-    2. bucket collisions against the ADMITTED state (a PK lake table
-       keyed by bucket) propose candidates, exact-verified by Jaccard
+    2. bucket collisions against the ADMITTED state (a multi-owner LOG
+       lake table of bucket → owner rows) propose candidates,
+       exact-verified by Jaccard
        against the owners' stored shingle sets — first-seen wins;
     3. survivors dedup within the batch (banded candidates → exact
        verify → connected components, min doc_id per cluster admits);
@@ -892,7 +895,6 @@ def neardup_admit_batch(
     deployment-shaped fix, not more Spark. Returns the number of
     admitted docs (a driver-sized count).
     """
-    spark = batch_docs.sparkSession
     sets_b = shingle_sets(batch_docs).persist()
     bands_b = band_keys(minhash_signatures(sets_b)).persist()
 

@@ -53,6 +53,18 @@ def scd2_apply(
         changed_cond = changed_cond | ~F.col(a).eqNullSafe(F.col(f"__cur_{a}"))
     is_new = F.col("__cur_from").isNull()
     touched = joined.filter(is_new | changed_cond).persist()
+    # batch time must move strictly forward for every touched key: at
+    # ts == current valid_from the close and open rows would share the
+    # (key, valid_from) PK and merge would collapse them arbitrarily;
+    # at ts < valid_from a key would end with two open versions
+    max_cur = touched.agg(F.max("__cur_from").alias("m")).collect()[0].m
+    if max_cur is not None and ts <= max_cur:
+        touched.unpersist()
+        raise ValueError(
+            f"scd2_apply: batch ts {ts} is not after the newest touched "
+            f"version's valid_from ({max_cur}) — batches must apply in "
+            "increasing logical time"
+        )
     closed = (
         touched.filter(~is_new)
         .select(

@@ -634,8 +634,9 @@ def chunk_passages(
     map-only text operator."""
     from fluss_iceberg_spark.operators.util import spread
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    t = spread(df).select("doc_id", toks.alias("toks"))
+    # tokens() — the module's single tokenization rule — keeps chunk
+    # offsets on the same token grid as every other text operator
+    t = spread(df).select("doc_id", tokens(F.col(text_col)).alias("toks"))
     # last start = first grid point whose window reaches the doc end —
     # later grid points would emit chunks fully contained in this one
     # (pure duplicate text, the thing a corpus-prep operator must not add)

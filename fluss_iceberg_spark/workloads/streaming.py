@@ -1005,10 +1005,6 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     of running batch dedup per ingestion tick at 100 TB)."""
     from fluss_iceberg_spark.operators import dedup as DD
 
-    # per-batch state joins are small; 200 default shuffle partitions
-    # would dominate wall time with empty-task overhead
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     cat = LakeCatalog(spark, _scratch(sf_dir, "neardup_wh"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     buckets = cat.create_table(
@@ -1023,6 +1019,11 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nd_admitted",
         spark.createDataFrame([], "doc_id long, batch int").schema,
     )
+    # per-batch state joins are small; 200 default shuffle partitions
+    # would dominate wall time with empty-task overhead. Set directly
+    # before try so no failure can leak the setting into the session.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         for b in range(4):
             batch = docs.filter(F.pmod("doc_id", F.lit(4)) == b)

@@ -380,3 +380,19 @@ def test_table_changes_sql(spark, tmp_path):
     }
     assert ("insert", 2) in got
     assert any(k == 1 and op != "insert" for op, k in got)
+
+
+def test_table_changes_negative_from_version(spark, tmp_path):
+    """from_version=-1 = full history; the generated view name must be a
+    valid identifier (no hyphen)."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whtcn"))
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    t = eng.create_table("tcn", df.schema)
+    t.append(df)
+    t.append(spark.createDataFrame([(2, "b")], df.schema))
+    rows = eng.sql(
+        "SELECT op, k FROM TABLE_CHANGES(tcn, -1) ORDER BY k"
+    ).collect()
+    assert [(r.op, r.k) for r in rows] == [("insert", 1), ("insert", 2)]

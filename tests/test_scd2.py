@@ -53,3 +53,24 @@ def test_scd2_null_safe_change_detection(spark, tmp_path):
     assert scd2_apply(t, b([(1, "A")]), 300, "k", ("seg",)) == 1
     assert scd2_apply(t, b([(1, None)]), 400, "k", ("seg",)) == 1
     assert t.read().count() == 3
+
+
+def test_scd2_refuses_non_monotonic_ts(spark, tmp_path):
+    """A batch at ts <= a touched key's current valid_from would corrupt
+    versioning (PK collision or two open rows) — it must refuse."""
+    import pytest
+
+    t = _dim(spark, tmp_path)
+    b = lambda rows: spark.createDataFrame(rows, "k long, seg string")
+    scd2_apply(t, b([(1, "A")]), 100, "k", ("seg",))
+    with pytest.raises(ValueError, match="increasing logical time"):
+        scd2_apply(t, b([(1, "B")]), 100, "k", ("seg",))
+    with pytest.raises(ValueError, match="increasing logical time"):
+        scd2_apply(t, b([(1, "B")]), 50, "k", ("seg",))
+    # untouched keys don't constrain the ts: a no-op batch at an old ts
+    # is fine (nothing is touched), and new keys carry any ts
+    assert scd2_apply(t, b([(1, "A")]), 60, "k", ("seg",)) == 0
+    assert scd2_apply(t, b([(2, "Z")]), 60, "k", ("seg",)) == 1
+    # state is intact: exactly one current row per key
+    cur = [r for r in t.read().collect() if r.is_current]
+    assert sorted(r.k for r in cur) == [1, 2]

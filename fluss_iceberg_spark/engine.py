@@ -1164,6 +1164,24 @@ class Engine:
                     f"INSERT column list has {len(cols)} names but the "
                     f"source produces {len(src.columns)} columns"
                 )
+            # an omitted NOT NULL (or PK — PK implies not-null) column
+            # would land NULL and then be silently DROPPED by the sink's
+            # not-null enforcer: the INSERT would "succeed" writing zero
+            # rows. Standard SQL errors instead — so do we.
+            required = set(t.not_null or ()) | set(t.primary_key or ())
+            omitted = [
+                c
+                for c in t.schema.fieldNames()
+                if c in required
+                and c not in cols
+                and not t.properties.get(f"engine.computed.{c}")
+            ]
+            if omitted:
+                raise ValueError(
+                    f"INSERT into {name} omits NOT NULL column(s) "
+                    f"{omitted}: every not-null / primary-key column "
+                    "must appear in the column list"
+                )
             src = src.toDF(*cols)
             for f in t.schema.fields:
                 # unlisted columns land NULL — except computed columns,

@@ -73,6 +73,31 @@ def _atomic_write(path: str, payload: str) -> None:
     os.replace(tmp, path)
 
 
+@contextmanager
+def _commit_lock(table_path: str):
+    """Serialize VERSION-pointer flips across every writer of a catalog
+    (the filesystem stand-in for the REST catalog's commit CAS,
+    docker-compose.yml:126-137): an ``flock`` on a warehouse-level lock
+    file held across each check→flip. Closes the lost-update window
+    between a commit's pointer re-verify and its flip — in particular a
+    CatalogTransaction publish racing a single-table commit. flock is
+    released by the OS on process death, so a crashed holder can never
+    wedge the catalog (no stale-lock recovery needed). Cost: pointer
+    flips are tiny metadata writes, so serializing them is free at any
+    scale — data writes stay fully concurrent."""
+    import fcntl
+
+    lock_dir = os.path.dirname(os.path.abspath(table_path).rstrip(os.sep))
+    os.makedirs(lock_dir, exist_ok=True)
+    fd = os.open(os.path.join(lock_dir, "_commit.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 def _exclusive_write(path: str, payload: str) -> None:
     """Write ``payload`` to ``path`` all-or-nothing, failing with
     CommitConflictError if ``path`` already exists. The payload is written
@@ -294,16 +319,26 @@ def _file_blooms(abspath: str, cols: list[str]) -> dict:
     out = {}
     for c in want:
         uniq = pc.unique(tbl.column(c).combine_chunks()).drop_null().to_pylist()
+        # size the filter to the file's actual distinct count (~10 bits
+        # per value ≈ 1% FPR at k=4): a fixed 2048-bit filter saturates
+        # (all-ones, prunes nothing) on files with thousands of
+        # distincts — e.g. LSH bucket-state files at 16 keys/doc. Cap
+        # at 2^21 bits (64 KB hex in the manifest per file/column).
+        m = _BLOOM_BITS
+        while m < 10 * len(uniq) and m < (1 << 21):
+            m *= 2
         bits = 0
         for v in uniq:
-            pos = _bloom_positions(v)
+            pos = _bloom_positions(v, m=m)
             if pos is None:
                 bits = None
                 break
             for p in pos:
                 bits |= 1 << p
         if bits:
-            out[c] = f"{bits:x}"
+            # legacy manifests stored a bare hex string (m=2048);
+            # readers accept both forms
+            out[c] = f"{bits:x}" if m == _BLOOM_BITS else {"m": m, "bits": f"{bits:x}"}
     return out
 
 
@@ -312,15 +347,23 @@ def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
     range PROVES no row can satisfy ``col op lit``. Files with no stats
     for the column (all-null, unsupported type, pre-stats snapshot) are
     kept. NULL rows never satisfy a comparison predicate, so ignoring
-    them (as parquet stats do) is sound."""
+    them (as parquet stats do) is sound. ``op == "in"`` (iterable
+    literal) keeps the file iff ANY member may match — the IN-list
+    pushdown an LSH bucket-state probe needs."""
+    if op == "in":
+        return any(_file_may_match(meta, col, "=", v) for v in lit)
     vset = (meta or {}).get("value_sets", {}).get(col)
     if vset is not None and op == "=" and isinstance(lit, str):
         return lit in vset  # exact membership beats range bounds
     bloom = (meta or {}).get("blooms", {}).get(col)
     if bloom is not None and op == "=":
-        pos = _bloom_positions(lit)
+        if isinstance(bloom, dict):  # adaptive-size form
+            m, bloom_hex = int(bloom["m"]), bloom["bits"]
+        else:  # legacy bare-hex form
+            m, bloom_hex = _BLOOM_BITS, bloom
+        pos = _bloom_positions(lit, m=m)
         if pos is not None:
-            bits = int(bloom, 16)
+            bits = int(bloom_hex, 16)
             if not all((bits >> p) & 1 for p in pos):
                 return False  # definitive: value not in this file
             # bloom says "maybe" — bounds below may still prune
@@ -480,6 +523,8 @@ def _partition_may_match(pvals: dict | None, spec: list[dict], col: str, op: str
     t(x) <= t(lit), x > lit ⟹ t(x) >= t(lit), x = lit ⟹ t(x) = t(lit)."""
     if not pvals:
         return True
+    if op == "in":
+        return any(_partition_may_match(pvals, spec, col, "=", v) for v in lit)
     for p in spec:
         if p["col"] != col or p["name"] not in pvals:
             continue
@@ -522,13 +567,16 @@ def _where_filter(where: list[tuple]) -> F.Column:
     cond = None
     for col, op, lit in where:
         c = F.col(col)
-        e = {
-            "=": c == F.lit(lit),
-            "<": c < F.lit(lit),
-            "<=": c <= F.lit(lit),
-            ">": c > F.lit(lit),
-            ">=": c >= F.lit(lit),
-        }[op]
+        if op == "in":
+            e = c.isin(list(lit))
+        else:
+            e = {
+                "=": c == F.lit(lit),
+                "<": c < F.lit(lit),
+                "<=": c <= F.lit(lit),
+                ">": c > F.lit(lit),
+                ">=": c >= F.lit(lit),
+            }[op]
         cond = e if cond is None else cond & e
     return cond
 
@@ -818,33 +866,38 @@ class LakeTable:
         if branch not in heads:
             raise ValueError(f"{self.name}: unknown branch {branch!r}")
         head = heads[branch]
-        cur = self.current_version()
-        if head == cur:
-            return head
-        v = head
-        verified = False
-        while True:
-            if v == cur:
-                verified = True
-                break
-            if v < 0:
-                break  # reached the empty-table root without meeting main
-            try:
-                s = self.snapshot(v)
-            except ValueError:
-                break  # chain expired mid-walk: cannot verify descent
-            if s.parent_id is None:
-                # legacy snapshot without lineage: best-effort id ordering
-                verified = head >= cur
-                break
-            v = s.parent_id
-        if not verified:
-            raise ValueError(
-                f"{self.name}: branch {branch!r} head v{head} does not "
-                f"descend from main v{cur} — main advanced since the "
-                "branch point; not a fast-forward (re-branch and replay)"
-            )
-        _atomic_write(self._meta("VERSION"), str(head))
+        with _commit_lock(self.path):
+            cur = self.current_version()
+            if head == cur:
+                return head
+            v = head
+            verified = False
+            while True:
+                if v == cur:
+                    verified = True
+                    break
+                if v < 0:
+                    break  # reached the empty-table root, never met main
+                try:
+                    s = self.snapshot(v)
+                except ValueError:
+                    break  # chain expired mid-walk: cannot verify descent
+                if s.parent_id is None:
+                    # pre-lineage snapshot mid-walk: descent is
+                    # UNVERIFIABLE — id ordering is not ancestry (ids
+                    # are global across refs, a diverged branch can
+                    # outnumber main commits it never saw), so refuse
+                    # rather than risk silently discarding main rows
+                    break
+                v = s.parent_id
+            if not verified:
+                raise ValueError(
+                    f"{self.name}: branch {branch!r} head v{head} does not "
+                    f"descend from main v{cur} — main advanced since the "
+                    "branch point (or the chain predates lineage "
+                    "tracking); not a fast-forward (re-branch and replay)"
+                )
+            _atomic_write(self._meta("VERSION"), str(head))
         return head
 
     def version_as_of_timestamp(self, ts_ms: int) -> int:
@@ -1019,20 +1072,21 @@ class LakeTable:
             # pointer CAS: snapshot ids skip past orphan files (crash
             # debris must not wedge the table), so same-base racers may
             # pick DIFFERENT ids — exclusive-create alone no longer
-            # serializes them. Re-check the pointer before flipping:
-            # exactly one same-base writer wins, the loser removes its
-            # unpublished snapshot and raises (the Iceberg catalog
-            # compare-and-swap, stood in by check-then-flip).
-            cur = self.current_version()
-            if cur != base:
-                os.remove(self._meta(f"v{version}.json"))
-                if extra:
-                    self._pending_commit_extra = extra
-                raise CommitConflictError(
-                    f"concurrent commit advanced {self.name} to v{cur} "
-                    f"(this commit was based on v{base})"
-                )
-            _atomic_write(self._meta("VERSION"), str(version))
+            # serializes them. Re-check the pointer before flipping
+            # UNDER the catalog commit lock: exactly one same-base
+            # writer wins, the loser removes its unpublished snapshot
+            # and raises (the Iceberg catalog compare-and-swap).
+            with _commit_lock(self.path):
+                cur = self.current_version()
+                if cur != base:
+                    os.remove(self._meta(f"v{version}.json"))
+                    if extra:
+                        self._pending_commit_extra = extra
+                    raise CommitConflictError(
+                        f"concurrent commit advanced {self.name} to v{cur} "
+                        f"(this commit was based on v{base})"
+                    )
+                _atomic_write(self._meta("VERSION"), str(version))
         return snap
 
     # ---------- writes ----------
@@ -3473,48 +3527,58 @@ class CatalogTransaction:
             raise ValueError("transaction already finished")
         self._done = True
         try:
-            # Pre-intent phase: any failure here aborts (staged snapshot
-            # jsons are unpublished, so deleting them is safe).
-            try:
-                # re-verify no table moved since its first stage
-                for path, s in self._staged.items():
-                    t = self._tables_by_path(path)
-                    if t.current_version() != s["first_base"]:
-                        raise CommitConflictError(
-                            f"concurrent commit advanced {t.name} during the "
-                            "transaction"
-                        )
-                intent_dir = os.path.join(self.catalog.warehouse, "_txn")
-                os.makedirs(intent_dir, exist_ok=True)
-                intent = {
-                    "entries": [
-                        {"path": path, "version": s["latest"]}
-                        for path, s in self._staged.items()
-                    ]
-                }
-                intent_path = os.path.join(
-                    intent_dir, f"txn-{uuid.uuid4().hex}.json"
-                )
-                _atomic_write(intent_path, json.dumps(intent))  # commit point
-            except Exception:
-                self._abort()
-                raise
-            # Post-intent phase: the transaction IS durably committed.
-            # A failure mid-publish must roll FORWARD, never abort —
-            # some VERSION pointers may already reference staged
-            # snapshots, so deleting them would dangle live pointers.
-            try:
-                for path, s in self._staged.items():
-                    _atomic_write(
-                        os.path.join(path, "meta", "VERSION"), str(s["latest"])
-                    )
-                os.remove(intent_path)
-            except Exception:
+            # The whole verify→intent→publish sequence runs under the
+            # catalog commit lock: single-table commits flip their
+            # pointer under the same lock, so no concurrent commit can
+            # land between the re-verify below and the pointer flips —
+            # the lost-update window is closed, not just narrowed.
+            # (Crash-with-lock-held is safe: flock dies with the
+            # process, and the intent file decides commit vs abort.)
+            with _commit_lock(os.path.join(self.catalog.warehouse, "_")):
+                # Pre-intent phase: any failure here aborts (staged
+                # snapshot jsons are unpublished, so deleting is safe).
                 try:
-                    # finish the publish in-process if possible
-                    self.catalog._recover_transactions()
+                    # re-verify no table moved since its first stage
+                    for path, s in self._staged.items():
+                        t = self._tables_by_path(path)
+                        if t.current_version() != s["first_base"]:
+                            raise CommitConflictError(
+                                f"concurrent commit advanced {t.name} "
+                                "during the transaction"
+                            )
+                    intent_dir = os.path.join(self.catalog.warehouse, "_txn")
+                    os.makedirs(intent_dir, exist_ok=True)
+                    intent = {
+                        "entries": [
+                            {"path": path, "version": s["latest"]}
+                            for path, s in self._staged.items()
+                        ]
+                    }
+                    intent_path = os.path.join(
+                        intent_dir, f"txn-{uuid.uuid4().hex}.json"
+                    )
+                    _atomic_write(intent_path, json.dumps(intent))  # commit point
                 except Exception:
-                    pass  # intent remains; next catalog open rolls forward
+                    self._abort()
+                    raise
+                # Post-intent phase: the transaction IS durably
+                # committed. A failure mid-publish must roll FORWARD,
+                # never abort — some VERSION pointers may already
+                # reference staged snapshots, so deleting them would
+                # dangle live pointers.
+                try:
+                    for path, s in self._staged.items():
+                        _atomic_write(
+                            os.path.join(path, "meta", "VERSION"),
+                            str(s["latest"]),
+                        )
+                    os.remove(intent_path)
+                except Exception:
+                    try:
+                        # finish the publish in-process if possible
+                        self.catalog._recover_transactions()
+                    except Exception:
+                        pass  # intent remains; next open rolls forward
         finally:
             self._detach()
 

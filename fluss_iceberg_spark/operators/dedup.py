@@ -887,19 +887,28 @@ def neardup_admit_batch(
 
     Scale shape, stated honestly: admission never re-CLUSTERS or
     pairwise-rescans the admitted corpus — per-batch comparison work is
-    O(batch + colliding pairs). The state joins on this Parquet
-    stand-in are hash joins over the bucket table (16 short rows per
-    admitted doc) and the owners' shingle sets, so each tick also pays
-    a linear state SCAN; in the reference's architecture that lookup is
-    the hot store's key-value read (the Fluss role), which is the
-    deployment-shaped fix, not more Spark. Returns the number of
-    admitted docs (a driver-sized count).
+    O(batch + colliding pairs). The bucket-state READ is pruned to the
+    batch's own key set: the batch's bucket keys (16/doc, micro-batch-
+    bounded, collected driver-side) push down as an IN predicate, and
+    each state file's manifest bloom filter over ``bkey``
+    (``write.bloom-columns``, sized to the file's distinct count)
+    proves non-colliding files hold no probed key — so the per-tick
+    scan is O(files with a true collision + bloom false positives),
+    FLAT as the admitted corpus grows, instead of O(admitted state).
+    The probe itself is metadata-only (manifest blooms on the driver,
+    zero data I/O for skipped files). At the extreme (batch key sets
+    beyond driver-collect size), the lookup becomes the hot store's
+    key-value read (the Fluss role) — the documented deployment
+    boundary. Returns the number of admitted docs (a driver-sized
+    count).
     """
     sets_b = shingle_sets(batch_docs).persist()
     bands_b = band_keys(minhash_signatures(sets_b)).persist()
 
-    # (a) first-seen-wins vs the admitted state
-    state = buckets.read()
+    # (a) first-seen-wins vs the admitted state, pruned to the batch's
+    # key set (bloom file skipping; the join below is the exact check)
+    probe_keys = [r.bkey for r in bands_b.select("bkey").distinct().collect()]
+    state = buckets.read(where=[("bkey", "in", probe_keys)])
     cand_ext = (
         bands_b.join(state, on="bkey")
         .select(F.col("owner").alias("d1"), F.col("doc_id").alias("d2"))
@@ -934,16 +943,23 @@ def neardup_admit_batch(
 
     # (c) claim state: sets for future verification; EVERY admitted
     # doc's bucket keys append (multi-owner buckets — see docstring)
-    n_admitted = admit.count()
-    if n_admitted:
-        owner_sets.append(admit.select("doc_id", "shset", "n"))
-        buckets.append(
-            bands_b.join(admit.select("doc_id"), on="doc_id", how="left_semi")
-            .select("bkey", F.col("doc_id").alias("owner"))
-        )
-        admitted.append(
-            admit.select(
-                "doc_id", F.lit(batch_id).cast("int").alias("batch")
+    try:
+        n_admitted = admit.count()
+        if n_admitted:
+            owner_sets.append(admit.select("doc_id", "shset", "n"))
+            buckets.append(
+                bands_b.join(
+                    admit.select("doc_id"), on="doc_id", how="left_semi"
+                ).select("bkey", F.col("doc_id").alias("owner"))
             )
-        )
+            admitted.append(
+                admit.select(
+                    "doc_id", F.lit(batch_id).cast("int").alias("batch")
+                )
+            )
+    finally:
+        # a long-running admission stream calls this every tick — cached
+        # per-batch frames must not accumulate in executor storage
+        for df in (admit, survivors, bands_b, sets_b):
+            df.unpersist()
     return n_admitted

@@ -82,117 +82,97 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
-    # reference pipeline core (S9-S16, P*, J*, A*, T1; notnull-drop and
-    # max_orderdate rotate out thrice-hash-green, r2+r3+r4 records stand)
+    # ---- round-6 rotation: the r5 verdict's top item — every oracle-backed
+    # query that has never held a driver CORRECTNESS row rotates IN; the 15
+    # rotated OUT are all multi-round hash-green (round counts noted) and
+    # every operator family keeps at least one gate in the window.
+    # reference pipeline core (S9-S16, P*, J*, A*; top5_nations rotates out
+    # five-times-green r1-r5 — the T1 top-k class stays gated via
+    # text_ngram_stats' TakeOrderedAndProject and tpch_q2's ordered LIMIT)
     "ref_enriched_orders",
-    # (nation_revenue rotates out four-times-green r1-r4; the SUM(DECIMAL)
-    # aggregate stays gated via stream_nation_revenue's identical shape)
-    "ref_top5_nations",
-    # TPC-H J3/A-class gate (q3 rotates out thrice-green; the J3 class
-    # stays gated via q1 + the ref_* joins)
-    "tpch_q1_pricing_summary",
-    # corpus n-gram census (first gate r5)
+    # TPC-H (q1 rotates out five-times-green r1-r5; the join/agg class gets
+    # its FIRST driver gates on the two never-gated shapes: q2's correlated
+    # min-cost subquery join, q11's group-vs-global HAVING threshold)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    # corpus n-gram census (first gate r5, holds)
     "text_ngram_stats",
-    # window / aggregation operator families: running-total window rotates
-    # in for top-per-group (thrice-green); CUBE and INTERSECT/EXCEPT get
-    # their first driver gates beside ROLLUP
-    "window_running_revenue",
-    # (ROLLUP rotates out r4-green; the Expand family stays gated via CUBE
-    # and the first gates for GROUPING SETS + UNPIVOT)
+    # window / aggregation families (running_revenue rotates out r1+r5
+    # green — window-frame class stays via events_anomaly_zscore's
+    # windowed z-score; GROUPING_ID gates first beside CUBE/SETS/UNPIVOT)
     "agg_cube_status_priority",
     "agg_grouping_sets",
+    "agg_grouping_id",
     "agg_unpivot_measures",
     "set_ops_customers",
-    # curation scoring (unigram LM + Gopher repetition)
-    # (unigram-LM rotates out r4-green; repetition keeps the scoring gate)
-    "text_repetition_filter",
-    # event-log operators (sessionize + as-of rotate out green — the r4
-    # re-gate proved the TIMESTAMP_NTZ fix; the sliding-window shape
-    # gates the family for the first time)
+    # event-log operators (funnel holds its r5 gate; the two never-gated
+    # event shapes — built-in session_window TVF and windowed anomaly
+    # z-score — gate first)
     "events_sliding_rollup",
     "events_gap_fill",
     "events_funnel",
     "events_retention_cohorts",
-    # lake layer (S10/U1/M1 + tiering + row-level + changelog + skipping;
-    # time-travel rotates to the SQL forms below; clustered scan and the
-    # new hidden-partitioning scan gate for the first time)
-    # (maintenance-lifecycle rotates out thrice-green r2/r3/r4 — expiry +
-    # compaction stay covered by lake_file_skipping's compact and the unit
-    # suite; merge-on-read position deletes gate for the first time)
-    # (upsert rotates out four-times-green r1-r4; the PK-upsert write path
-    # stays gated through lake_pk_union_read + stream_nation_revenue)
-    "lake_union_read",
+    "events_session_window_builtin",
+    "events_anomaly_zscore",
+    # lake layer (union_read rotates out 4x-green r2-r5 — hot∪cold + tiering
+    # stay gated via lake_pk_union_read; row_level_ops rotates out r4+r5
+    # green — row-level class stays via lake_mor_delete + engine_merge_into)
     "lake_pk_union_read",
     "lake_mor_delete",
-    # (min/max file skipping + incremental read rotate out r4-green; the
-    # skipping family stays via partition pruning / clustered scan / value
-    # sets, incremental scans via the matview refresh that runs them)
     "lake_partition_pruning",
     "lake_clustered_scan",
-    "lake_row_level_ops",
     "lake_pk_changelog",
-    # incremental materialized view (+ CDC over its state) and value-set
-    # skipping (first gates r5)
     "lake_matview_refresh",
     "lake_matview_changelog",
     "lake_value_set_skipping",
-    # streaming (A1/ST*, S11, U2, stateful, stream-stream, exact dedup,
-    # PK changelog, and the gated log-table stream subscription)
-    "stream_nation_revenue",
-    # (enriched_union rotates out four-times-green r1-r4: its union-read +
-    # enrichment shape stays via stream_nation_revenue + lake_union_read;
-    # stateful_sessions rotates out thrice-green r2-r4, sessionization
-    # stays via events_sliding_rollup; events_hourly likewise r2-r4)
-    # streaming write-audit-publish (branch stage -> lineage audit ->
-    # gated publish; first gate r5)
+    # SCD Type 2 maintenance + the CDC-consumer composition over its
+    # changelog (TABLE_CHANGES SQL), and full CDC mirror replication —
+    # all first gates r6
+    "lake_scd2_dimension",
+    "lake_scd2_changes",
+    "lake_cdc_mirror",
+    # streaming (nation_revenue rotates out five-times-green r1-r5; the A1
+    # upsert shape stays gated via stream_matview_refresh's incremental
+    # MERGE-delta and stream_txn_two_sinks' transactional twin;
+    # pk_changelog rotates out r4+r5 green — changelog class stays via
+    # lake_pk_changelog + lake_scd2_changes)
     "stream_wap_gated",
-    # (inner interval join + stream exact dedup rotate out r4-green; the
-    # symmetric-hash join state is a strict subset of the LEFT OUTER form
-    # gating first below)
     "stream_left_interval_join",
-    "stream_pk_changelog",
+    "stream_full_interval_join",
     "stream_log_appends",
-    # text analysis / curation (tfidf + pii rotate out thrice-green;
-    # stratified sampling, budget mixing, end-to-end chain keep gates;
-    # the deterministic shard export gates first r5)
+    "stream_matview_refresh",
+    "stream_watermarked_dedup",
+    "stream_txn_two_sinks",
+    # text analysis / curation (repetition_filter rotates out 4x-green
+    # r2-r5 — scoring class stays via text_token_stats' first gate and the
+    # budget/mixing family; passage chunking gates first)
     "export_training_shards",
-    # (stratified sampling rotates out r4-green; the fuzzy edit-distance
-    # join gates first)
     "fuzzy_part_names",
     "text_budget_mixing",
-    # bounded-sort scale twin of budget mixing + temperature-flattened
-    # domain mixing (both first gates r5)
     "text_budget_two_phase",
     "text_temperature_mixing",
+    "text_token_stats",
+    "text_chunk_passages",
     "pipeline_curation_end2end",
-    # deduplication (exact-dedup and ngram-jaccard rotate out
-    # thrice-green; exact's shape stays via stream_exact_dedup, the
-    # PPJoin index shape via minhash_lsh's verify stage; passage-level
-    # dedup gates first r5)
+    # deduplication (minhash_lsh + connected_components rotate out 4x-green
+    # r2-r5; the banded-candidate shape stays via dedup_passage_level's
+    # fp-shuffle + semantic_representatives' composition; the cross-source
+    # overlap matrix gates first)
     "dedup_passage_level",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    # (embedding_cosine + decontaminate rotate out multi-green r2-r4; the
-    # block-matrix cosine shape stays via dedup_semantic_representatives'
-    # composition and the broadcast-vocab shape via unit + local oracles)
     "dedup_semantic_representatives",
-    # similarity search (+ first gate for embedding hygiene)
-    "ann_cosine_topk",
+    "dedup_source_overlap",
+    # similarity search (cosine_topk rotates out 4x-green r2-r5; the
+    # embedding-kernel class stays via hygiene + the dedup semantic ops)
     "ann_embedding_hygiene",
-    # skew-salted join (first gate)
-    "join_skew_salted",
-    # multimodal (decode rotates out thrice-green r2-r4; the Arrow decode
-    # kernel class stays gated via frame sampling / resize planning)
-    "multimodal_frame_sample",
+    # multimodal (frame_sample rotates out r4+r5 green; the Arrow kernel
+    # class stays gated via resize planning)
     "multimodal_resize_features",
-    # SQL facade / file sources / DDL time travel (sql_region_revenue
-    # rotates out four-times-green r1-r4; the facade stays gated via
-    # engine_merge_into + both time-travel forms)
-    "source_formats_roundtrip",
-    "engine_timestamp_travel",
+    # SQL facade / DDL time travel (source_formats_roundtrip rotates out
+    # 4x-green r2-r5; timestamp_travel rotates out r4+r5 green — the
+    # facade stays gated via engine_merge_into + VERSION AS OF SQL)
     "engine_time_travel_sql",
     "engine_merge_into",
-    # exact PERCENTILE_DISC + histogram binning (first gates r5)
+    # exact PERCENTILE_DISC + histogram binning (first gates r5, hold)
     "events_value_percentiles",
     "events_value_histogram",
 ]

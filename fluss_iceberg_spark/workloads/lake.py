@@ -907,3 +907,84 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(
         "cust_key", "segment", "valid_from", "valid_to", "is_current"
     )
+
+
+@query(
+    "lake_scd2_changes",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS cust_key, c_mktsegment AS segment FROM customer
+    )
+    SELECT 'update' AS op, cust_key, segment,
+           CAST(100 AS BIGINT) AS valid_from, CAST(200 AS BIGINT) AS valid_to,
+           FALSE AS is_current, CAST(1 AS INT) AS batch_no
+    FROM base WHERE cust_key % 4 = 0
+    UNION ALL
+    SELECT 'insert', cust_key, 'PROMO', CAST(200 AS BIGINT), NULL, TRUE,
+           CAST(1 AS INT)
+    FROM base WHERE cust_key % 4 = 0
+    UNION ALL
+    SELECT 'update', cust_key, 'PROMO', CAST(200 AS BIGINT),
+           CAST(300 AS BIGINT), FALSE, CAST(2 AS INT)
+    FROM base WHERE cust_key % 8 = 0
+    UNION ALL
+    SELECT 'insert', cust_key, segment, CAST(300 AS BIGINT), NULL, TRUE,
+           CAST(2 AS INT)
+    FROM base WHERE cust_key % 8 = 0
+    """,
+)
+def scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-consumer composition: an SCD2 dimension is MAINTAINED via
+    scd2_apply (same three batches as lake_scd2_dimension) and then the
+    downstream consumer reads back *what each batch did* through the SQL
+    CDC surface — ``SELECT ... FROM TABLE_CHANGES(dim, v_after_load)``
+    (engine._rewrite_table_changes → changelog_stream). Each SCD2 batch
+    must surface as exactly one close ('update': valid_to stamped,
+    is_current=false) plus one open ('insert': new open-ended version)
+    per changed key, tagged with the commit that produced it. The oracle
+    restates the expected change rows from the fixture, so op
+    attribution, new-value projection, and commit tagging are all
+    value-checked.
+
+    Scale shape: the changelog read prunes to each commit's changed
+    buckets (file-set compare), so consuming N batches costs O(changed
+    data), never O(#commits x dimension)."""
+    from fluss_iceberg_spark.engine import Engine
+    from fluss_iceberg_spark.operators.scd import scd2_apply
+
+    eng = Engine(spark, _scratch(sf_dir, "scd2_changes"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    schema = spark.createDataFrame(
+        [],
+        "cust_key long, segment string, valid_from long, valid_to long, "
+        "is_current boolean",
+    ).schema
+    t = eng.create_table(
+        "dim_scd2", schema,
+        primary_key=["cust_key", "valid_from"], not_null=["cust_key"],
+    )
+    scd2_apply(t, cust, 100, "cust_key", ("segment",))
+    v_loaded = t.current_version()
+    scd2_apply(
+        t,
+        cust.filter(F.col("cust_key") % 4 == 0).withColumn(
+            "segment", F.lit("PROMO")
+        ),
+        200, "cust_key", ("segment",),
+    )
+    scd2_apply(
+        t, cust.filter(F.col("cust_key") % 8 == 0), 300,
+        "cust_key", ("segment",),
+    )
+    # merge commits bump the version by exactly 1, so the commit tag
+    # maps to the batch ordinal by subtracting the post-load version
+    return eng.sql(
+        f"""
+        SELECT op, cust_key, segment, valid_from, valid_to, is_current,
+               CAST(change_version - {v_loaded} AS INT) AS batch_no
+        FROM TABLE_CHANGES(dim_scd2, {v_loaded})
+        """
+    )

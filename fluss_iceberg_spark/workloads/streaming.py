@@ -1010,6 +1010,11 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = cat.create_table(
         "nd_buckets",
         spark.createDataFrame([], "bkey string, owner long").schema,
+        # manifest blooms over bkey let each tick's key-set probe skip
+        # state files with no colliding key — per-tick scanned state
+        # stays flat as the admitted corpus grows (see
+        # neardup_admit_batch's scale note)
+        properties={"write.bloom-columns": "bkey"},
     )
     owner_sets = cat.create_table(
         "nd_sets",

@@ -55,3 +55,30 @@ def test_plain_insert_still_positional(spark):
         eng.sql("INSERT INTO t_plain VALUES (1, 'x')")
         r = eng.sql("SELECT a, b FROM t_plain").collect()[0]
         assert (r.a, r.b) == (1, "x")
+
+
+def test_omitted_not_null_column_rejected(spark):
+    """An INSERT whose column list omits a NOT NULL column must error —
+    NULL-filling it would hit the sink's not-null enforcer (which DROPS
+    such rows) and silently write nothing."""
+    with tempfile.TemporaryDirectory() as d:
+        eng = Engine(spark, warehouse=d)
+        eng.sql("CREATE TABLE t_nn (a BIGINT NOT NULL, b STRING)")
+        with pytest.raises(ValueError, match="omits NOT NULL"):
+            eng.sql("INSERT INTO t_nn (b) VALUES ('x')")
+        # listing the NOT NULL column still works
+        eng.sql("INSERT INTO t_nn (a) VALUES (1)")
+        assert eng.sql("SELECT a, b FROM t_nn").collect()[0].a == 1
+
+
+def test_omitted_pk_column_rejected(spark):
+    """PK columns are not-null by the PK⊆not_null rule; omitting one from
+    the column list must error, not merge a NULL-keyed row away."""
+    with tempfile.TemporaryDirectory() as d:
+        eng = Engine(spark, warehouse=d)
+        eng.sql(
+            "CREATE TABLE t_pk (k BIGINT, v STRING, "
+            "PRIMARY KEY (k) NOT ENFORCED)"
+        )
+        with pytest.raises(ValueError, match="omits NOT NULL"):
+            eng.sql("INSERT INTO t_pk (v) VALUES ('x')")

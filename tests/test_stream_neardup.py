@@ -131,3 +131,59 @@ def test_stream_admission_python_replay_parity(spark, tmp_path):
                 expect.add(d)
                 state[d] = g
     assert got == expect
+
+
+def test_state_scan_prunes_to_colliding_files(spark, tmp_path):
+    """The per-tick bucket-state read must scan only files holding a
+    probed key (manifest-bloom IN pushdown), so scanned-file count stays
+    FLAT as non-colliding admitted state grows — the r5 verdict's scale
+    fix for the per-tick O(admitted corpus) state scan."""
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(4000)]
+
+    def unique_text():
+        return " ".join(rng.choice(vocab) for _ in range(40))
+
+    cat = LakeCatalog(spark, str(tmp_path / "prune_wh"))
+    buckets = cat.create_table(
+        "b", spark.createDataFrame([], "bkey string, owner long").schema,
+        properties={"write.bloom-columns": "bkey"},
+    )
+    owner_sets = cat.create_table(
+        "s",
+        spark.createDataFrame([], "doc_id long, shset array<long>, n int").schema,
+    )
+    admitted = cat.create_table(
+        "a", spark.createDataFrame([], "doc_id long, batch int").schema,
+    )
+    # grow the state: 4 batches of unique docs, disjoint vocab draws
+    scanned = []
+    for b in range(4):
+        docs = spark.createDataFrame(
+            [(b * 100 + i, unique_text()) for i in range(8)],
+            "doc_id long, text string",
+        )
+        DD.neardup_admit_batch(buckets, owner_sets, admitted, docs, b)
+        # probe with a FRESH batch's keys (no collisions with state):
+        probe = DD.band_keys(
+            DD.minhash_signatures(
+                DD.shingle_sets(
+                    spark.createDataFrame(
+                        [(9999, unique_text())], "doc_id long, text string"
+                    )
+                )
+            )
+        )
+        keys = [r.bkey for r in probe.select("bkey").distinct().collect()]
+        scanned.append(len(buckets.plan_scan(where=[("bkey", "in", keys)])))
+    total_files = len(buckets.plan_scan())
+    assert total_files >= 4  # state really grew file-by-file
+    # non-colliding probes scan (almost) nothing, and the count does not
+    # grow with the state: bloom false positives may keep a stray file,
+    # but never a linearly growing share
+    assert scanned[-1] <= 1, scanned
+    assert max(scanned) <= 1, scanned
+    # a probe with a REAL collision still finds its file
+    state_keys = [r.bkey for r in buckets.read().select("bkey").limit(5).collect()]
+    hit = buckets.plan_scan(where=[("bkey", "in", state_keys)])
+    assert len(hit) >= 1

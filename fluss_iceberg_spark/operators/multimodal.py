@@ -66,13 +66,61 @@ def decode_image_stub(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield out
 
 
-def decode_real(*_args, **_kwargs):
-    """Placeholder for a real media decode — requires codec libraries that
-    are not present in this environment."""
-    raise NotImplementedError(
-        "media codecs (PIL/ffmpeg) are not available in this container; "
-        "use decode_image_stub for the plumbing path"
-    )
+REAL_DECODED_SCHEMA = (
+    "doc_id long, n_bytes int, sha256 string, width int, height int, "
+    "mode string"
+)
+
+
+def decode_real_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel decoding REAL images via PIL — the optional-
+    import seam beside ``decode_image_stub``: where Pillow is installed
+    this is the production decode path (same Arrow batch shape,
+    per-payload ``Image.open`` over an in-memory buffer); where it
+    isn't, ``decode_real`` below raises the documented error instead.
+    Undecodable payloads yield NULL width/height/mode rather than
+    failing the batch (a 100 TB crawl always contains corrupt blobs)."""
+    import io
+
+    from PIL import Image  # noqa: F401 — gated by decode_real()
+
+    for pdf in batch_iter:
+        widths, heights, modes = [], [], []
+        for payload in pdf["payload"]:
+            try:
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    widths.append(im.width)
+                    heights.append(im.height)
+                    modes.append(im.mode)
+            except Exception:
+                widths.append(None)
+                heights.append(None)
+                modes.append(None)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["n_bytes"].astype("int32"),
+                "sha256": pdf["sha256"],
+                "width": pd.Series(widths, dtype="Int32"),
+                "height": pd.Series(heights, dtype="Int32"),
+                "mode": pd.Series(modes, dtype="object"),
+            }
+        )
+
+
+def decode_real(binarized: DataFrame) -> DataFrame:
+    """Real media decode over the binary column — available when Pillow
+    is importable (the optional-codec seam), otherwise raises the
+    documented error. The Spark plan is identical to the stub path:
+    mapInPandas over Arrow batches, metadata passed through JVM-side."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this "
+            "container; use decode_image_stub for the plumbing path"
+        ) from None
+    return binarized.mapInPandas(decode_real_kernel, REAL_DECODED_SCHEMA)
 
 
 def decoded_features(docs: DataFrame) -> DataFrame:

@@ -277,19 +277,20 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_name AS name_a, b.p_name AS name_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
     FROM d a JOIN d b ON a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
     """,
 )
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy vocabulary join: all DISTINCT part-name pairs within edit
-    distance 1 via deletion-neighborhood signatures + exact Levenshtein
-    verify (operators/fuzzy.py — complete candidates, exact precision).
-    The oracle is DuckDB's quadratic levenshtein self-join; the Spark
-    plan is the linear-signature equi-join that replaces it at scale."""
+    distance 2 via PassJoin segment signatures + exact Levenshtein
+    verify (operators/fuzzy.py — complete candidates, exact precision;
+    extended from k=1 in r6 per the r5 verdict). The oracle is DuckDB's
+    quadratic levenshtein self-join; the Spark plan is the
+    linear-signature equi-join that replaces it at scale."""
     from fluss_iceberg_spark.operators.fuzzy import fuzzy_pairs
 
     names = load_table(spark, sf_dir, "part").select("p_name").distinct()
-    return fuzzy_pairs(names, col="p_name", max_dist=1)
+    return fuzzy_pairs(names, col="p_name", max_dist=2)
 
 
 @query(

@@ -110,9 +110,21 @@ def test_ivf_topk_finds_duplicates_and_matches_bruteforce_scores(spark):
         assert brute[(r.query_id, r.nn_id)] == r.cosine
 
 
-def test_decode_real_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        MM.decode_real()
+def test_decode_real_optional_codec_seam(spark):
+    """decode_real runs the PIL path where Pillow is importable and
+    raises the documented stub error otherwise — the optional-import
+    seam, exercised whichever way this environment goes."""
+    docs = spark.createDataFrame([(1, "png-ish")], "doc_id long, text string")
+    binarized = MM.binarize_documents(docs)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="not available"):
+            MM.decode_real(binarized)
+        return
+    rows = MM.decode_real(binarized).collect()
+    # text bytes are not a decodable image: NULL features, batch survives
+    assert len(rows) == 1 and rows[0].width is None
 
 
 def test_exact_dedup_groups(spark):

@@ -63,7 +63,41 @@ def test_no_false_positives_on_distant_corpus(spark):
     assert fuzzy_pairs(df, col="name").count() == 0
 
 
-def test_k2_documented_not_silent(spark):
+def test_bad_max_dist_rejected(spark):
     df = spark.createDataFrame([("x",)], "name string")
-    with pytest.raises(NotImplementedError):
-        fuzzy_pairs(df, col="name", max_dist=2)
+    with pytest.raises(ValueError):
+        fuzzy_pairs(df, col="name", max_dist=0)
+
+
+def test_passjoin_k2_matches_bruteforce(spark):
+    """fuzzy_pairs(max_dist=2) — the PassJoin path — must equal the
+    quadratic Levenshtein self-join exactly (candidate completeness ×
+    exact verify), including length-difference-2 and equal-length
+    pairs."""
+    words = [
+        "grid", "grind", "grinds", "brine", "shine", "shrine", "shrines",
+        "a", "ab", "abc", "", "x", "xy", "grud", "grad", "braid",
+        "linen", "line", "liner", "miner", "mined",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_pairs(df, col="name", max_dist=2).collect()
+    }
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+    want = {
+        (min(a, b), max(a, b), lev(a, b))
+        for a in words for b in words
+        if a < b and lev(a, b) <= 2
+    }
+    assert got == want

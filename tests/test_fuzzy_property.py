@@ -63,3 +63,45 @@ def test_bloom_int_and_string_forms_agree(i):
     SQL literal as int — and a string literal of the same integer must
     resolve to the same positions (canon: str(int))."""
     assert _bloom_positions(i) == _bloom_positions(str(i))
+
+
+# ---- PassJoin (k >= 2) candidate completeness ----
+
+def _pj_index(s: str, k: int) -> set:
+    # pure-python twin of operators.fuzzy._passjoin_index_segments
+    m = k + 1
+    l, base, rem = len(s), len(s) // (k + 1), len(s) % (k + 1)
+    out = set()
+    for i in range(m):
+        sl = base + (1 if i >= m - rem else 0)
+        p = i * base + max(0, i - (m - rem))
+        out.add((i, s[p:p + sl], l))
+    return out
+
+
+def _pj_probe(t: str, k: int) -> set:
+    # pure-python twin of operators.fuzzy._passjoin_probe_segments
+    m = k + 1
+    out = set()
+    for l in range(max(0, len(t) - k), len(t) + 1):
+        base, rem = l // m, l % m
+        for i in range(m):
+            sl = base + (1 if i >= m - rem else 0)
+            p = i * base + max(0, i - (m - rem))
+            for j in range(max(0, p - k), min(len(t) - sl, p + k) + 1):
+                out.add((i, t[j:j + sl], l))
+    return out
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="abcd ", min_size=0, max_size=14),
+       st.text(alphabet="abcd ", min_size=0, max_size=14),
+       st.integers(min_value=2, max_value=3))
+def test_passjoin_segments_complete(a, b, k):
+    """If lev(a,b) <= k, the shorter string's segment keys MUST intersect
+    the longer one's probe keys (pigeonhole: k edits touch at most k of
+    the k+1 segments; an untouched segment survives verbatim, displaced
+    at most k). Candidate completeness + exact verify = exact join."""
+    if _lev(a, b) <= k:
+        s, t = (a, b) if len(a) <= len(b) else (b, a)
+        assert _pj_index(s, k) & _pj_probe(t, k), (s, t, k)

@@ -725,9 +725,12 @@ class LakeTable:
     def _next_version(self) -> int:
         """Next snapshot id: ids are unique across ALL refs (branch
         commits interleave with main's), so the next id clears every
-        existing snapshot file, not just the active ref's head."""
+        existing snapshot file, not just the active ref's head — plus
+        this transaction's own staged (not yet visible) snapshots."""
+        staged = self._txn.staged_all(self) if self._txn is not None else ()
         return max(self.current_version(),
-                   max(self.snapshot_versions(), default=-1)) + 1
+                   max(self.snapshot_versions(), default=-1),
+                   max(staged, default=-1)) + 1
 
     def snapshot(self, version: int | str | None = None) -> Snapshot | None:
         v = self._head() if version is None else version
@@ -739,6 +742,12 @@ class LakeTable:
             with open(self._meta(f"v{v}.json")) as f:
                 return Snapshot.from_json(f.read())
         except FileNotFoundError:
+            # read-your-own-writes inside a transaction: this session's
+            # staged (unpublished) snapshots live under txn-v{N}.json,
+            # invisible to every other reader
+            if self._txn is not None and v in self._txn.staged_all(self):
+                with open(self._meta(f"txn-v{v}.json")) as f:
+                    return Snapshot.from_json(f.read())
             raise ValueError(
                 f"snapshot {v} does not exist (expired or never committed); "
                 f"retained: {self.snapshot_versions()}"
@@ -1038,23 +1047,31 @@ class LakeTable:
         # physical CAS: exclusive-create the snapshot file BEFORE flipping
         # the VERSION pointer — a racing same-version writer raises
         # CommitConflictError here and the table stays consistent at base.
+        # Transactional commits stage under a DISTINCT name
+        # (txn-v{N}.json): snapshot_versions()/snapshots()/time travel
+        # list only v*.json, so uncommitted transaction work is invisible
+        # to every other reader (not just pointer-following ones) — the
+        # staged file is linked into place at publish time.
+        snap_name = (
+            f"txn-v{version}.json" if self._txn is not None
+            else f"v{version}.json"
+        )
         try:
-            _exclusive_write(self._meta(f"v{version}.json"), snap.to_json())
+            _exclusive_write(self._meta(snap_name), snap.to_json())
         except CommitConflictError:
             if extra:  # let a retry carry the watermark/batch-id forward
                 self._pending_commit_extra = extra
             raise
         if self._txn is not None:
-            # transactional stage: the snapshot file exists (exclusive-
-            # create above = per-snapshot CAS) but the VERSION pointer
-            # stays put until the transaction publishes every table at
-            # once. A concurrent non-txn commit is detected here the
-            # same way as below; an un-published snapshot left by a
-            # crashed transaction is exactly the orphan-file debris the
-            # id-skipping pointer CAS below already tolerates.
+            # transactional stage: the staged file exists (exclusive-
+            # create above arbitrates same-version transactions) but
+            # nothing is published until the transaction links every
+            # staged snapshot into place and flips every pointer under
+            # the commit lock. A concurrent non-txn commit is detected
+            # here the same way as below (and again at publish).
             cur = self.current_version()
             if cur != self._txn.base_version(self, cur):
-                os.remove(self._meta(f"v{version}.json"))
+                os.remove(self._meta(snap_name))
                 if extra:
                     self._pending_commit_extra = extra
                 raise CommitConflictError(
@@ -2934,6 +2951,13 @@ class LakeTable:
                     if fname.endswith(".parquet") and rel not in referenced:
                         os.remove(full)
                         removed.append(rel)
+        # staged metadata of transactions that never published (same
+        # caveat as the data files above: don't run while a writer is
+        # active — a live transaction's staged work looks orphaned)
+        for fname in os.listdir(self._meta()):
+            if fname.startswith("txn-v") and fname.endswith(".json"):
+                os.remove(self._meta(fname))
+                removed.append(os.path.join("meta", fname))
         return sorted(removed)
 
     def _persist_schema_meta(self) -> None:
@@ -3468,22 +3492,32 @@ class CatalogTransaction:
 
     1. STAGE — each table commit runs its normal machinery (conflict
        CAS, manifest stats, constraint enforcement) and exclusive-
-       creates its snapshot json, but does NOT flip the VERSION pointer.
-       Uncommitted work is invisible to every other reader; the txn's
-       own tables read their staged head (read-your-own-writes).
-    2. INTENT — one atomic write of ``_txn/txn-<id>.json`` listing every
-       (table, version). This file is the commit point.
-    3. PUBLISH — flip each table's VERSION pointer, then delete the
-       intent file.
+       creates its snapshot json under the staged name
+       ``txn-v{N}.json`` — a name no reader lists, so uncommitted work
+       is invisible to EVERY other reader: pointer-following reads,
+       ``$snapshots`` listings, and explicit ``read(version=N)`` time
+       travel alike. The txn's own tables read their staged head
+       (read-your-own-writes via the staged-name fallback).
+    2. LINK + INTENT (under the catalog commit lock) — re-verify no
+       pointer moved, hard-link every staged json into its public
+       ``v{N}.json`` place (exclusive — a racing writer that claimed
+       the same id loses here), then atomically write
+       ``_txn/txn-<id>.json`` listing every (table, version). The
+       intent file is the commit point.
+    3. PUBLISH — flip each table's VERSION pointer, delete the intent
+       file, drop the staged names.
 
-    Crash before INTENT: staged snapshot jsons are orphan debris the
+    Crash before INTENT: staged/linked jsons are orphan debris the
     pointer CAS already skips past (cleaned by remove_orphan_files).
     Crash after INTENT: ``LakeCatalog.__init__`` ROLLS FORWARD — it
     re-applies every pointer flip idempotently (skipping tables a later
     commit already advanced) and deletes the intent file. Readers
     therefore never observe a partially-published transaction across a
-    process restart. In a real deployment steps 2-3 are one catalog
-    CAS (the same stand-in boundary as S18's snapshot-log protocol).
+    process restart. Single-table commits flip their pointer under the
+    same commit lock, so a concurrent commit can never be silently
+    overwritten by the publish step. In a real deployment steps 2-3
+    are one catalog CAS (the same stand-in boundary as S18's
+    snapshot-log protocol).
 
     Not combinable with branch writes (``on_branch`` has its own
     publish path — WAP already gives staged isolation there).
@@ -3508,6 +3542,12 @@ class CatalogTransaction:
     def staged_version(self, t: LakeTable) -> int | None:
         s = self._staged.get(t.path)
         return s["latest"] if s else None
+
+    def staged_all(self, t: LakeTable) -> list[int]:
+        """Every snapshot version this txn has staged for ``t`` (the
+        set whose metadata lives under txn-v{N}.json until publish)."""
+        s = self._staged.get(t.path)
+        return list(s["all"]) if s else []
 
     def base_version(self, t: LakeTable, cur: int) -> int:
         """The pointer value this table must still hold for the txn's
@@ -3546,6 +3586,29 @@ class CatalogTransaction:
                                 f"concurrent commit advanced {t.name} "
                                 "during the transaction"
                             )
+                    # link every staged txn-v{N}.json into its public
+                    # v{N}.json place — still pre-intent, still under
+                    # the lock, exclusive (a racing non-txn writer that
+                    # claimed the same id pre-lock loses here or we
+                    # do). Linked-but-unpublished files on a crash are
+                    # the orphan debris the id-skipping pointer CAS
+                    # already tolerates.
+                    for path, s in self._staged.items():
+                        for v in s["all"]:
+                            staged_p = os.path.join(
+                                path, "meta", f"txn-v{v}.json"
+                            )
+                            try:
+                                os.link(
+                                    staged_p,
+                                    os.path.join(path, "meta", f"v{v}.json"),
+                                )
+                            except FileExistsError:
+                                raise CommitConflictError(
+                                    f"concurrent writer claimed snapshot "
+                                    f"v{v} of {os.path.basename(path)} "
+                                    "during the transaction"
+                                ) from None
                     intent_dir = os.path.join(self.catalog.warehouse, "_txn")
                     os.makedirs(intent_dir, exist_ok=True)
                     intent = {
@@ -3579,6 +3642,16 @@ class CatalogTransaction:
                         self.catalog._recover_transactions()
                     except Exception:
                         pass  # intent remains; next open rolls forward
+                # the public v{N}.json links are live; drop the staged
+                # names (best-effort — leftovers are invisible debris)
+                for path, s in self._staged.items():
+                    for v in s["all"]:
+                        try:
+                            os.remove(
+                                os.path.join(path, "meta", f"txn-v{v}.json")
+                            )
+                        except FileNotFoundError:
+                            pass
         finally:
             self._detach()
 
@@ -3592,8 +3665,21 @@ class CatalogTransaction:
     def _abort(self) -> None:
         for path, s in self._staged.items():
             for v in s["all"]:
+                staged_p = os.path.join(path, "meta", f"txn-v{v}.json")
+                public_p = os.path.join(path, "meta", f"v{v}.json")
+                # a public link created by a publish attempt that
+                # conflicted mid-linking is OURS only if it is the same
+                # inode as the staged file — a racing non-txn writer's
+                # own v{N}.json must never be deleted
                 try:
-                    os.remove(os.path.join(path, "meta", f"v{v}.json"))
+                    if os.path.exists(public_p) and os.path.samefile(
+                        staged_p, public_p
+                    ):
+                        os.remove(public_p)
+                except FileNotFoundError:
+                    pass
+                try:
+                    os.remove(staged_p)
                 except FileNotFoundError:
                     pass
         self._staged.clear()

@@ -101,7 +101,16 @@ def test_roll_forward_recovery_after_intent(spark):
         txn = cat.transaction()
         txn.table("a").append(spark.createDataFrame([(2, "a1")], SCHEMA))
         txn.table("b").append(spark.createDataFrame([(2, "b1")], SCHEMA))
-        # simulate a crash AFTER the intent write, BEFORE any pointer flip
+        # simulate a crash AFTER the link + intent write (the commit
+        # point), BEFORE any pointer flip: publish first links every
+        # staged txn-v{N}.json into its public place, then writes the
+        # intent — so a post-intent crash always leaves the links live
+        for p, s in txn._staged.items():
+            for v in s["all"]:
+                os.link(
+                    os.path.join(p, "meta", f"txn-v{v}.json"),
+                    os.path.join(p, "meta", f"v{v}.json"),
+                )
         intent_dir = os.path.join(d, "_txn")
         os.makedirs(intent_dir, exist_ok=True)
         intent = {
@@ -233,3 +242,33 @@ def test_txn_read_your_own_writes_in_sql_sources(spark, tmp_path):
     # and after a ROLLBACK the views are repaired to published state
     eng.sql("BEGIN TRANSACTION; INSERT INTO rx VALUES (3, 'x'); ROLLBACK")
     assert eng.sql("SELECT COUNT(*) AS n FROM rx").collect()[0].n == 2
+
+
+def test_staged_snapshots_invisible_to_other_readers(spark):
+    """Uncommitted transaction snapshots must be invisible to EVERY
+    other reader — $snapshots listings, snapshot_versions(), explicit
+    read(version=N) time travel, and _next_version — not only
+    pointer-following reads (the r5 advisory's isolation leak)."""
+    with tempfile.TemporaryDirectory() as d:
+        cat = _setup(spark, d)
+        txn = cat.transaction()
+        txn.table("a").append(spark.createDataFrame([(2, "a1")], SCHEMA))
+        staged_v = txn.staged_version(txn.table("a"))
+        # an independent reader of the same table
+        other = LakeCatalog(spark, d).load("a")
+        assert staged_v not in other.snapshot_versions()
+        assert staged_v not in [
+            r.snapshot_id for r in other.snapshots().collect()
+        ]
+        with pytest.raises(ValueError, match="does not exist"):
+            other.read(version=staged_v)
+        # the txn itself reads its staged head (read-your-own-writes)
+        assert txn.table("a").read().count() == 2
+        txn.commit()
+        # published: now visible everywhere
+        other = LakeCatalog(spark, d).load("a")
+        assert staged_v in other.snapshot_versions()
+        assert other.read(version=staged_v).count() == 2
+        # staged names are gone after publish
+        import glob as _glob
+        assert not _glob.glob(os.path.join(d, "a", "meta", "txn-v*.json"))

@@ -1828,7 +1828,10 @@ class LakeTable:
     # ---------- reads ----------
 
     def read(
-        self, version: int | str | None = None, where: list[tuple] | None = None
+        self,
+        version: int | str | None = None,
+        where: list[tuple] | None = None,
+        prune_only: bool = False,
     ) -> DataFrame:
         """Snapshot read (cold-only — the reference's Trino view,
         README.md:257-292). ``version`` = time travel (M1-adjacent); a
@@ -1841,7 +1844,11 @@ class LakeTable:
         role): planning cost O(#files) of in-memory metadata, zero footer
         or data I/O for skipped files. The same predicate is then applied
         to the scanned rows, so the result is exact regardless of how
-        coarse the surviving files' ranges are."""
+        coarse the surviving files' ranges are — unless ``prune_only``:
+        then the predicate only PRUNES and surviving files return whole
+        (for callers whose next operation is already exact, e.g. a join
+        on the probed key — a large IN-list as a row filter would cost
+        more than it removes)."""
         snap = self.snapshot(version)
         # time travel reads under the schema THAT snapshot recorded
         # (RENAME/DROP evolution); current reads use the current schema
@@ -1851,11 +1858,12 @@ class LakeTable:
         else:
             sch, fids = self.schema, self.field_ids
         files = self.plan_scan(where, snapshot=snap) if snap is not None else []
+        row_filter = where if (where and not prune_only) else None
         if not files:
             df = self.spark.createDataFrame([], sch)
-            return df.filter(_where_filter(where)) if where else df
+            return df.filter(_where_filter(row_filter)) if row_filter else df
         df = self._read_live(files, sch, fids, snap)
-        return df.filter(_where_filter(where)) if where else df
+        return df.filter(_where_filter(row_filter)) if row_filter else df
 
     def _project_files(
         self, paths: list[str], sch: T.StructType, fids: dict[str, int]

@@ -906,17 +906,30 @@ def neardup_admit_batch(
     bands_b = band_keys(minhash_signatures(sets_b)).persist()
 
     # (a) first-seen-wins vs the admitted state, pruned to the batch's
-    # key set (bloom file skipping; the join below is the exact check)
+    # key set — prune_only: the equi-join below IS the exact check, so
+    # surviving files skip the (large) IN-list row filter entirely
     probe_keys = [r.bkey for r in bands_b.select("bkey").distinct().collect()]
-    state = buckets.read(where=[("bkey", "in", probe_keys)])
+    state = buckets.read(
+        where=[("bkey", "in", probe_keys)], prune_only=True
+    )
     cand_ext = (
         bands_b.join(state, on="bkey")
         .select(F.col("owner").alias("d1"), F.col("doc_id").alias("d2"))
         .distinct()
+        .persist()
+    )
+    # the owners' shingle-set state prunes the same way: only colliding
+    # owners' sets are needed for the exact verify, and the collision
+    # set is collision-sized (driver-safe) — min/max + bloom skipping on
+    # doc_id keeps the per-tick set read O(colliding files), not
+    # O(admitted corpus)
+    owner_ids = [r.d1 for r in cand_ext.select("d1").distinct().collect()]
+    owner_state = owner_sets.read(
+        where=[("doc_id", "in", owner_ids)], prune_only=True
     )
     rejected = (
         _verify_candidates(
-            owner_sets.read(), cand_ext, threshold, right_sets=sets_b
+            owner_state, cand_ext, threshold, right_sets=sets_b
         )
         .select(F.col("d2").alias("doc_id"))
         .distinct()
@@ -960,6 +973,6 @@ def neardup_admit_batch(
     finally:
         # a long-running admission stream calls this every tick — cached
         # per-batch frames must not accumulate in executor storage
-        for df in (admit, survivors, bands_b, sets_b):
+        for df in (admit, survivors, cand_ext, bands_b, sets_b):
             df.unpersist()
     return n_admitted

@@ -1019,6 +1019,9 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     owner_sets = cat.create_table(
         "nd_sets",
         spark.createDataFrame([], "doc_id long, shset array<long>, n int").schema,
+        # colliding owners' sets are probed per tick the same way the
+        # bucket state is — bloom + min/max skipping on doc_id
+        properties={"write.bloom-columns": "doc_id"},
     )
     admitted = cat.create_table(
         "nd_admitted",

@@ -895,6 +895,9 @@ def neardup_admit_batch(
     proves non-colliding files hold no probed key — so the per-tick
     scan is O(files with a true collision + bloom false positives),
     FLAT as the admitted corpus grows, instead of O(admitted state).
+    The probe engages from a state-file-count threshold (an adaptive
+    planner call from manifest metadata): a young files-few state is
+    cheaper to scan whole than to probe.
     The probe itself is metadata-only (manifest blooms on the driver,
     zero data I/O for skipped files). At the extreme (batch key sets
     beyond driver-collect size), the lookup becomes the hot store's
@@ -905,28 +908,50 @@ def neardup_admit_batch(
     sets_b = shingle_sets(batch_docs).persist()
     bands_b = band_keys(minhash_signatures(sets_b)).persist()
 
+    def _n_files(t) -> int:
+        snap = t.snapshot()
+        return len(snap.files) if snap is not None else 0
+
+    # The state prunings below pay a driver-side probe (collect the
+    # batch's keys, test each file's manifest bloom). That wins when
+    # the state spans many files and most hold no probed key; on a
+    # files-few young table the probe costs more than the full scan it
+    # replaces. Engage pruning from a file-count threshold — the same
+    # adaptive call a cost-based planner makes, decided from manifest
+    # metadata only.
+    _PRUNE_FROM_FILES = 16
+
     # (a) first-seen-wins vs the admitted state, pruned to the batch's
     # key set — prune_only: the equi-join below IS the exact check, so
     # surviving files skip the (large) IN-list row filter entirely
-    probe_keys = [r.bkey for r in bands_b.select("bkey").distinct().collect()]
-    state = buckets.read(
-        where=[("bkey", "in", probe_keys)], prune_only=True
-    )
+    if _n_files(buckets) > _PRUNE_FROM_FILES:
+        probe_keys = [
+            r.bkey for r in bands_b.select("bkey").distinct().collect()
+        ]
+        state = buckets.read(
+            where=[("bkey", "in", probe_keys)], prune_only=True
+        )
+    else:
+        state = buckets.read()
     cand_ext = (
         bands_b.join(state, on="bkey")
         .select(F.col("owner").alias("d1"), F.col("doc_id").alias("d2"))
         .distinct()
-        .persist()
     )
     # the owners' shingle-set state prunes the same way: only colliding
     # owners' sets are needed for the exact verify, and the collision
     # set is collision-sized (driver-safe) — min/max + bloom skipping on
     # doc_id keeps the per-tick set read O(colliding files), not
-    # O(admitted corpus)
-    owner_ids = [r.d1 for r in cand_ext.select("d1").distinct().collect()]
-    owner_state = owner_sets.read(
-        where=[("doc_id", "in", owner_ids)], prune_only=True
-    )
+    # O(admitted corpus). cand_ext is persisted only on this path (the
+    # collect + verify reuse it); unpruned ticks keep it lazy.
+    if _n_files(owner_sets) > _PRUNE_FROM_FILES:
+        cand_ext = cand_ext.persist()
+        owner_ids = [r.d1 for r in cand_ext.select("d1").distinct().collect()]
+        owner_state = owner_sets.read(
+            where=[("doc_id", "in", owner_ids)], prune_only=True
+        )
+    else:
+        owner_state = owner_sets.read()
     rejected = (
         _verify_candidates(
             owner_state, cand_ext, threshold, right_sets=sets_b

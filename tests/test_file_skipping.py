@@ -457,3 +457,62 @@ def test_write_sort_order_clusters_every_append(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not in schema"):
         t2.append(df)
+
+
+def test_in_predicate_algebra():
+    """op='in' keeps a file iff ANY member may match — across min/max
+    bounds, exact value sets, and bloom filters (legacy and adaptive
+    forms)."""
+    bounds = {"stats": {"k": [_stat_encode(10), _stat_encode(20)]}}
+    assert _file_may_match(bounds, "k", "in", [1, 15, 99])
+    assert not _file_may_match(bounds, "k", "in", [1, 2, 99])
+    assert not _file_may_match(bounds, "k", "in", [])
+    vset = {"value_sets": {"name": ["a", "b"]}}
+    assert _file_may_match(vset, "name", "in", ["zz", "b"])
+    assert not _file_may_match(vset, "name", "in", ["zz", "c"])
+    # no stats at all: never prune
+    assert _file_may_match({}, "k", "in", [1])
+    assert _file_may_match(None, "k", "in", [1])
+
+
+def test_in_predicate_bloom_forms():
+    from fluss_iceberg_spark.lake.table import _BLOOM_BITS, _bloom_positions
+
+    def bloom_of(values, m):
+        bits = 0
+        for v in values:
+            for p in _bloom_positions(v, m=m):
+                bits |= 1 << p
+        return bits
+
+    legacy = {"blooms": {"name": f"{bloom_of(['x', 'y'], _BLOOM_BITS):x}"}}
+    assert _file_may_match(legacy, "name", "in", ["q", "y"])
+    assert not _file_may_match(legacy, "name", "in", ["q", "r"])
+    m = _BLOOM_BITS * 4
+    adaptive = {
+        "blooms": {"name": {"m": m, "bits": f"{bloom_of(['x', 'y'], m):x}"}}
+    }
+    assert _file_may_match(adaptive, "name", "in", ["q", "y"])
+    assert not _file_may_match(adaptive, "name", "in", ["q", "r"])
+
+
+def test_in_predicate_scan_is_exact(spark):
+    """read(where=[('col','in',vals)]) prunes files AND filters rows;
+    prune_only=True returns surviving files whole."""
+    with tempfile.TemporaryDirectory() as d:
+        cat = LakeCatalog(spark, d)
+        t = cat.create_table("t_in", SCHEMA)
+        rows = [
+            (k, datetime.date(2024, 1, 1), decimal.Decimal("1.00"), f"n{k}")
+            for k in range(100)
+        ]
+        # two appends → two files with disjoint k ranges
+        t.append(spark.createDataFrame(rows[:50], SCHEMA).coalesce(1))
+        t.append(spark.createDataFrame(rows[50:], SCHEMA).coalesce(1))
+        assert len(t.plan_scan()) == 2
+        probe = [("k", "in", [3, 7])]
+        assert len(t.plan_scan(where=probe)) == 1  # second file pruned
+        got = sorted(r.k for r in t.read(where=probe).collect())
+        assert got == [3, 7]
+        whole = t.read(where=probe, prune_only=True)
+        assert whole.count() == 50  # surviving file returned unfiltered

@@ -50,6 +50,7 @@ import time
 import uuid
 import datetime
 import decimal
+import functools
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
@@ -278,16 +279,25 @@ def _bloom_canon(value) -> str | None:
 
 def _bloom_positions(value, m: int = _BLOOM_BITS, k: int = _BLOOM_K):
     """k bit positions via Kirsch–Mitzenmacher double hashing over one
-    blake2b digest (deterministic across processes — unlike hash())."""
-    import hashlib
-
+    blake2b digest (deterministic across processes — unlike hash()).
+    Memoized on (canonical value, m, k): IN-list pruning re-tests every
+    probe key against EVERY candidate file's bloom, and re-digesting
+    per (file × member) pair would serialize millions of driver-side
+    hashes per planning call."""
     s = _bloom_canon(value)
     if s is None:
         return None
+    return list(_bloom_positions_cached(s, m, k))
+
+
+@functools.lru_cache(maxsize=1 << 17)
+def _bloom_positions_cached(s: str, m: int, k: int) -> tuple:
+    import hashlib
+
     d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
     h1 = int.from_bytes(d[:8], "little")
     h2 = int.from_bytes(d[8:], "little") | 1
-    return [(h1 + i * h2) % m for i in range(k)]
+    return tuple((h1 + i * h2) % m for i in range(k))
 
 
 def _file_blooms(abspath: str, cols: list[str]) -> dict:
@@ -323,9 +333,12 @@ def _file_blooms(abspath: str, cols: list[str]) -> dict:
         # per value ≈ 1% FPR at k=4): a fixed 2048-bit filter saturates
         # (all-ones, prunes nothing) on files with thousands of
         # distincts — e.g. LSH bucket-state files at 16 keys/doc. Cap
-        # at 2^21 bits (64 KB hex in the manifest per file/column).
+        # at 2^20 bits = 256 KB of hex worst-case in the manifest per
+        # file/column (covers ~100k distincts; beyond that the filter
+        # degrades gracefully toward keep-everything rather than
+        # bloating every snapshot read).
         m = _BLOOM_BITS
-        while m < 10 * len(uniq) and m < (1 << 21):
+        while m < 10 * len(uniq) and m < (1 << 20):
             m *= 2
         bits = 0
         for v in uniq:
@@ -738,16 +751,20 @@ class LakeTable:
             v = self.resolve_ref(v)
         if v < 0:
             return None
+        # read-your-own-writes inside a transaction: this session's
+        # staged (unpublished) snapshots live under txn-v{N}.json. The
+        # staged name must resolve FIRST — a concurrent non-txn writer
+        # can independently claim the same PUBLIC version number
+        # (staged ids are invisible to its _next_version), and the txn
+        # must keep reading its own stage, not the foreign snapshot
+        # (the publish-time exclusive link arbitrates the collision).
+        if self._txn is not None and v in self._txn.staged_all(self):
+            with open(self._meta(f"txn-v{v}.json")) as f:
+                return Snapshot.from_json(f.read())
         try:
             with open(self._meta(f"v{v}.json")) as f:
                 return Snapshot.from_json(f.read())
         except FileNotFoundError:
-            # read-your-own-writes inside a transaction: this session's
-            # staged (unpublished) snapshots live under txn-v{N}.json,
-            # invisible to every other reader
-            if self._txn is not None and v in self._txn.staged_all(self):
-                with open(self._meta(f"txn-v{v}.json")) as f:
-                    return Snapshot.from_json(f.read())
             raise ValueError(
                 f"snapshot {v} does not exist (expired or never committed); "
                 f"retained: {self.snapshot_versions()}"
@@ -875,30 +892,42 @@ class LakeTable:
         if branch not in heads:
             raise ValueError(f"{self.name}: unknown branch {branch!r}")
         head = heads[branch]
-        with _commit_lock(self.path):
-            cur = self.current_version()
-            if head == cur:
-                return head
+
+        def _descends_from(cur: int) -> bool:
             v = head
-            verified = False
             while True:
                 if v == cur:
-                    verified = True
-                    break
+                    return True
                 if v < 0:
-                    break  # reached the empty-table root, never met main
+                    return False  # reached the empty-table root
                 try:
                     s = self.snapshot(v)
                 except ValueError:
-                    break  # chain expired mid-walk: cannot verify descent
+                    return False  # chain expired mid-walk: unverifiable
                 if s.parent_id is None:
                     # pre-lineage snapshot mid-walk: descent is
                     # UNVERIFIABLE — id ordering is not ancestry (ids
                     # are global across refs, a diverged branch can
                     # outnumber main commits it never saw), so refuse
                     # rather than risk silently discarding main rows
-                    break
+                    return False
                 v = s.parent_id
+
+        # walk the (possibly long) ancestry chain OUTSIDE the commit
+        # lock — the lock serializes tiny pointer flips, not O(history)
+        # metadata walks. Re-verify under the lock only if main moved
+        # between the walk and the flip (rare; the re-walk is then the
+        # price of the race, not of every publish).
+        cur0 = self.current_version()
+        if head == cur0:
+            return head
+        verified = _descends_from(cur0)
+        with _commit_lock(self.path):
+            cur = self.current_version()
+            if head == cur:
+                return head
+            if cur != cur0:
+                verified = _descends_from(cur)
             if not verified:
                 raise ValueError(
                     f"{self.name}: branch {branch!r} head v{head} does not "
@@ -2950,6 +2979,24 @@ class LakeTable:
             s = self.snapshot(v)
             referenced.update(s.files)
             referenced.update(s.delete_files)
+        # a LIVE transaction's staged snapshots (txn-v{N}.json) are not
+        # listed by snapshot_versions() but their data files are not
+        # orphans — protect them, and only sweep staged metadata old
+        # enough that no transaction can still be running (the Iceberg
+        # remove_orphan_files `older_than` discipline)
+        stale_staged = []
+        now_ms = int(time.time() * 1000)
+        for fname in os.listdir(self._meta()):
+            if fname.startswith("txn-v") and fname.endswith(".json"):
+                try:
+                    with open(self._meta(fname)) as f:
+                        staged = Snapshot.from_json(f.read())
+                except (OSError, ValueError, KeyError):
+                    continue  # unreadable staged debris: keep data-safe
+                referenced.update(staged.files)
+                referenced.update(staged.delete_files)
+                if now_ms - staged.committed_at_ms > 24 * 3600 * 1000:
+                    stale_staged.append(fname)
         removed = []
         for sub in ("data", "deletes"):
             for dirpath, _dirs, files in os.walk(os.path.join(self.path, sub)):
@@ -2959,13 +3006,9 @@ class LakeTable:
                     if fname.endswith(".parquet") and rel not in referenced:
                         os.remove(full)
                         removed.append(rel)
-        # staged metadata of transactions that never published (same
-        # caveat as the data files above: don't run while a writer is
-        # active — a live transaction's staged work looks orphaned)
-        for fname in os.listdir(self._meta()):
-            if fname.startswith("txn-v") and fname.endswith(".json"):
-                os.remove(self._meta(fname))
-                removed.append(os.path.join("meta", fname))
+        for fname in stale_staged:
+            os.remove(self._meta(fname))
+            removed.append(os.path.join("meta", fname))
         return sorted(removed)
 
     def _persist_schema_meta(self) -> None:
@@ -3637,6 +3680,7 @@ class CatalogTransaction:
                 # never abort — some VERSION pointers may already
                 # reference staged snapshots, so deleting them would
                 # dangle live pointers.
+                publish_failed = False
                 try:
                     for path, s in self._staged.items():
                         _atomic_write(
@@ -3645,11 +3689,7 @@ class CatalogTransaction:
                         )
                     os.remove(intent_path)
                 except Exception:
-                    try:
-                        # finish the publish in-process if possible
-                        self.catalog._recover_transactions()
-                    except Exception:
-                        pass  # intent remains; next open rolls forward
+                    publish_failed = True
                 # the public v{N}.json links are live; drop the staged
                 # names (best-effort — leftovers are invisible debris)
                 for path, s in self._staged.items():
@@ -3660,6 +3700,14 @@ class CatalogTransaction:
                             )
                         except FileNotFoundError:
                             pass
+            if publish_failed:
+                # finish the publish in-process if possible — OUTSIDE
+                # the lock above (recovery takes the lock itself; flock
+                # between two fds of one process would deadlock)
+                try:
+                    self.catalog._recover_transactions()
+                except Exception:
+                    pass  # intent remains; next open rolls forward
         finally:
             self._detach()
 
@@ -3746,12 +3794,17 @@ class LakeCatalog:
                 snap_f = os.path.join(e["path"], "meta", f"v{e['version']}.json")
                 if not os.path.exists(snap_f):
                     continue
-                cur = -1
-                if os.path.exists(vf):
-                    with open(vf) as f:
-                        cur = int(f.read().strip())
-                if cur < e["version"]:
-                    _atomic_write(vf, str(e["version"]))
+                # check-then-flip under the same commit lock every other
+                # pointer writer holds: two concurrent recoveries (or a
+                # recovery racing a fresh commit) must not let a stale
+                # re-read regress the pointer past a newer commit
+                with _commit_lock(e["path"]):
+                    cur = -1
+                    if os.path.exists(vf):
+                        with open(vf) as f:
+                            cur = int(f.read().strip())
+                    if cur < e["version"]:
+                        _atomic_write(vf, str(e["version"]))
             os.remove(p)
 
     def table_path(self, name: str) -> str:

@@ -905,83 +905,97 @@ def neardup_admit_batch(
     boundary. Returns the number of admitted docs (a driver-sized
     count).
     """
-    sets_b = shingle_sets(batch_docs).persist()
-    bands_b = band_keys(minhash_signatures(sets_b)).persist()
+    # every persisted per-batch frame registers here so the finally
+    # below releases them even when a mid-tick action fails (executor
+    # loss, OOM) — a long-running admission stream must not accumulate
+    # cached frames across ticks under ANY exit path
+    cached: list = []
+
+    def _persist(df):
+        cached.append(df.persist())
+        return df
+
+    sets_b = _persist(shingle_sets(batch_docs))
+    bands_b = _persist(band_keys(minhash_signatures(sets_b)))
 
     def _n_files(t) -> int:
         snap = t.snapshot()
         return len(snap.files) if snap is not None else 0
 
-    # The state prunings below pay a driver-side probe (collect the
-    # batch's keys, test each file's manifest bloom). That wins when
-    # the state spans many files and most hold no probed key; on a
-    # files-few young table the probe costs more than the full scan it
-    # replaces. Engage pruning from a file-count threshold — the same
-    # adaptive call a cost-based planner makes, decided from manifest
-    # metadata only.
-    _PRUNE_FROM_FILES = 16
-
-    # (a) first-seen-wins vs the admitted state, pruned to the batch's
-    # key set — prune_only: the equi-join below IS the exact check, so
-    # surviving files skip the (large) IN-list row filter entirely
-    if _n_files(buckets) > _PRUNE_FROM_FILES:
-        probe_keys = [
-            r.bkey for r in bands_b.select("bkey").distinct().collect()
-        ]
-        state = buckets.read(
-            where=[("bkey", "in", probe_keys)], prune_only=True
-        )
-    else:
-        state = buckets.read()
-    cand_ext = (
-        bands_b.join(state, on="bkey")
-        .select(F.col("owner").alias("d1"), F.col("doc_id").alias("d2"))
-        .distinct()
-    )
-    # the owners' shingle-set state prunes the same way: only colliding
-    # owners' sets are needed for the exact verify, and the collision
-    # set is collision-sized (driver-safe) — min/max + bloom skipping on
-    # doc_id keeps the per-tick set read O(colliding files), not
-    # O(admitted corpus). cand_ext is persisted only on this path (the
-    # collect + verify reuse it); unpruned ticks keep it lazy.
-    if _n_files(owner_sets) > _PRUNE_FROM_FILES:
-        cand_ext = cand_ext.persist()
-        owner_ids = [r.d1 for r in cand_ext.select("d1").distinct().collect()]
-        owner_state = owner_sets.read(
-            where=[("doc_id", "in", owner_ids)], prune_only=True
-        )
-    else:
-        owner_state = owner_sets.read()
-    rejected = (
-        _verify_candidates(
-            owner_state, cand_ext, threshold, right_sets=sets_b
-        )
-        .select(F.col("d2").alias("doc_id"))
-        .distinct()
-    )
-    survivors = sets_b.join(rejected, on="doc_id", how="left_anti").persist()
-
-    # (b) intra-batch: banded candidates among survivors, exact verify,
-    # min-id per connected component admits
-    bands_s = bands_b.join(survivors.select("doc_id"), on="doc_id", how="left_semi")
-    cand_in = (
-        bands_s.select(F.col("doc_id").alias("d1"), "bkey")
-        .join(bands_s.select(F.col("doc_id").alias("d2"), "bkey"), on="bkey")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
-    verified = _verify_candidates(survivors, cand_in, threshold)
-    losers = (
-        connected_components(verified)
-        .filter(F.col("component") != F.col("doc_id"))
-        .select("doc_id")
-    )
-    admit = survivors.join(losers, on="doc_id", how="left_anti").persist()
-
-    # (c) claim state: sets for future verification; EVERY admitted
-    # doc's bucket keys append (multi-owner buckets — see docstring)
     try:
+        # The state prunings below pay a driver-side probe (collect the
+        # batch's keys, test each file's manifest bloom). That wins when
+        # the state spans many files and most hold no probed key; on a
+        # files-few young table the probe costs more than the full scan it
+        # replaces. Engage pruning from a file-count threshold — the same
+        # adaptive call a cost-based planner makes, decided from manifest
+        # metadata only.
+        _PRUNE_FROM_FILES = 16
+
+        # (a) first-seen-wins vs the admitted state, pruned to the batch's
+        # key set — prune_only: the equi-join below IS the exact check, so
+        # surviving files skip the (large) IN-list row filter entirely
+        if _n_files(buckets) > _PRUNE_FROM_FILES:
+            probe_keys = [
+                r.bkey for r in bands_b.select("bkey").distinct().collect()
+            ]
+            state = buckets.read(
+                where=[("bkey", "in", probe_keys)], prune_only=True
+            )
+        else:
+            state = buckets.read()
+        cand_ext = (
+            bands_b.join(state, on="bkey")
+            .select(F.col("owner").alias("d1"), F.col("doc_id").alias("d2"))
+            .distinct()
+        )
+        # the owners' shingle-set state prunes the same way: only colliding
+        # owners' sets are needed for the exact verify, and the collision
+        # set is collision-sized (driver-safe) — min/max + bloom skipping on
+        # doc_id keeps the per-tick set read O(colliding files), not
+        # O(admitted corpus). cand_ext is persisted only on this path (the
+        # collect + verify reuse it); unpruned ticks keep it lazy.
+        if _n_files(owner_sets) > _PRUNE_FROM_FILES:
+            cand_ext = _persist(cand_ext)
+            owner_ids = [r.d1 for r in cand_ext.select("d1").distinct().collect()]
+            owner_state = owner_sets.read(
+                where=[("doc_id", "in", owner_ids)], prune_only=True
+            )
+        else:
+            owner_state = owner_sets.read()
+        rejected = (
+            _verify_candidates(
+                owner_state, cand_ext, threshold, right_sets=sets_b
+            )
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+        )
+        survivors = _persist(
+            sets_b.join(rejected, on="doc_id", how="left_anti")
+        )
+
+        # (b) intra-batch: banded candidates among survivors, exact verify,
+        # min-id per connected component admits
+        bands_s = bands_b.join(survivors.select("doc_id"), on="doc_id", how="left_semi")
+        cand_in = (
+            bands_s.select(F.col("doc_id").alias("d1"), "bkey")
+            .join(bands_s.select(F.col("doc_id").alias("d2"), "bkey"), on="bkey")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+        verified = _verify_candidates(survivors, cand_in, threshold)
+        losers = (
+            connected_components(verified)
+            .filter(F.col("component") != F.col("doc_id"))
+            .select("doc_id")
+        )
+        admit = _persist(
+            survivors.join(losers, on="doc_id", how="left_anti")
+        )
+
+        # (c) claim state: sets for future verification; EVERY admitted
+        # doc's bucket keys append (multi-owner buckets — see docstring)
         n_admitted = admit.count()
         if n_admitted:
             owner_sets.append(admit.select("doc_id", "shset", "n"))
@@ -998,6 +1012,6 @@ def neardup_admit_batch(
     finally:
         # a long-running admission stream calls this every tick — cached
         # per-batch frames must not accumulate in executor storage
-        for df in (admit, survivors, cand_ext, bands_b, sets_b):
+        for df in cached:
             df.unpersist()
     return n_admitted

@@ -340,19 +340,38 @@ def _file_blooms(abspath: str, cols: list[str]) -> dict:
         m = _BLOOM_BITS
         while m < 10 * len(uniq) and m < (1 << 20):
             m *= 2
-        bits = 0
+        # accumulate in a bytearray: setting a bit in a Python big int
+        # copies the whole integer (O(m) per bit — tens of GB of memcpy
+        # for a 2^20-bit filter over a 60k-distinct state file); the
+        # bytearray write is O(1) per bit, one big-int conversion at end
+        buf = bytearray(m // 8)
         for v in uniq:
             pos = _bloom_positions(v, m=m)
             if pos is None:
-                bits = None
+                buf = None
                 break
             for p in pos:
-                bits |= 1 << p
+                buf[p >> 3] |= 1 << (p & 7)
+        bits = int.from_bytes(bytes(buf), "little") if buf is not None else None
         if bits:
             # legacy manifests stored a bare hex string (m=2048);
             # readers accept both forms
             out[c] = f"{bits:x}" if m == _BLOOM_BITS else {"m": m, "bits": f"{bits:x}"}
     return out
+
+
+@functools.lru_cache(maxsize=1024)
+def _bloom_hex_cached(bloom_hex: str) -> bytes:
+    """Parse a manifest bloom bitmap once per distinct filter, as
+    little-endian bytes. An IN-list probe calls ``_file_may_match`` once
+    per (file × member); re-parsing a 2^20-bit filter's ~262K-char hex
+    per member is O(keys × m) driver time where O(keys + m) is
+    available — and even on a parsed big int, ``(bits >> p) & 1`` copies
+    O(p) words per test, so membership reads index bytes instead.
+    CPython memoizes str hashes, so cache hits cost O(1) after a
+    string's first lookup."""
+    v = int(bloom_hex, 16)
+    return v.to_bytes((v.bit_length() + 7) // 8, "little")
 
 
 def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
@@ -376,8 +395,11 @@ def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
             m, bloom_hex = _BLOOM_BITS, bloom
         pos = _bloom_positions(lit, m=m)
         if pos is not None:
-            bits = int(bloom_hex, 16)
-            if not all((bits >> p) & 1 for p in pos):
+            buf = _bloom_hex_cached(bloom_hex)
+            if not all(
+                p >> 3 < len(buf) and buf[p >> 3] & (1 << (p & 7))
+                for p in pos
+            ):
                 return False  # definitive: value not in this file
             # bloom says "maybe" — bounds below may still prune
     stats = (meta or {}).get("stats", {}).get(col)

@@ -70,6 +70,55 @@ def estimate_bytes(t: LakeTable, where: list[tuple] | None = None) -> float | No
     return None if rows is None else rows * _row_width(t)
 
 
+def join_with_runtime_filter(
+    fact: LakeTable,
+    dim: LakeTable,
+    on: str,
+    dwhere: list[tuple] | None = None,
+    max_build_keys: int = 100_000,
+) -> DataFrame:
+    """Runtime-filtered star join (Spark's dynamic partition pruning /
+    Iceberg runtime filtering, extended down to the manifest layer):
+    materialize the filtered dimension's join-key set, push it into the
+    FACT scan as an IN-list manifest predicate (min/max bounds, value
+    sets, bloom probes — ``LakeTable.read(where=[(on, 'in', keys)])``),
+    then broadcast-join the dimension. The dim predicate cannot be
+    pushed to the fact statically — only the join makes it selective —
+    so without this the plan is "scan 100 TB of fact, shuffle or probe,
+    discard 99%"; with it, non-matching fact files are never opened
+    (time/key-clustered fact tables prune to the colliding files).
+
+    Safety rails, all decided from metadata:
+    - inner join only — ``prune_only=True`` relies on the join itself
+      being the exact row filter; pruning the preserved side of an
+      outer join would drop rows.
+    - the key set is collected driver-side, so it must be bounded:
+      ANALYZE-estimated post-predicate dim cardinality must fit
+      ``max_build_keys`` (and the actual collect re-checks). Unanalyzed
+      or too-large dims fall back to ``join_with_stats`` — correct,
+      just unfiltered at the scan.
+    """
+    dimdf = dim.read(where=dwhere)
+    est = estimate_rows(dim, dwhere)
+    if est is None or est > max_build_keys:
+        return join_with_stats(fact, dim, on=[on], rwhere=dwhere)
+    rows = (
+        dimdf.select(on)
+        .filter(F.col(on).isNotNull())
+        .distinct()
+        .limit(max_build_keys + 1)
+        .collect()
+    )
+    if len(rows) > max_build_keys:  # estimate was wrong — stay safe
+        return join_with_stats(fact, dim, on=[on], rwhere=dwhere)
+    keys = [r[0] for r in rows]
+    if not keys:
+        # inner join with an empty dim side is empty; skip the scan
+        return fact.read().limit(0).join(F.broadcast(dimdf), on=on)
+    factdf = fact.read(where=[(on, "in", keys)], prune_only=True)
+    return factdf.join(F.broadcast(dimdf), on=on, how="inner")
+
+
 def join_with_stats(
     left: LakeTable,
     right: LakeTable,
@@ -86,10 +135,21 @@ def join_with_stats(
     neither estimate fits."""
     ldf, rdf = left.read(where=lwhere), right.read(where=rwhere)
     lb, rb = estimate_bytes(left, lwhere), estimate_bytes(right, rwhere)
-    fits_l = lb is not None and lb <= broadcast_threshold_bytes
-    fits_r = rb is not None and rb <= broadcast_threshold_bytes
-    if fits_l and (not fits_r or lb <= rb) and how in ("inner", "right"):
-        ldf = F.broadcast(ldf)
-    elif fits_r and how in ("inner", "left"):
-        rdf = F.broadcast(rdf)
+    # a side is a broadcast candidate only if it FITS and broadcasting
+    # it is legal for the join type (the preserved side of an outer
+    # join cannot be broadcast); prefer the smaller among legal fits
+    legal = {"inner": ("l", "r"), "left": ("r",), "right": ("l",)}.get(
+        how, ()
+    )
+    cands = []
+    if "l" in legal and lb is not None and lb <= broadcast_threshold_bytes:
+        cands.append((lb, "l"))
+    if "r" in legal and rb is not None and rb <= broadcast_threshold_bytes:
+        cands.append((rb, "r"))
+    if cands:
+        side = min(cands)[1]
+        if side == "l":
+            ldf = F.broadcast(ldf)
+        else:
+            rdf = F.broadcast(rdf)
     return ldf.join(rdf, on=on, how=how)

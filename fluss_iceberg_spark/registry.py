@@ -105,12 +105,12 @@ _PRIORITY = [
     "agg_grouping_id",
     "agg_unpivot_measures",
     "set_ops_customers",
-    # event-log operators (funnel holds its r5 gate; the two never-gated
-    # event shapes — built-in session_window TVF and windowed anomaly
-    # z-score — gate first)
+    # event-log operators (funnel rotates out multi-round green r1-r5 —
+    # the ordered-step class stays via retention_cohorts; the two
+    # never-gated event shapes — built-in session_window TVF and
+    # windowed anomaly z-score — gate first)
     "events_sliding_rollup",
     "events_gap_fill",
-    "events_funnel",
     "events_retention_cohorts",
     "events_session_window_builtin",
     "events_anomaly_zscore",
@@ -131,6 +131,9 @@ _PRIORITY = [
     "lake_scd2_dimension",
     "lake_scd2_changes",
     "lake_cdc_mirror",
+    # runtime-filtered star join (DPP at the manifest layer) — first
+    # gate r6, new this round
+    "lake_runtime_filter_join",
     # streaming (nation_revenue rotates out five-times-green r1-r5; the A1
     # upsert shape stays gated via stream_matview_refresh's incremental
     # MERGE-delta and stream_txn_two_sinks' transactional twin;

@@ -988,3 +988,76 @@ def scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM TABLE_CHANGES(dim_scd2, {v_loaded})
         """
     )
+
+
+@query(
+    "lake_runtime_filter_join",
+    oracle="""
+    SELECT CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                + day(o_orderdate) AS INT) AS date_key,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 3
+    GROUP BY 1
+    """,
+)
+def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filtered star join end-to-end (Spark DPP / Iceberg
+    runtime filtering at the manifest layer — plans/cbo.py
+    join_with_runtime_filter): a fact table of orders range-clustered on
+    a surrogate date_key joins a date dimension filtered to one month.
+    The month predicate lives on the DIM, so no static pushdown can
+    touch the fact scan; the runtime filter collects the ~31 surviving
+    date keys (bounded by the ANALYZE estimate), pushes them into the
+    fact read as an IN-list manifest predicate, and broadcast-joins the
+    dimension. On the time-clustered fact, files outside the month are
+    never opened — at 100 TB the difference between scanning the fact
+    table and scanning one month of it. The oracle restates the join as
+    a plain filtered aggregation over the raw fixture, so the pruned
+    scan is value-checked against the unpruned answer."""
+    from fluss_iceberg_spark.plans.cbo import join_with_runtime_filter
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "runtime_filter"))
+    orders = load_table(spark, sf_dir, "orders")
+    dk = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("int")
+    fact_df = orders.select(
+        dk.alias("date_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+    )
+    fact = cat.create_table(
+        "orders_fact",
+        fact_df.schema,
+        properties={
+            "write.clustered-by": "date_key",
+            "write.cluster-partitions": "8",
+        },
+    )
+    # two ingestion commits, each range-clustered into 8 files — the
+    # manifest ends up with 16 files of near-disjoint date_key ranges
+    fact.append(fact_df.filter(F.col("order_key") % 2 == 0))
+    fact.append(fact_df.filter(F.col("order_key") % 2 == 1))
+    dim_df = (
+        orders.select(
+            dk.alias("date_key"),
+            F.year("o_orderdate").cast("int").alias("d_year"),
+            F.month("o_orderdate").cast("int").alias("d_month"),
+        )
+        .distinct()
+    )
+    dim = cat.create_table("dim_date", dim_df.schema)
+    dim.append(dim_df)
+    dim.analyze(["d_year", "d_month"])  # the estimate that bounds the collect
+    joined = join_with_runtime_filter(
+        fact, dim, on="date_key",
+        dwhere=[("d_year", "=", 1995), ("d_month", "=", 3)],
+    )
+    return joined.groupBy("date_key").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_price").cast("double").alias("revenue"),
+    )

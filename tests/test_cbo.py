@@ -71,3 +71,21 @@ def test_no_stats_falls_back_to_catalyst(spark, two_tables):
     # qualifies via stats; the join still works and returns all rows
     out = cbo.join_with_stats(tf, td, on=["k"])
     assert out.count() == 20000
+
+
+def test_outer_join_broadcasts_only_legal_side(spark, two_tables):
+    """The preserved side of an outer join cannot be broadcast; when the
+    smaller estimate sits on the illegal side, the legal fitting side
+    must still get the hint (review finding: right joins fell through
+    to SortMergeJoin whenever lb > rb)."""
+    tf, td = two_tables
+    td.analyze(["k"])
+    # how='right': only the LEFT side may broadcast. Give the left a
+    # selective predicate so it fits; leave the right unfiltered (est
+    # 20000 rows — larger than left's ~1, so the old tiebreak failed).
+    out = cbo.join_with_stats(
+        tf, td, on=["k"], lwhere=[("k", "=", 7)], how="right",
+        broadcast_threshold_bytes=64 * 1024,
+    )
+    assert count_nodes(out, "BroadcastHashJoin") == 1
+    assert out.count() == 20000  # all right rows preserved

@@ -166,6 +166,9 @@ HEADLINE = [
     "stream_neardup_admission",
     "text_chunk_passages",
     "lake_scd2_dimension",
+    "lake_scd2_changes",
+    "lake_runtime_filter_join",
+    "multimodal_real_decode",
 ]
 
 

@@ -168,8 +168,53 @@ class Engine:
         # O(#snapshots) metadata I/O per write for views most statements
         # never touch. sql() materializes exactly the companions a
         # statement references, just in time.
-        t.read().createOrReplaceTempView(t.name)
+        df = t.read()
+        # CBO-lite at the SQL surface (plans/cbo.py — the Iceberg
+        # puffin-stats / Trino CBO role): if ANALYZE stats estimate the
+        # table under the session broadcast threshold, register the view
+        # with a broadcast hint so every engine.sql() join over it plans
+        # BroadcastHashJoin at PLAN time. This is exactly the case the
+        # static path misses: a PK table's MOR read (union + window
+        # dedup) gives Catalyst no usable sizeInBytes, so star-schema
+        # SQL over an analyzed dimension would otherwise SortMergeJoin
+        # until AQE rescues it mid-query. Spark drops the hint where
+        # broadcasting is illegal (preserved side of an outer join), so
+        # the hint can only improve plans, never break them. Unanalyzed
+        # tables register unhinted — Catalyst's own choice stands. The
+        # estimate rescales by the CURRENT manifest row count on every
+        # registration, so a table that grows past the threshold loses
+        # the hint at its next head movement.
+        est = self._stats_estimate_bytes(t)
+        thr = self._auto_broadcast_threshold()
+        if est is not None and thr > 0 and est <= thr:
+            df = F.broadcast(df)
+        df.createOrReplaceTempView(t.name)
         self._reg_state[t.name] = self._table_state(t)
+
+    def _stats_estimate_bytes(self, t: LakeTable) -> float | None:
+        from fluss_iceberg_spark.plans import cbo
+
+        try:
+            return cbo.estimate_bytes(t)
+        except (OSError, ValueError, KeyError):
+            return None  # unreadable/garbled stats: plan without them
+
+    _SIZE_SUFFIX = {"b": 1, "k": 1024, "kb": 1024, "m": 1024**2,
+                    "mb": 1024**2, "g": 1024**3, "gb": 1024**3,
+                    "t": 1024**4, "tb": 1024**4}
+
+    def _auto_broadcast_threshold(self) -> int:
+        """The session's autoBroadcastJoinThreshold in bytes (Spark
+        accepts '10MB' / '10485760b' / bare bytes / '-1' = disabled)."""
+        raw = str(
+            self.spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        ).strip().lower()
+        m = re.match(r"^(-?\d+)\s*([a-z]*)$", raw)
+        if not m:
+            return 10 * 1024 * 1024
+        return int(m.group(1)) * self._SIZE_SUFFIX.get(m.group(2), 1)
 
     @staticmethod
     def _table_state(t: LakeTable) -> tuple:
@@ -184,7 +229,24 @@ class Engine:
             )
         except OSError:
             meta_mtime = -1.0
-        return (t.path, cur, snap.committed_at_ms if snap else -1, meta_mtime)
+        # latest ANALYZE stats version: a fresh ANALYZE must re-register
+        # the view (the broadcast hint is decided at registration), even
+        # though it moves no snapshot pointer
+        try:
+            stats_v = max(
+                (
+                    int(f[len("stats_v"):-len(".json")])
+                    for f in os.listdir(os.path.join(t.path, "meta"))
+                    if f.startswith("stats_v") and f.endswith(".json")
+                ),
+                default=-1,
+            )
+        except OSError:
+            stats_v = -1
+        return (
+            t.path, cur, snap.committed_at_ms if snap else -1,
+            meta_mtime, stats_v,
+        )
 
     # delete_files before files: the alternation is ordered, so
     # t__delete_files resolves as (t, delete_files), not (t__delete, files)

@@ -78,18 +78,36 @@ def _atomic_write(path: str, payload: str) -> None:
 def _commit_lock(table_path: str):
     """Serialize VERSION-pointer flips across every writer of a catalog
     (the filesystem stand-in for the REST catalog's commit CAS,
-    docker-compose.yml:126-137): an ``flock`` on a warehouse-level lock
-    file held across each check→flip. Closes the lost-update window
-    between a commit's pointer re-verify and its flip — in particular a
-    CatalogTransaction publish racing a single-table commit. flock is
-    released by the OS on process death, so a crashed holder can never
-    wedge the catalog (no stale-lock recovery needed). Cost: pointer
-    flips are tiny metadata writes, so serializing them is free at any
-    scale — data writes stay fully concurrent."""
+    docker-compose.yml:126-137), held across each check→flip. Closes
+    the lost-update window between a commit's pointer re-verify and its
+    flip — in particular a CatalogTransaction publish racing a
+    single-table commit. Cost: pointer flips are tiny metadata writes,
+    so serializing them is free at any scale — data writes stay fully
+    concurrent.
+
+    Two implementations behind the same seam (lake/coordinator.py):
+    a warehouse that wrote ``_catalog.json`` acquires the section from
+    the COORDINATOR SERVICE at its endpoint (the REST-catalog topology:
+    the catalog process is the serialization point, lease released on
+    connection death); otherwise an ``flock`` on a warehouse-level lock
+    file (single-host default, released by the OS on process death).
+    Either way a crashed holder can never wedge the catalog. The
+    table's parent dir IS the warehouse root — ``table_path`` rejects
+    path separators in names, so the derivation cannot alias."""
     import fcntl
 
     lock_dir = os.path.dirname(os.path.abspath(table_path).rstrip(os.sep))
     os.makedirs(lock_dir, exist_ok=True)
+    from fluss_iceberg_spark.lake import coordinator
+
+    endpoint = coordinator.endpoint_for(lock_dir)
+    if endpoint:
+        client = coordinator.CoordinatorClient(endpoint, scope=lock_dir)
+        try:
+            yield
+        finally:
+            client.close()
+        return
     fd = os.open(os.path.join(lock_dir, "_commit.lock"), os.O_CREAT | os.O_RDWR)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
@@ -360,7 +378,7 @@ def _file_blooms(abspath: str, cols: list[str]) -> dict:
     return out
 
 
-@functools.lru_cache(maxsize=1024)
+@functools.lru_cache(maxsize=64)
 def _bloom_hex_cached(bloom_hex: str) -> bytes:
     """Parse a manifest bloom bitmap once per distinct filter, as
     little-endian bytes. An IN-list probe calls ``_file_may_match`` once
@@ -369,7 +387,11 @@ def _bloom_hex_cached(bloom_hex: str) -> bytes:
     available — and even on a parsed big int, ``(bits >> p) & 1`` copies
     O(p) words per test, so membership reads index bytes instead.
     CPython memoizes str hashes, so cache hits cost O(1) after a
-    string's first lookup."""
+    string's first lookup. maxsize bounds driver memory, not hit rate:
+    an adaptive 2^20-bit filter pins ~131KB of parsed bytes plus its
+    ~262KB hex key per entry, so 64 entries cap the cache at ~25MB
+    (1024 would allow ~400MB); a probe touches one bloom per
+    (file, column), so 64 covers any realistic per-query working set."""
     v = int(bloom_hex, 16)
     return v.to_bytes((v.bit_length() + 7) // 8, "little")
 
@@ -2990,12 +3012,26 @@ class LakeTable:
             "removed_files": sorted(set(removed_files)),
         }
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(self, older_than_hours: float | None = None) -> list[str]:
         """The Iceberg ``remove_orphan_files`` role: delete parquet files
         under ``data/`` that no existing snapshot references — debris
         from writes whose commit never landed (the commit protocol writes
         files first, metadata last) or from a crash mid-expiry. Hot
-        staging batches live under ``hot/`` and are never candidates."""
+        staging batches live under ``hot/`` and are never candidates.
+
+        ``older_than_hours`` bounds the sweep of STAGED transaction
+        metadata (``txn-v{N}.json``): staged snapshots younger than the
+        horizon are presumed to belong to a live transaction and are
+        kept (the Iceberg ``older_than`` discipline — mirrors the
+        ``gc.orphan.older-than-hours`` table property, which is the
+        default when the argument is omitted; falls back to 24h). A
+        transaction whose staged snapshot IS swept (it outlived the
+        horizon) fails at publish with a descriptive
+        ``CommitConflictError`` rather than a raw OSError."""
+        if older_than_hours is None:
+            older_than_hours = float(
+                self.properties.get("gc.orphan.older-than-hours", 24)
+            )
         referenced = set()
         for v in self.snapshot_versions():
             s = self.snapshot(v)
@@ -3017,7 +3053,7 @@ class LakeTable:
                     continue  # unreadable staged debris: keep data-safe
                 referenced.update(staged.files)
                 referenced.update(staged.delete_files)
-                if now_ms - staged.committed_at_ms > 24 * 3600 * 1000:
+                if now_ms - staged.committed_at_ms > older_than_hours * 3600 * 1000:
                     stale_staged.append(fname)
         removed = []
         for sub in ("data", "deletes"):
@@ -3590,7 +3626,15 @@ class CatalogTransaction:
     same commit lock, so a concurrent commit can never be silently
     overwritten by the publish step. In a real deployment steps 2-3
     are one catalog CAS (the same stand-in boundary as S18's
-    snapshot-log protocol).
+    snapshot-log protocol). Known filesystem-stand-in leak at that
+    boundary: between a table's ``v{N}.json`` link and the intent
+    write there is a brief window where an explicit
+    ``read(version=N)`` / ``snapshot_versions()`` can observe a
+    snapshot that would be aborted if a LATER table's link or the
+    re-verify fails — pointer-following reads are unaffected (the
+    VERSION pointer only moves post-intent), and a real catalog CAS
+    collapses the window to zero. Accepted as documented behavior of
+    the stand-in.
 
     Not combinable with branch writes (``on_branch`` has its own
     publish path — WAP already gives staged isolation there).
@@ -3681,6 +3725,15 @@ class CatalogTransaction:
                                     f"concurrent writer claimed snapshot "
                                     f"v{v} of {os.path.basename(path)} "
                                     "during the transaction"
+                                ) from None
+                            except FileNotFoundError:
+                                raise CommitConflictError(
+                                    f"transaction expired: staged snapshot "
+                                    f"txn-v{v}.json of "
+                                    f"{os.path.basename(path)} was swept "
+                                    "(remove_orphan_files ran past its "
+                                    "older_than horizon while this "
+                                    "transaction was still open)"
                                 ) from None
                     intent_dir = os.path.join(self.catalog.warehouse, "_txn")
                     os.makedirs(intent_dir, exist_ok=True)
@@ -3830,6 +3883,16 @@ class LakeCatalog:
             os.remove(p)
 
     def table_path(self, name: str) -> str:
+        # _commit_lock derives the catalog-wide lock file from the table
+        # path's PARENT dir; a name containing a path separator would make
+        # that parent something other than the warehouse root and silently
+        # serialize against a different lock — reject it here, the single
+        # choke point for create/load/exists/drop.
+        if os.sep in name or (os.altsep and os.altsep in name):
+            raise ValueError(
+                f"invalid table name {name!r}: path separators are not "
+                "allowed (tables are direct children of the warehouse)"
+            )
         return os.path.join(self.warehouse, name)
 
     def exists(self, name: str) -> bool:

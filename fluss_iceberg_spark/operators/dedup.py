@@ -867,6 +867,7 @@ def neardup_admit_batch(
     batch_docs: DataFrame,
     batch_id: int,
     threshold: float = 0.8,
+    profile: dict | None = None,
 ) -> int:
     """One micro-batch of STREAMING near-duplicate admission control —
     the ingestion-time form of MinHash-LSH dedup (a crawl pipeline
@@ -915,8 +916,27 @@ def neardup_admit_batch(
         cached.append(df.persist())
         return df
 
+    # optional per-phase wall-clock attribution (a populated dict opts
+    # in): each _mark forces the frames named in the phase and records
+    # the elapsed seconds. OFF by default — forcing changes nothing
+    # semantically (frames are persisted) but shifts where lazy work is
+    # measured, so the production path stays fully lazy.
+    import time as _time
+
+    _t0 = [_time.perf_counter()]
+
+    def _mark(phase: str, *force):
+        if profile is None:
+            return
+        for df in force:
+            df.count()
+        now = _time.perf_counter()
+        profile[phase] = profile.get(phase, 0.0) + (now - _t0[0])
+        _t0[0] = now
+
     sets_b = _persist(shingle_sets(batch_docs))
     bands_b = _persist(band_keys(minhash_signatures(sets_b)))
+    _mark("shingle_minhash", bands_b)
 
     def _n_files(t) -> int:
         snap = t.snapshot()
@@ -973,6 +993,7 @@ def neardup_admit_batch(
         survivors = _persist(
             sets_b.join(rejected, on="doc_id", how="left_anti")
         )
+        _mark("state_probe_verify", survivors)
 
         # (b) intra-batch: banded candidates among survivors, exact verify,
         # min-id per connected component admits
@@ -997,6 +1018,7 @@ def neardup_admit_batch(
         # (c) claim state: sets for future verification; EVERY admitted
         # doc's bucket keys append (multi-owner buckets — see docstring)
         n_admitted = admit.count()
+        _mark("intra_batch_cc")
         if n_admitted:
             owner_sets.append(admit.select("doc_id", "shset", "n"))
             buckets.append(
@@ -1009,6 +1031,7 @@ def neardup_admit_batch(
                     "doc_id", F.lit(batch_id).cast("int").alias("batch")
                 )
             )
+        _mark("claim_appends")
     finally:
         # a long-running admission stream calls this every tick — cached
         # per-batch frames must not accumulate in executor storage

@@ -7,11 +7,13 @@ so filtering/joining/pruning happens without touching payload bytes.
 Decode / feature-extraction runs as ``mapInPandas`` over Arrow batches —
 partition-parallel, zero driver involvement.
 
-The actual media codecs are not available in this container, so
-``decode_image_stub`` is a clearly marked stub: it produces deterministic
-fake features from the payload header and raises ``NotImplementedError``
-when a real decode is requested. The Spark-side plumbing — schema, batch
-iteration, partitioning — is real and tested.
+Two decode kernels share the plumbing: ``decode_image_stub`` (clearly
+marked stub — deterministic fake features from payload bytes, for the
+plumbing tests) and ``decode_real`` (real container-header decode:
+Pillow where installed, pure-Python header probes from
+operators/codecs.py where not, so the real path executes in this
+codec-less container too). The Spark side — schema, batch iteration,
+partitioning — is identical and tested for both.
 """
 
 from __future__ import annotations
@@ -73,29 +75,40 @@ REAL_DECODED_SCHEMA = (
 
 
 def decode_real_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel decoding REAL images via PIL — the optional-
-    import seam beside ``decode_image_stub``: where Pillow is installed
-    this is the production decode path (same Arrow batch shape,
-    per-payload ``Image.open`` over an in-memory buffer); where it
-    isn't, ``decode_real`` below raises the documented error instead.
+    """mapInPandas kernel decoding REAL image payloads. Decoder choice
+    happens once per worker: PIL where Pillow is installed (the full
+    production codec surface), else the pure-Python header probes
+    (operators/codecs.py — PNG/JPEG/GIF/BMP/PPM from their public
+    specs). Both paths extract the same features — (width, height,
+    mode) live in the container header, which is exactly what PIL's
+    lazy ``Image.open`` reads too — so the seam swaps breadth of
+    formats, not semantics, and the pure path keeps the real decode
+    executable in codec-less environments like this container.
     Undecodable payloads yield NULL width/height/mode rather than
     failing the batch (a 100 TB crawl always contains corrupt blobs)."""
     import io
 
-    from PIL import Image  # noqa: F401 — gated by decode_real()
+    try:
+        from PIL import Image
+
+        def probe(b: bytes):
+            try:
+                with Image.open(io.BytesIO(b)) as im:
+                    return im.width, im.height, im.mode
+            except Exception:
+                return None
+
+    except ImportError:
+        from fluss_iceberg_spark.operators.codecs import probe_image as probe
 
     for pdf in batch_iter:
         widths, heights, modes = [], [], []
         for payload in pdf["payload"]:
-            try:
-                with Image.open(io.BytesIO(bytes(payload))) as im:
-                    widths.append(im.width)
-                    heights.append(im.height)
-                    modes.append(im.mode)
-            except Exception:
-                widths.append(None)
-                heights.append(None)
-                modes.append(None)
+            got = probe(bytes(payload))
+            w, h, m = got if got is not None else (None, None, None)
+            widths.append(w)
+            heights.append(h)
+            modes.append(m)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -109,17 +122,10 @@ def decode_real_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 
 def decode_real(binarized: DataFrame) -> DataFrame:
-    """Real media decode over the binary column — available when Pillow
-    is importable (the optional-codec seam), otherwise raises the
-    documented error. The Spark plan is identical to the stub path:
-    mapInPandas over Arrow batches, metadata passed through JVM-side."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not available in this "
-            "container; use decode_image_stub for the plumbing path"
-        ) from None
+    """Real media decode over the binary column: mapInPandas over Arrow
+    batches, metadata passed through JVM-side — the same Spark plan as
+    the stub path. Executes everywhere: via Pillow when installed, via
+    the pure-Python header probes (operators/codecs.py) when not."""
     return binarized.mapInPandas(decode_real_kernel, REAL_DECODED_SCHEMA)
 
 

@@ -42,11 +42,20 @@ _DEFAULT_WIDTH = 24  # strings / decimals / unknown
 
 def estimate_rows(t: LakeTable, where: list[tuple] | None = None) -> float | None:
     """Estimated output rows of ``t.read(where=...)`` from the latest
-    ANALYZE stats, or None when the table was never analyzed."""
+    ANALYZE stats, or None when the table was never analyzed.
+
+    Stale-stats guard: the base cardinality is the CURRENT manifest row
+    count (``count_rows()`` is O(1) metadata), not the ANALYZE-time
+    ``row_count`` — a table that grew 100× since ANALYZE must not be
+    force-broadcast on its old size. Per-column NDVs do stay at their
+    ANALYZE-time values (recomputing them needs a scan); since growth
+    can only raise true NDV, the stale NDV yields a LARGER estimate,
+    which errs away from broadcasting — the safe direction."""
     stats = t.table_stats()
     if stats is None:
         return None
-    rows = float(stats.get("row_count", 0))
+    cur_rows = float(t.count_rows())
+    rows = cur_rows if cur_rows > 0 else float(stats.get("row_count", 0))
     cols = stats.get("columns", {})
     for col, op, lit in where or ():
         ndv = max(1, int(cols.get(col, {}).get("ndv", 0)) or 1)

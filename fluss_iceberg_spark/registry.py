@@ -82,8 +82,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
-    # ---- round-6 rotation: the r5 verdict's top item — every oracle-backed
-    # query that has never held a driver CORRECTNESS row rotates IN; the 15
+    # ---- round-7 rotation: the final 5 queries with ZERO driver evidence
+    # (rows-only-by-nature: stream_neardup_admission, dedup_semdedup,
+    # ann_kmeans_clusters, ann_pq_topk, ann_ivfpq_topk) rotate IN; the 5
+    # rotated OUT (agg_cube_status_priority, events_sliding_rollup,
+    # lake_matview_refresh, text_budget_mixing,
+    # dedup_semantic_representatives) each hold >=2 driver hash-green
+    # rounds and every operator family keeps at least one in-window gate
+    # (grouping: sets+id+unpivot; events: gap_fill/retention/session/
+    # zscore/percentiles/histogram; matview: lake_matview_changelog +
+    # stream_matview_refresh; budget: two_phase + temperature; dedup:
+    # passage_level + source_overlap).
+    # ---- round-6 rotation (prior): every oracle-backed
+    # query that had never held a driver CORRECTNESS row rotated IN; the 15
     # rotated OUT are all multi-round hash-green (round counts noted) and
     # every operator family keeps at least one gate in the window.
     # reference pipeline core (S9-S16, P*, J*, A*; top5_nations rotates out
@@ -100,7 +111,6 @@ _PRIORITY = [
     # window / aggregation families (running_revenue rotates out r1+r5
     # green — window-frame class stays via events_anomaly_zscore's
     # windowed z-score; GROUPING_ID gates first beside CUBE/SETS/UNPIVOT)
-    "agg_cube_status_priority",
     "agg_grouping_sets",
     "agg_grouping_id",
     "agg_unpivot_measures",
@@ -109,7 +119,6 @@ _PRIORITY = [
     # the ordered-step class stays via retention_cohorts; the two
     # never-gated event shapes — built-in session_window TVF and
     # windowed anomaly z-score — gate first)
-    "events_sliding_rollup",
     "events_gap_fill",
     "events_retention_cohorts",
     "events_session_window_builtin",
@@ -122,7 +131,6 @@ _PRIORITY = [
     "lake_partition_pruning",
     "lake_clustered_scan",
     "lake_pk_changelog",
-    "lake_matview_refresh",
     "lake_matview_changelog",
     "lake_value_set_skipping",
     # SCD Type 2 maintenance + the CDC-consumer composition over its
@@ -146,12 +154,15 @@ _PRIORITY = [
     "stream_matview_refresh",
     "stream_watermarked_dedup",
     "stream_txn_two_sinks",
+    # streaming near-dup admission control (rows-only: greedy first-seen
+    # stream semantics; replay-parity + flat-scanned-state unit gates) —
+    # first driver evidence r7
+    "stream_neardup_admission",
     # text analysis / curation (repetition_filter rotates out 4x-green
     # r2-r5 — scoring class stays via text_token_stats' first gate and the
     # budget/mixing family; passage chunking gates first)
     "export_training_shards",
     "fuzzy_part_names",
-    "text_budget_mixing",
     "text_budget_two_phase",
     "text_temperature_mixing",
     "text_token_stats",
@@ -162,11 +173,18 @@ _PRIORITY = [
     # fp-shuffle + semantic_representatives' composition; the cross-source
     # overlap matrix gates first)
     "dedup_passage_level",
-    "dedup_semantic_representatives",
     "dedup_source_overlap",
+    # SemDeDup semantic pruning (rows-only: k-means float iteration order;
+    # greedy == exact-reference unit gate) — first driver evidence r7
+    "dedup_semdedup",
     # similarity search (cosine_topk rotates out 4x-green r2-r5; the
-    # embedding-kernel class stays via hygiene + the dedup semantic ops)
+    # embedding-kernel class stays via hygiene + the dedup semantic ops;
+    # the three rows-only ANN shapes — k-means census, PQ ADC, IVF-PQ —
+    # get their first driver evidence r7, recall unit-gated)
     "ann_embedding_hygiene",
+    "ann_kmeans_clusters",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     # multimodal (frame_sample rotates out r4+r5 green; the Arrow kernel
     # class stays gated via resize planning)
     "multimodal_resize_features",

@@ -1,8 +1,10 @@
-"""Multimodal-column queries: binary payload plumbing with stubbed decode."""
+"""Multimodal-column queries: binary payload plumbing, stubbed decode,
+and a REAL container-header decode over synthesized PPM payloads."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fluss_iceberg_spark.operators import multimodal as MM
 from fluss_iceberg_spark.registry import query
@@ -72,3 +74,44 @@ def resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_features(
         MM.decoded_features(load_table(spark, sf_dir, "documents")), 64, 64
     )
+
+
+@query(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 13 + 2 AS INT) AS width,
+           CAST(doc_id % 7 + 2 AS INT) AS height,
+           'RGB' AS mode
+    FROM documents
+    """,
+)
+def real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a VALID binary PPM (P6)
+    payload per document JVM-side — header ``P6\\n{w} {h}\\n255\\n`` plus
+    a w*h*3-byte raster, dimensions a pure function of doc_id — then run
+    ``decode_real``'s mapInPandas kernel, which parses the container
+    header exactly as PIL's lazy ``Image.open`` would (Pillow when
+    installed, the operators/codecs.py probes here). The oracle recomputes
+    the dimensions arithmetically, so a hash match proves the real decode
+    path extracted them from the BYTES, not from metadata."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = F.col("doc_id") % 13 + 2
+    h = F.col("doc_id") % 7 + 2
+    payload = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"),
+            F.expr("repeat('x', CAST((doc_id % 13 + 2) * (doc_id % 7 + 2) * 3 AS INT))"),
+        ),
+        "utf-8",
+    )
+    binarized = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+    return MM.decode_real(binarized).select("doc_id", "width", "height", "mode")

@@ -110,21 +110,21 @@ def test_ivf_topk_finds_duplicates_and_matches_bruteforce_scores(spark):
         assert brute[(r.query_id, r.nn_id)] == r.cosine
 
 
-def test_decode_real_optional_codec_seam(spark):
-    """decode_real runs the PIL path where Pillow is importable and
-    raises the documented stub error otherwise — the optional-import
-    seam, exercised whichever way this environment goes."""
-    docs = spark.createDataFrame([(1, "png-ish")], "doc_id long, text string")
-    binarized = MM.binarize_documents(docs)
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="not available"):
-            MM.decode_real(binarized)
-        return
-    rows = MM.decode_real(binarized).collect()
-    # text bytes are not a decodable image: NULL features, batch survives
-    assert len(rows) == 1 and rows[0].width is None
+def test_decode_real_runs_on_both_codec_paths(spark):
+    """decode_real executes everywhere: PIL where importable, the
+    pure-Python header probes (operators/codecs.py) where not. A valid
+    PPM payload decodes to its true dimensions on EITHER path; corrupt
+    bytes yield NULL features without failing the batch."""
+    docs = spark.createDataFrame(
+        [(1, "P6\n5 3\n255\n" + "x" * 45), (2, "not-an-image")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in MM.decode_real(MM.binarize_documents(docs)).collect()
+    }
+    assert (rows[1].width, rows[1].height, rows[1].mode) == (5, 3, "RGB")
+    assert rows[2].width is None and rows[2].mode is None
 
 
 def test_exact_dedup_groups(spark):

@@ -279,7 +279,17 @@ def _file_value_sets(abspath: str, cols: list[str], cap: int = _VALUE_SET_CAP) -
 
 
 _BLOOM_BITS = 2048   # 256 B/column/file in the manifest — negligible
-_BLOOM_K = 4         # ~0.24% FPR at 200 distinct values per file
+_BLOOM_K = 4         # legacy hash count (r6 manifests; kept for reads)
+# v2 bloom parameters, sized for IN-LIST probing: a micro-batch state
+# probe tests THOUSANDS of keys per file, so the per-key FPR must be
+# << 1/|probe| or false positives keep every file (measured: at 10
+# bits/key + k=4 a 3,300-key probe kept 97% of state files — the probe
+# pruned nothing). At 32 bits/key + k=20 the per-key FPR is ~2e-7, so
+# even a 10k-key probe keeps a non-colliding file with p < 1%. Probe
+# cost stays O(1) per miss (the all() early-exits after ~2 bit tests at
+# 0.46 fill); write cost is 20 cheap double-hash positions per value.
+_BLOOM_BITS_PER_VALUE = 32
+_BLOOM_K_V2 = 20
 
 
 def _bloom_canon(value) -> str | None:
@@ -347,16 +357,18 @@ def _file_blooms(abspath: str, cols: list[str]) -> dict:
     out = {}
     for c in want:
         uniq = pc.unique(tbl.column(c).combine_chunks()).drop_null().to_pylist()
-        # size the filter to the file's actual distinct count (~10 bits
-        # per value ≈ 1% FPR at k=4): a fixed 2048-bit filter saturates
-        # (all-ones, prunes nothing) on files with thousands of
-        # distincts — e.g. LSH bucket-state files at 16 keys/doc. Cap
-        # at 2^20 bits = 256 KB of hex worst-case in the manifest per
-        # file/column (covers ~100k distincts; beyond that the filter
-        # degrades gracefully toward keep-everything rather than
-        # bloating every snapshot read).
+        # size the filter to the file's actual distinct count at
+        # _BLOOM_BITS_PER_VALUE (IN-probe-grade FPR — see the constant's
+        # note): a fixed 2048-bit filter saturates (all-ones, prunes
+        # nothing) on files with thousands of distincts — e.g. LSH
+        # bucket-state files at 16 keys/doc. Cap at 2^21 bits = 256 KB
+        # of hex worst-case in the manifest per file/column (full
+        # strength to ~65k distincts; beyond that the filter degrades
+        # gracefully toward keep-everything rather than bloating every
+        # snapshot read — files that large should be clustered or
+        # served from the hot store anyway).
         m = _BLOOM_BITS
-        while m < 10 * len(uniq) and m < (1 << 20):
+        while m < _BLOOM_BITS_PER_VALUE * len(uniq) and m < (1 << 21):
             m *= 2
         # accumulate in a bytearray: setting a bit in a Python big int
         # copies the whole integer (O(m) per bit — tens of GB of memcpy
@@ -364,7 +376,7 @@ def _file_blooms(abspath: str, cols: list[str]) -> dict:
         # bytearray write is O(1) per bit, one big-int conversion at end
         buf = bytearray(m // 8)
         for v in uniq:
-            pos = _bloom_positions(v, m=m)
+            pos = _bloom_positions(v, m=m, k=_BLOOM_K_V2)
             if pos is None:
                 buf = None
                 break
@@ -372,9 +384,9 @@ def _file_blooms(abspath: str, cols: list[str]) -> dict:
                 buf[p >> 3] |= 1 << (p & 7)
         bits = int.from_bytes(bytes(buf), "little") if buf is not None else None
         if bits:
-            # legacy manifests stored a bare hex string (m=2048);
-            # readers accept both forms
-            out[c] = f"{bits:x}" if m == _BLOOM_BITS else {"m": m, "bits": f"{bits:x}"}
+            # manifest forms, all readable: bare hex (r5: m=2048, k=4),
+            # {m, bits} (r6: adaptive m, k=4), {m, k, bits} (current)
+            out[c] = {"m": m, "k": _BLOOM_K_V2, "bits": f"{bits:x}"}
     return out
 
 
@@ -412,10 +424,13 @@ def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
     bloom = (meta or {}).get("blooms", {}).get(col)
     if bloom is not None and op == "=":
         if isinstance(bloom, dict):  # adaptive-size form
-            m, bloom_hex = int(bloom["m"]), bloom["bits"]
+            # k absent = r6 vintage (k=4); present = current (k=20)
+            m, k, bloom_hex = (
+                int(bloom["m"]), int(bloom.get("k", _BLOOM_K)), bloom["bits"]
+            )
         else:  # legacy bare-hex form
-            m, bloom_hex = _BLOOM_BITS, bloom
-        pos = _bloom_positions(lit, m=m)
+            m, k, bloom_hex = _BLOOM_BITS, _BLOOM_K, bloom
+        pos = _bloom_positions(lit, m=m, k=k)
         if pos is not None:
             buf = _bloom_hex_cached(bloom_hex)
             if not all(

@@ -1020,16 +1020,34 @@ def neardup_admit_batch(
         n_admitted = admit.count()
         _mark("intra_batch_cc")
         if n_admitted:
-            owner_sets.append(admit.select("doc_id", "shset", "n"))
+            # COALESCED state writes: the claim frames arrive in 32
+            # shuffle partitions, so a naive append writes 32 files of
+            # ~100 rows per tick — after 20 ticks the state spans 600+
+            # splinter files, each carrying its own manifest entry,
+            # bloom, and probe test (measured: scan planning alone grew
+            # per-tick time 5.6→8.1 s over 13 ticks). Pack each tick's
+            # state into files of ~200k rows (tiny frames → exactly one
+            # file per table per tick): fewer manifest entries, fewer
+            # blooms to probe, and per-file distinct counts the bloom
+            # sizing serves well — the same small-files discipline the
+            # tiering compactor applies to data tables.
+            import math as _math
+
+            claim_files = max(1, _math.ceil(n_admitted * 16 / 200_000))
+            owner_sets.append(
+                admit.select("doc_id", "shset", "n").coalesce(claim_files)
+            )
             buckets.append(
                 bands_b.join(
                     admit.select("doc_id"), on="doc_id", how="left_semi"
-                ).select("bkey", F.col("doc_id").alias("owner"))
+                )
+                .select("bkey", F.col("doc_id").alias("owner"))
+                .coalesce(claim_files)
             )
             admitted.append(
                 admit.select(
                     "doc_id", F.lit(batch_id).cast("int").alias("batch")
-                )
+                ).coalesce(claim_files)
             )
         _mark("claim_appends")
     finally:

@@ -1,0 +1,37 @@
+"""bench.py's HEADLINE list must reference only registered queries —
+a typo would silently drop the query from every future perf record
+(bench skips unknown names by design so mid-build lists don't break)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from fluss_iceberg_spark import registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_headline():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.HEADLINE
+
+
+def test_headline_names_all_registered():
+    registry.load_all()
+    headline = _load_headline()
+    missing = [n for n in headline if n not in registry.QUERIES]
+    assert not missing, f"bench HEADLINE references unknown queries: {missing}"
+    assert len(headline) == len(set(headline)), "duplicate HEADLINE entries"
+
+
+def test_headline_covers_gated_window():
+    """Every driver-gated query should carry a perf record too."""
+    registry.load_all()
+    headline = set(_load_headline())
+    ungated = [n for n in registry._PRIORITY if n not in headline]
+    assert not ungated, f"gated queries missing from bench HEADLINE: {ungated}"

@@ -5,8 +5,17 @@ manifest-bloom IN-pushdown branch executes in anger; record per-tick
 wall time, per-phase attribution, state size, and scanned-vs-total
 state files. Prints one JSON line per tick plus a SUMMARY line.
 
-Usage:  python scripts/admission_scale_run.py [n_ticks]
+Usage:  python scripts/admission_scale_run.py [n_ticks] [compact_every]
 Env:    SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+
+``compact_every`` > 0 adds the LSM-style maintenance a long-running
+admission stream needs: every N ticks the bucket/owner-set state tables
+binpack-compact (sorted by their probe key, so post-compaction files
+carry disjoint key ranges AND right-sized blooms) — state file count
+then sawtooths around N instead of growing one file per tick forever,
+bounding scan-planning work over an unbounded stream. Amortized cost is
+the standard LSM write amplification; per-tick admission work stays
+O(batch + collisions).
 """
 
 from __future__ import annotations
@@ -30,6 +39,7 @@ from fluss_iceberg_spark.sources.tpch import load_table
 
 def main() -> None:
     n_ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    compact_every = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="admission-scale")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -61,6 +71,12 @@ def main() -> None:
             buckets, owner_sets, admitted, batch, b, profile=profile
         )
         dt = time.perf_counter() - t0
+        compact_sec = 0.0
+        if compact_every and (b + 1) % compact_every == 0:
+            c0 = time.perf_counter()
+            buckets.compact(sort_by=["bkey"])
+            owner_sets.compact(sort_by=["doc_id"])
+            compact_sec = time.perf_counter() - c0
         # diagnostics (outside the timed window): how many state files
         # would THIS tick's key set scan, vs total state files
         state_files = len(buckets.plan_scan())
@@ -70,6 +86,7 @@ def main() -> None:
         rec = {
             "tick": b,
             "sec": round(dt, 2),
+            "compact_sec": round(compact_sec, 2),
             "admitted": n_adm,
             "state_files": state_files,
             "files_probe_would_scan": scanned,

@@ -169,6 +169,7 @@ HEADLINE = [
     "lake_scd2_changes",
     "lake_runtime_filter_join",
     "multimodal_real_decode",
+    "lake_spj_bucket_join",
 ]
 
 

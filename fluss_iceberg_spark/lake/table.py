@@ -1953,6 +1953,27 @@ class LakeTable:
         df = self._read_live(files, sch, fids, snap)
         return df.filter(_where_filter(row_filter)) if row_filter else df
 
+    def read_bucket(self, bucket: int, version: int | str | None = None) -> DataFrame:
+        """Snapshot read of ONE PK-hash bucket's rows (MoR deletes
+        applied, same semantics as ``read`` restricted to the bucket's
+        files). The physical handle a storage-partitioned join needs:
+        rows of bucket b can only ever match bucket b of a co-bucketed
+        table, so per-bucket reads join with no repartitioning of
+        either side (plans/spj.py). O(#files) metadata to slice; no
+        data I/O beyond the bucket's own files."""
+        if not self.primary_key:
+            raise ValueError(
+                f"{self.name}: read_bucket applies to PK tables "
+                "(log tables are not bucket-clustered)"
+            )
+        snap = self.snapshot(version)
+        if snap is None:
+            return self.spark.createDataFrame([], self.schema)
+        files = [f for f in snap.files if _bucket_of_path(f) == bucket]
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        return self._read_live(files, self.schema, self.field_ids, snap)
+
     def _project_files(
         self, paths: list[str], sch: T.StructType, fids: dict[str, int]
     ) -> DataFrame:

@@ -1061,3 +1061,69 @@ def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("total_price").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "lake_spj_bucket_join",
+    oracle="""
+    WITH bal AS (
+        SELECT CAST(c_custkey AS INT) AS cust_key,
+               CAST(c_acctbal AS DECIMAL(15,2))
+                 + CASE WHEN c_custkey % 10 = 0
+                        THEN CAST(500.00 AS DECIMAL(15,2))
+                        ELSE CAST(0.00 AS DECIMAL(15,2)) END AS balance
+        FROM customer
+        WHERE c_acctbal > 0
+    )
+    SELECT CAST(c.c_nationkey AS INT) AS nation_key,
+           COUNT(1) AS n_customers,
+           CAST(SUM(b.balance) AS DOUBLE) AS total_balance
+    FROM customer c
+    JOIN bal b ON CAST(c.c_custkey AS INT) = b.cust_key
+    GROUP BY 1
+    """,
+)
+def spj_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned join over co-bucketed PK tables (plans/spj.py
+    — the Iceberg/Spark SPJ role; Fluss/Paimon bucket-distribute PK
+    tables exactly so engines can join without redistribution,
+    README.md:150-156): a customer-profile PK table joins a
+    customer-balance PK table bucket-by-bucket — the probe side scans
+    with ZERO exchange (plan-tested in tests/test_spj.py), the build
+    side broadcasts 1/n_buckets-sized slices. The balance table takes a
+    second MERGE (+500 for every 10th key) before the join, so the
+    per-bucket reads exercise the MoR path too."""
+    from fluss_iceberg_spark.plans.spj import bucket_aligned_join
+
+    cat = LakeCatalog(spark, _scratch(sf_dir, "spj"))
+    cust = load_table(spark, sf_dir, "customer")
+    profile_df = cust.select(
+        F.col("c_custkey").cast("int").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nation_key"),
+    )
+    profile = cat.create_table(
+        "spj_profile", profile_df.schema, primary_key=["cust_key"], n_buckets=8
+    )
+    profile.merge(profile_df)
+    bal_df = cust.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").cast("int").alias("cust_key"),
+        F.col("c_acctbal").cast("decimal(15,2)").alias("balance"),
+    )
+    balance = cat.create_table(
+        "spj_balance", bal_df.schema, primary_key=["cust_key"], n_buckets=8
+    )
+    balance.merge(bal_df)
+    balance.merge(
+        bal_df.filter(F.col("cust_key") % 10 == 0).select(
+            "cust_key",
+            (F.col("balance") + F.lit(500.00).cast("decimal(15,2)"))
+            .cast("decimal(15,2)")
+            .alias("balance"),
+        )
+    )
+    joined = bucket_aligned_join(profile, balance, how="inner")
+    return joined.groupBy("nation_key").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("balance").cast("double").alias("total_balance"),
+    )

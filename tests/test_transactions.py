@@ -272,3 +272,27 @@ def test_staged_snapshots_invisible_to_other_readers(spark):
         # staged names are gone after publish
         import glob as _glob
         assert not _glob.glob(os.path.join(d, "a", "meta", "txn-v*.json"))
+
+
+def test_swept_staged_snapshot_fails_publish_descriptively(spark):
+    """remove_orphan_files honors the gc.orphan.older-than-hours table
+    property for STAGED txn metadata, and a transaction whose staged
+    snapshot was swept (it outlived the horizon) fails at publish with
+    the descriptive expired error — not a raw FileNotFoundError."""
+    with tempfile.TemporaryDirectory() as d:
+        cat = _setup(spark, d)
+        txn = cat.transaction()
+        txn.table("a").append(spark.createDataFrame([(2, "a1")], SCHEMA))
+        ta = cat.load("a")
+        # default horizon (24h): a live txn's staged metadata survives
+        assert not [
+            r for r in ta.remove_orphan_files() if "txn-v" in r
+        ], "fresh staged metadata must not be swept at the default horizon"
+        # zero horizon via the table property: the sweep takes it
+        ta.properties["gc.orphan.older-than-hours"] = "0"
+        swept = ta.remove_orphan_files()
+        assert any("txn-v" in r for r in swept)
+        with pytest.raises(CommitConflictError, match="transaction expired"):
+            txn.commit()
+        # nothing published; table a still at its pre-txn state
+        assert LakeCatalog(spark, d).load("a").read().count() == 1

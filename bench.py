@@ -170,6 +170,7 @@ HEADLINE = [
     "lake_runtime_filter_join",
     "multimodal_real_decode",
     "lake_spj_bucket_join",
+    "ann_ivf_index_incremental",
 ]
 
 

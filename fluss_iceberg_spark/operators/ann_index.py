@@ -1,0 +1,195 @@
+"""Persistent, incrementally-maintained IVF index over lake tables.
+
+The batch ANN operators (operators/similarity.py) re-train and re-assign
+per query — right for one-shot analytics, wrong for a serving corpus
+that ingests continuously. This module persists the index the way a
+production vector store does (the FAISS-on-a-lake shape):
+
+- ``{prefix}_centroids`` (log table): the coarse quantizer — K·dim
+  model rows, written once at build time. The model is FROZEN after
+  build: appends assign against it instead of re-clustering, so
+  ingestion cost is O(new vectors · K) with zero touch of existing
+  postings (re-clustering an index over a growing 100 TB corpus per
+  ingest tick is the failure mode).
+- ``{prefix}_postings`` (log table): the inverted lists —
+  (list_id, vec_id, v, nrm), REPARTITIONED BY list_id at every write so
+  each file holds few lists, and declared in
+  ``write.value-set-columns`` so every file's manifest records its
+  exact list_id set. A search probing n_probe lists then prunes to the
+  files holding those lists from manifest metadata alone — scan cost
+  ~n_probe/K of the corpus regardless of corpus size.
+
+Search collects the model (K·dim) and the query vectors (bounded,
+caller-supplied) driver-side — the same documented model-sized
+materializations as the batch operators — picks each query's n_probe
+nearest lists with numpy, and pushes the union of probed lists into the
+postings scan as an IN-list predicate. Scoring is exact cosine over the
+candidates with the id tie-break, identical to ``ivf_topk``.
+
+Determinism: the quantizer (train_ivf_centroids) seeds from the first K
+vectors by id and assignment tie-breaks by lowest cid, so build +
+append produces EXACTLY the postings a one-shot build with the same
+model would — unit-gated in tests/test_ann_index.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fluss_iceberg_spark.lake.table import LakeCatalog, LakeTable
+from fluss_iceberg_spark.operators.similarity import (
+    _as_double,
+    _assign_clusters,
+    _centroids_df,
+    train_ivf_centroids,
+)
+from fluss_iceberg_spark.operators.dedup import dot_expanded
+
+_POSTINGS_SCHEMA = (
+    "list_id int, vec_id long, v array<double>, nrm double"
+)
+_CENTROIDS_SCHEMA = "cid long, cv array<double>, cn double"
+
+
+class IvfIndex:
+    """Handle on a persisted IVF index (two lake tables under one
+    prefix). ``build`` creates/replaces; ``load`` attaches to an
+    existing index; ``append`` ingests; ``search`` queries."""
+
+    def __init__(self, catalog: LakeCatalog, prefix: str):
+        self.catalog = catalog
+        self.prefix = prefix
+
+    # ---- lifecycle ----
+
+    def build(
+        self,
+        emb: DataFrame,
+        n_lists: int = 16,
+        n_iters: int = 2,
+        dim: int = 64,
+    ) -> "IvfIndex":
+        spark = emb.sparkSession
+        model = train_ivf_centroids(emb, n_lists, n_iters=n_iters, dim=dim)
+        cent = self.catalog.create_table(
+            f"{self.prefix}_centroids",
+            spark.createDataFrame([], _CENTROIDS_SCHEMA).schema,
+            replace=True,
+        )
+        cent.append(_centroids_df(spark, model).coalesce(1))
+        self.catalog.create_table(
+            f"{self.prefix}_postings",
+            spark.createDataFrame([], _POSTINGS_SCHEMA).schema,
+            properties={"write.value-set-columns": "list_id"},
+            replace=True,
+        )
+        self._dim = dim
+        self.append(emb)
+        return self
+
+    def load(self) -> "IvfIndex":
+        self.catalog.load(f"{self.prefix}_centroids")
+        self.catalog.load(f"{self.prefix}_postings")
+        return self
+
+    @property
+    def centroids(self) -> LakeTable:
+        return self.catalog.load(f"{self.prefix}_centroids")
+
+    @property
+    def postings(self) -> LakeTable:
+        return self.catalog.load(f"{self.prefix}_postings")
+
+    def _model_df(self) -> DataFrame:
+        return self.centroids.read()
+
+    # ---- ingestion (no re-clustering) ----
+
+    def append(self, new_emb: DataFrame, dim: int | None = None) -> int:
+        """Assign new vectors to their nearest FROZEN centroid and append
+        them to the inverted lists, repartitioned by list so the write
+        stays list-clustered. Returns rows appended."""
+        dim = dim or getattr(self, "_dim", 64)
+        cent = self._model_df()
+        assigned = _assign_clusters(_as_double(new_emb), cent, dim).select(
+            F.col("cid").cast("int").alias("list_id"),
+            "vec_id",
+            "v",
+            "nrm",
+        )
+        n_lists = cent.count()
+        # one write partition per ~4 lists: list-clustered files whose
+        # manifest value sets stay far under the exact-membership cap
+        snap = self.postings.append(
+            assigned.repartition(max(1, int(n_lists) // 4), "list_id")
+        )
+        return snap.total_rows
+
+    # ---- search ----
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        dim: int | None = None,
+    ) -> DataFrame:
+        """Top-k by exact cosine over the probed lists' candidates.
+        Output: (query_id, nn_id, cosine, rank) — the batch ivf_topk
+        shape, id tie-broken."""
+        import numpy as np
+
+        dim = dim or getattr(self, "_dim", 64)
+        spark = queries.sparkSession
+        model = [
+            (int(r.cid), np.array(r.cv, dtype=np.float64), float(r.cn))
+            for r in self._model_df().collect()
+        ]
+        qrows = _as_double(queries).collect()  # bounded: caller's queries
+        pairs = []  # (query_id, probed list)
+        for r in qrows:
+            qv = np.array(r.v, dtype=np.float64)
+            qn = float(r.nrm) or 1.0
+            sims = [
+                (-(qv @ cv) / (qn * (cn or 1.0)), cid) for cid, cv, cn in model
+            ]
+            for _, cid in sorted(sims)[:n_probe]:
+                pairs.append((int(r.vec_id), int(cid)))
+        probe = spark.createDataFrame(pairs, "query_id long, list_id int")
+        probed_lists = sorted({l for _, l in pairs})
+        # manifest value-set pruning: only files holding a probed list
+        # are ever opened — the scan is ~n_probe/K of the corpus
+        cand = self.postings.read(where=[("list_id", "in", probed_lists)])
+        q = _as_double(queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("nq"),
+        )
+        scored = (
+            cand.join(F.broadcast(probe), on="list_id")
+            .join(F.broadcast(q), on="query_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cos",
+                F.round(
+                    dot_expanded(F.col("qv"), F.col("v"), dim)
+                    / (F.col("nq") * F.col("nrm")),
+                    4,
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("nn_id"),
+                F.col("cos").alias("cosine"),
+                "rank",
+            )
+        )

@@ -118,3 +118,33 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     return SIM.ivfpq_topk(emb, q, k=10)
+
+
+@query("ann_ivf_index_incremental")
+def ivf_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF index lifecycle (operators/ann_index.py — the
+    FAISS-on-a-lake serving shape): BUILD on the first half of the
+    embeddings table, APPEND the second half against the frozen
+    quantizer (no re-clustering — ingestion is O(new x K)), then SEARCH
+    8 queries over manifest-value-set-pruned inverted lists. Rows-only
+    gate (quantizer floats are engine-specific); the build+append ==
+    one-shot parity and brute-force recall are unit-gated in
+    tests/test_ann_index.py."""
+    import hashlib
+    import os
+    import shutil
+
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from fluss_iceberg_spark.operators.ann_index import IvfIndex
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = f"/tmp/fluss_lake_scratch/{tag}/ivf_index"
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    idx = IvfIndex(LakeCatalog(spark, wh), "serve")
+    idx.build(emb.filter(F.col("vec_id") < n // 2), n_lists=16)
+    idx.append(emb.filter(F.col("vec_id") >= n // 2))
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    return idx.search(q, k=10, n_probe=4).orderBy("query_id", "rank")

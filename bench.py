@@ -171,6 +171,7 @@ HEADLINE = [
     "multimodal_real_decode",
     "lake_spj_bucket_join",
     "ann_ivf_index_incremental",
+    "text_weighted_sample",
 ]
 
 

@@ -836,6 +836,22 @@ class Engine:
         args = [
             _unquote(a.strip()) for a in _split_top_level(m.group(2)) if a.strip()
         ]
+        if proc == "set_commit_coordinator":
+            # catalog-level, not table-level: point every commit of THIS
+            # warehouse at a coordinator service (lake/coordinator.py —
+            # the REST-catalog CAS topology), or back to flock with ''
+            from fluss_iceberg_spark.lake import coordinator
+
+            endpoint = args[0] if args else ""
+            cfg = os.path.join(self.catalog.warehouse, "_catalog.json")
+            if endpoint:
+                coordinator.enable(self.catalog.warehouse, endpoint)
+            elif os.path.exists(cfg):
+                os.remove(cfg)
+            return self.spark.createDataFrame(
+                [(self.catalog.warehouse, endpoint or "flock (local)")],
+                "warehouse string, commit_coordinator string",
+            )
         if not args:
             raise ValueError(f"CALL {proc}: table name argument required")
         t = self.catalog.load(args[0])

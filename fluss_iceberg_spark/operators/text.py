@@ -356,6 +356,61 @@ def stratified_sample(
     )
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "wrs-v1",
+) -> DataFrame:
+    """Exact-k weight-proportional sampling per stratum — the
+    Efraimidis–Spirakis A-ES reservoir (key = u^(1/w), keep the top k
+    keys), with the weight = the document's token count, so a stratum's
+    sample is token-mass-proportional (long docs proportionally more
+    likely — the standard correction when downstream budgets are in
+    tokens, not documents).
+
+    Determinism without RNG: u = (first 8 md5 hex chars of salt ‖ id,
+    +1) / 2^32+1 ∈ (0,1) — the same engine-portable hash-uniform the
+    stratified sampler uses, so the draw is reproducible anywhere and
+    re-mixable by salt. The key is rounded to 12 decimals with an id
+    tie-break, making the ORDER itself portable (libm pow may differ in
+    the last ulp between engines; 1e-12 is coarser than any such drift
+    while far finer than real key gaps).
+
+    Scale shape: one map-side expression per row + one top-k-per-group
+    window (partial TakeOrderedAndProject per partition, k rows per
+    stratum to the shuffle) — no global sort, no driver collection."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    wgt = F.greatest(token_count(F.col(text_col)), F.lit(1)).cast("double")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        wgt.cast("int").alias("weight"),
+        F.round(F.pow(u, F.lit(1.0) / wgt), 12).alias("sample_key"),
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.desc("sample_key"), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     alpha: float = 0.5,

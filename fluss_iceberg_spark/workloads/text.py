@@ -642,3 +642,39 @@ def chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-token overlap) with chunk index and source token offset — the
     RAG / training-prep windowing step, zero-shuffle map-side."""
     return TX.chunk_passages(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_weighted_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang AS stratum,
+               GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS w
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, stratum, CAST(w AS INT) AS weight,
+               round(pow(
+                   (CAST(('0x' || substr(md5('wrs-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1.0) / 4294967297.0,
+                   1.0 / CAST(w AS DOUBLE)), 12) AS sample_key
+        FROM d
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY stratum ORDER BY sample_key DESC, doc_id
+        ) AS rk FROM k
+    )
+    SELECT doc_id, stratum, weight, sample_key FROM r WHERE rk <= 40
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k token-mass-proportional sampling per language — the
+    Efraimidis-Spirakis weighted reservoir over a deterministic
+    md5-uniform (operators/text.weighted_reservoir_sample). Completes
+    the mixing family: stratified = fixed rates, budget = exact token
+    caps, temperature = p^alpha flattening, weighted reservoir =
+    exact-k proportional-to-size draws."""
+    return TX.weighted_reservoir_sample(
+        load_table(spark, sf_dir, "documents"), k=40
+    )

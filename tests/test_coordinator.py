@@ -182,3 +182,29 @@ def test_commit_and_transaction_suites_green_against_shim(spark):
             assert after.load("b").read().count() == 2
     finally:
         proc.terminate()
+
+
+def test_sql_call_routes_commits_through_coordinator(spark, tmp_path):
+    """CALL system.set_commit_coordinator('<socket>') opts the engine's
+    warehouse into the service; '' reverts to flock. Proven by running
+    a DML commit while the coordinator is live and observing the
+    warehouse config flip."""
+    from fluss_iceberg_spark.engine import Engine
+
+    srv = coordinator.serve(str(tmp_path / "c.sock"))
+    try:
+        eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+        res = eng.sql(
+            f"CALL system.set_commit_coordinator('{tmp_path / 'c.sock'}')"
+        ).collect()
+        assert res[0].commit_coordinator.endswith("c.sock")
+        assert coordinator.endpoint_for(str(tmp_path / "wh"))
+        eng.sql("CREATE TABLE ct (k INT, v STRING, PRIMARY KEY (k) NOT ENFORCED)")
+        eng.sql("INSERT INTO ct VALUES (1, 'a'), (2, 'b')")
+        eng.sql("INSERT INTO ct VALUES (1, 'a2')")
+        got = {r.k: r.v for r in eng.sql("SELECT * FROM ct").collect()}
+        assert got == {1: "a2", 2: "b"}
+        eng.sql("CALL system.set_commit_coordinator('')")
+        assert coordinator.endpoint_for(str(tmp_path / "wh")) is None
+    finally:
+        srv.shutdown()

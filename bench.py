@@ -172,6 +172,7 @@ HEADLINE = [
     "lake_spj_bucket_join",
     "ann_ivf_index_incremental",
     "text_weighted_sample",
+    "ann_index_cdc_sync",
 ]
 
 

@@ -82,7 +82,13 @@ class IvfIndex:
         self.catalog.create_table(
             f"{self.prefix}_postings",
             spark.createDataFrame([], _POSTINGS_SCHEMA).schema,
-            properties={"write.value-set-columns": "list_id"},
+            # list_id value sets prune SEARCH probes; vec_id blooms prune
+            # the CDC-sync's stale-key DELETE to the files actually
+            # holding a changed vector
+            properties={
+                "write.value-set-columns": "list_id",
+                "write.bloom-columns": "vec_id",
+            },
             replace=True,
         )
         self._dim = dim
@@ -126,6 +132,68 @@ class IvfIndex:
             assigned.repartition(max(1, int(n_lists) // 4), "list_id")
         )
         return snap.total_rows
+
+    # ---- CDC maintenance ----
+
+    def sync_from_changelog(
+        self,
+        source,
+        from_version: int = 0,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        dim: int | None = None,
+        max_inline_keys: int = 100_000,
+    ) -> dict:
+        """Keep the index in step with a CDC-updated PK embeddings table:
+        consume the source's per-commit changelog since ``from_version``,
+        squash it to net per-key changes (compose_changelog — an
+        insert→update chain applies once), then
+
+        - DELETE postings of updated/deleted keys (inline IN-list
+          row-level delete when the changed-key set fits
+          ``max_inline_keys``; beyond that, one anti-join overwrite —
+          the compaction-sized path a huge backlog warrants anyway);
+        - ASSIGN + APPEND upserted vectors against the frozen quantizer.
+
+        Cost is O(net changed keys), never O(corpus): the changelog diff
+        reads only changed buckets, the postings delete rewrites only
+        files holding a stale key (manifest pruning on vec_id), and the
+        append is the normal incremental path. Returns
+        {"deleted", "upserted", "synced_to_version"}."""
+        dim = dim or getattr(self, "_dim", 64)
+        to_v = source.current_version()
+        log = source.changelog_stream(from_version, to_v)
+        net = source.compose_changelog(log)
+        stale_ids = [
+            r[0]
+            for r in net.filter(F.col("op").isin("update", "delete"))
+            .select(id_col)
+            .limit(max_inline_keys + 1)
+            .collect()
+        ]
+        deleted = 0
+        if 0 < len(stale_ids) <= max_inline_keys:
+            self.postings.delete(where=[("vec_id", "in", stale_ids)])
+            deleted = len(stale_ids)
+        elif stale_ids:  # backlog beyond the inline bound: one anti-join rewrite
+            stale = net.filter(F.col("op").isin("update", "delete")).select(
+                F.col(id_col).alias("vec_id")
+            )
+            live = self.postings.read().join(stale, on="vec_id", how="left_anti")
+            deleted = -1  # unbounded form: count not tracked inline
+            self.postings.overwrite(live)
+        fresh = net.filter(F.col("op").isin("insert", "update")).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        upserted = 0
+        if fresh.limit(1).count():
+            self.append(fresh, dim=dim)
+            upserted = fresh.count()
+        return {
+            "deleted": deleted,
+            "upserted": upserted,
+            "synced_to_version": to_v,
+        }
 
     # ---- search ----
 

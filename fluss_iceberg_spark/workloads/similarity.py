@@ -148,3 +148,50 @@ def ivf_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.append(emb.filter(F.col("vec_id") >= n // 2))
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     return idx.search(q, k=10, n_probe=4).orderBy("query_id", "rank")
+
+
+@query("ann_index_cdc_sync")
+def ivf_index_cdc_sync_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained IVF index (operators/ann_index.sync_from_changelog):
+    the embeddings live in a PK lake table; the index builds once, then
+    the table takes a CDC batch (every 10th vector's embedding replaced
+    by its right neighbor's — deterministic from the data — plus a
+    range delete), and ONE changelog sync brings the index to the new
+    state: stale postings deleted via vec_id-bloom-pruned row-level
+    delete, upserts reassigned against the frozen quantizer. Search
+    runs over the synced index. Rows-only gate; the postings ==
+    frozen-model-assignment-of-final-state invariant is unit-gated in
+    tests/test_ann_index.py."""
+    import hashlib
+    import os
+    import shutil
+
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from fluss_iceberg_spark.operators.ann_index import IvfIndex
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = f"/tmp/fluss_lake_scratch/{tag}/ivf_cdc"
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    cat = LakeCatalog(spark, wh)
+    src = cat.create_table(
+        "emb_src", emb.schema, primary_key=["vec_id"], n_buckets=8
+    )
+    src.merge(emb)
+    v0 = src.current_version()
+    idx = IvfIndex(cat, "serve").build(src.read(), n_lists=16)
+    # CDC batch: every 10th vector takes its right neighbor's embedding;
+    # the top 5% of ids leave the corpus
+    nbr = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding")
+    )
+    updates = nbr.filter(
+        (F.pmod("vec_id", F.lit(10)) == 0) & (F.col("vec_id") >= 0)
+    )
+    src.merge(updates)
+    src.delete(where=[("vec_id", ">=", int(n * 0.95))])
+    idx.sync_from_changelog(src, from_version=v0)
+    q = src.read().filter(F.col("vec_id") < N_QUERIES)
+    return idx.search(q, k=10, n_probe=4).orderBy("query_id", "rank")

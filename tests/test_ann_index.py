@@ -93,3 +93,54 @@ def test_search_output_shape(spark, tmp_path, emb):
     rows = out.collect()
     assert len(rows) == 14
     assert all(1 <= r.rank <= 7 and r.query_id != r.nn_id for r in rows)
+
+
+def test_cdc_sync_matches_frozen_model_assignment(spark, tmp_path, emb):
+    """After consuming a changelog with inserts, updates, and deletes,
+    the postings must equal EXACTLY the frozen model's assignment of the
+    source table's final state — no stale vectors, no duplicates, every
+    upsert reassigned."""
+    from fluss_iceberg_spark.operators.similarity import (
+        _as_double,
+        _assign_clusters,
+    )
+
+    rnd = random.Random(29)
+    cat = LakeCatalog(spark, str(tmp_path / "cdc_wh"))
+    src = cat.create_table(
+        "emb_src",
+        emb.schema,
+        primary_key=["vec_id"],
+        n_buckets=4,
+    )
+    src.merge(emb.filter(F.col("vec_id") < 250))
+    v0 = src.current_version()
+    idx = IvfIndex(cat, "cdc").build(src.read(), n_lists=8, dim=DIM)
+    # CDC traffic: 20 vector updates, a range delete, 50 inserts
+    updates = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(DIM)]) for i in range(20)],
+        emb.schema,
+    )
+    src.merge(updates)
+    src.delete(where=[("vec_id", ">=", 230)])  # 230..249 leave
+    src.merge(emb.filter(F.col("vec_id").between(250, 299)))
+    res = idx.sync_from_changelog(src, from_version=v0, dim=DIM)
+    assert res["deleted"] >= 20 and res["upserted"] == 70
+    model = idx._model_df()
+    want = {
+        (r.cid, r.vec_id)
+        for r in _assign_clusters(
+            _as_double(src.read()), model, DIM
+        ).collect()
+    }
+    got_rows = idx.postings.read().select("list_id", "vec_id").collect()
+    got = {(r.list_id, r.vec_id) for r in got_rows}
+    assert len(got_rows) == len(got) == 280  # no duplicate postings
+    assert got == want
+    # search serves the fresh corpus: an updated vector's old position
+    # is gone (its nn set reflects the new embedding)
+    out = idx.search(src.read().filter(F.col("vec_id") < 2), k=5, dim=DIM)
+    assert out.count() == 10
+    # idempotence: nothing new to sync
+    res2 = idx.sync_from_changelog(src, from_version=res["synced_to_version"], dim=DIM)
+    assert res2["deleted"] == 0 and res2["upserted"] == 0

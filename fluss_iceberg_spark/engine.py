@@ -192,10 +192,30 @@ class Engine:
         self._reg_state[t.name] = self._table_state(t)
 
     def _stats_estimate_bytes(self, t: LakeTable) -> float | None:
+        """Broadcast-hint size estimate: the CBO row-width model FLOORED
+        at the snapshot's actual manifest bytes. The width model prices
+        every string at 24 B, so a long-text table (documents-style,
+        ~5 KB/row) would otherwise look orders of magnitude smaller than
+        it is and be force-broadcast into an OOM; actual file bytes are
+        recorded per file at commit time, and a table can never occupy
+        less memory than its compressed on-disk form — so max(model,
+        manifest) can underestimate only by the compression ratio, never
+        by the width model's unbounded error."""
         from fluss_iceberg_spark.plans import cbo
 
         try:
-            return cbo.estimate_bytes(t)
+            est = cbo.estimate_bytes(t)
+            if est is None:
+                return None
+            snap = t.snapshot()
+            manifest = 0.0
+            if snap is not None:
+                for f in snap.files:
+                    b = (snap.file_meta.get(f) or {}).get("bytes")
+                    if b is None:
+                        return None  # pre-stats vintage: don't guess
+                    manifest += float(b)
+            return max(est, manifest)
         except (OSError, ValueError, KeyError):
             return None  # unreadable/garbled stats: plan without them
 
@@ -229,23 +249,21 @@ class Engine:
             )
         except OSError:
             meta_mtime = -1.0
-        # latest ANALYZE stats version: a fresh ANALYZE must re-register
-        # the view (the broadcast hint is decided at registration), even
-        # though it moves no snapshot pointer
+        # meta-DIRECTORY mtime: a fresh ANALYZE must re-register the view
+        # (the broadcast hint is decided at registration) but moves no
+        # snapshot pointer — it only adds stats_v{N}.json, which bumps
+        # the directory mtime. One O(1) stat, not an O(#snapshots)
+        # listdir per referenced table per statement (at streaming
+        # cadence meta/ holds thousands of entries). Over-sensitivity is
+        # harmless: any other meta change that bumps the dir also moved
+        # the version/committed_at fields this tuple already carries.
         try:
-            stats_v = max(
-                (
-                    int(f[len("stats_v"):-len(".json")])
-                    for f in os.listdir(os.path.join(t.path, "meta"))
-                    if f.startswith("stats_v") and f.endswith(".json")
-                ),
-                default=-1,
-            )
+            meta_dir_mtime = os.path.getmtime(os.path.join(t.path, "meta"))
         except OSError:
-            stats_v = -1
+            meta_dir_mtime = -1.0
         return (
             t.path, cur, snap.committed_at_ms if snap else -1,
-            meta_mtime, stats_v,
+            meta_mtime, meta_dir_mtime,
         )
 
     # delete_files before files: the alternation is ordered, so

@@ -67,21 +67,39 @@ def enable(warehouse: str, socket_path: str) -> None:
 
 
 class CoordinatorClient:
-    """Holds one granted commit lock; release by ``close()`` (or death)."""
+    """Holds one granted commit lock; release by ``close()`` (or death).
 
-    def __init__(self, socket_path: str, scope: str, timeout: float = 60.0):
+    ``connect_timeout`` bounds only REACHING the service (an absent
+    coordinator must fail fast, not hang commits). ``timeout`` bounds
+    the grant WAIT — default None blocks indefinitely under contention,
+    matching the flock implementation this is interchangeable with (a
+    commit must queue behind a slow publisher, not error out); pass a
+    number to opt into bounded waits."""
+
+    def __init__(
+        self,
+        socket_path: str,
+        scope: str,
+        timeout: float | None = None,
+        connect_timeout: float = 10.0,
+    ):
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self._sock.settimeout(timeout)
-        self._sock.connect(socket_path)
-        self._sock.sendall(f"LOCK {scope}\n".encode())
-        buf = b""
-        while not buf.endswith(b"\n"):
-            got = self._sock.recv(64)
-            if not got:
-                raise ConnectionError("coordinator closed before grant")
-            buf += got
-        if buf.strip() != b"OK":
-            raise ConnectionError(f"coordinator refused: {buf!r}")
+        try:
+            self._sock.settimeout(connect_timeout)
+            self._sock.connect(socket_path)
+            self._sock.sendall(f"LOCK {scope}\n".encode())
+            self._sock.settimeout(timeout)  # None = wait like flock
+            buf = b""
+            while not buf.endswith(b"\n"):
+                got = self._sock.recv(64)
+                if not got:
+                    raise ConnectionError("coordinator closed before grant")
+                buf += got
+            if buf.strip() != b"OK":
+                raise ConnectionError(f"coordinator refused: {buf!r}")
+        except BaseException:
+            self._sock.close()  # no half-open lease on a failed acquire
+            raise
 
     def close(self) -> None:
         try:

@@ -249,23 +249,30 @@ _VALUE_SET_CAP = 64
 
 def _file_value_sets(abspath: str, cols: list[str], cap: int = _VALUE_SET_CAP) -> dict:
     """Per-file distinct-value sets for declared low-cardinality STRING
-    columns (table property ``write.value-set-columns``) — the pruning
-    complement to min/max bounds. Lexicographic [min,max] ranges over
-    codes like src1/src10/src2 span nearly the whole domain, so equality
-    predicates can't prune; the exact value set can. Columns exceeding
-    ``cap`` distincts record no set (falls back to bounds). Mirrors what
-    a writer task would report alongside its footer stats on a cluster;
-    the stand-in reads just the listed columns of each NEW file at commit
-    time (column-pruned, dictionary-encoded — O(file's distinct values),
-    not a data scan of the table)."""
+    or INTEGER columns (table property ``write.value-set-columns``) —
+    the pruning complement to min/max bounds. Lexicographic [min,max]
+    ranges over codes like src1/src10/src2 span nearly the whole domain,
+    and hash-scattered integer ids (an IVF index's list_id after a hash
+    repartition) span it numerically — equality predicates can't prune
+    on bounds; the exact value set can. Columns exceeding ``cap``
+    distincts record no set (falls back to bounds). Integer sets store
+    native JSON ints; the probe side compares in the int domain (a
+    string literal never matches an int set, and vice versa). Mirrors
+    what a writer task would report alongside its footer stats on a
+    cluster; the stand-in reads just the listed columns of each NEW file
+    at commit time (column-pruned, dictionary-encoded — O(file's
+    distinct values), not a data scan of the table)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+    import pyarrow.types as pat
 
     sch = pq.read_schema(abspath)
     want = [
         c for c in cols
         if c in sch.names
-        and (sch.field(c).type == "string" or sch.field(c).type == "large_string")
+        and (sch.field(c).type == "string"
+             or sch.field(c).type == "large_string"
+             or pat.is_integer(sch.field(c).type))
     ]
     if not want:
         return {}
@@ -419,8 +426,15 @@ def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
     if op == "in":
         return any(_file_may_match(meta, col, "=", v) for v in lit)
     vset = (meta or {}).get("value_sets", {}).get(col)
-    if vset is not None and op == "=" and isinstance(lit, str):
-        return lit in vset  # exact membership beats range bounds
+    if (
+        vset is not None
+        and op == "="
+        and isinstance(lit, (str, int))
+        and not isinstance(lit, bool)
+    ):
+        # exact membership beats range bounds; compare in the set's own
+        # domain (JSON round-trips str and int losslessly, never mixes)
+        return lit in vset
     bloom = (meta or {}).get("blooms", {}).get(col)
     if bloom is not None and op == "=":
         if isinstance(bloom, dict):  # adaptive-size form
@@ -3920,14 +3934,20 @@ class LakeCatalog:
 
     def table_path(self, name: str) -> str:
         # _commit_lock derives the catalog-wide lock file from the table
-        # path's PARENT dir; a name containing a path separator would make
-        # that parent something other than the warehouse root and silently
-        # serialize against a different lock — reject it here, the single
-        # choke point for create/load/exists/drop.
-        if os.sep in name or (os.altsep and os.altsep in name):
+        # path's PARENT dir; a name containing a path separator (or the
+        # traversal names '.'/'..', which escape the warehouse without
+        # one) would make that parent something other than the warehouse
+        # root and silently serialize against a different lock — reject
+        # here, the single choke point for create/load/exists/drop.
+        if (
+            not name
+            or name in (".", "..")
+            or os.sep in name
+            or (os.altsep and os.altsep in name)
+        ):
             raise ValueError(
-                f"invalid table name {name!r}: path separators are not "
-                "allowed (tables are direct children of the warehouse)"
+                f"invalid table name {name!r}: tables are direct children "
+                "of the warehouse (no path separators, '.' or '..')"
             )
         return os.path.join(self.warehouse, name)
 

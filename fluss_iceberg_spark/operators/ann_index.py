@@ -131,7 +131,7 @@ class IvfIndex:
         snap = self.postings.append(
             assigned.repartition(max(1, int(n_lists) // 4), "list_id")
         )
-        return snap.total_rows
+        return snap.added_rows
 
     # ---- CDC maintenance ----
 
@@ -163,7 +163,26 @@ class IvfIndex:
         dim = dim or getattr(self, "_dim", 64)
         to_v = source.current_version()
         log = source.changelog_stream(from_version, to_v)
-        net = source.compose_changelog(log)
+        # persist the squashed changelog: the sync takes several actions
+        # over it (stale-key collect, upsert write, counts) and each
+        # would otherwise re-execute the whole per-commit diff lineage
+        net = source.compose_changelog(log).persist()
+        try:
+            return self._apply_net_changes(
+                net, to_v, dim, max_inline_keys, id_col, vec_col
+            )
+        finally:
+            net.unpersist()
+
+    def _apply_net_changes(
+        self,
+        net: DataFrame,
+        to_v: int,
+        dim: int,
+        max_inline_keys: int,
+        id_col: str,
+        vec_col: str,
+    ) -> dict:
         stale_ids = [
             r[0]
             for r in net.filter(F.col("op").isin("update", "delete"))
@@ -185,10 +204,9 @@ class IvfIndex:
         fresh = net.filter(F.col("op").isin("insert", "update")).select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         )
-        upserted = 0
-        if fresh.limit(1).count():
+        upserted = fresh.count()  # one job over the cached net frame
+        if upserted:
             self.append(fresh, dim=dim)
-            upserted = fresh.count()
         return {
             "deleted": deleted,
             "upserted": upserted,

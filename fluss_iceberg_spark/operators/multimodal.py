@@ -59,7 +59,7 @@ def decode_image_stub(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["n_bytes"].astype("int32"),
+                "n_bytes": pdf["n_bytes"].astype("Int32"),
                 "sha256": pdf["sha256"],
                 "fake_width": (1 + first.where(first >= 0, 0)).astype("int32"),
                 "fake_height": (1 + last.where(last >= 0, 0)).astype("int32"),
@@ -104,7 +104,12 @@ def decode_real_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     for pdf in batch_iter:
         widths, heights, modes = [], [], []
         for payload in pdf["payload"]:
-            got = probe(bytes(payload))
+            # NULL payloads (failed fetches) and unconvertible cells are
+            # corrupt-blob cases: NULL features, never a task failure
+            try:
+                got = probe(bytes(payload)) if payload is not None else None
+            except (TypeError, ValueError):
+                got = None
             w, h, m = got if got is not None else (None, None, None)
             widths.append(w)
             heights.append(h)
@@ -112,7 +117,9 @@ def decode_real_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["n_bytes"].astype("int32"),
+                # nullable Int32: a NULL payload carries NULL n_bytes,
+                # which a plain int32 astype would refuse (NaN)
+                "n_bytes": pdf["n_bytes"].astype("Int32"),
                 "sha256": pdf["sha256"],
                 "width": pd.Series(widths, dtype="Int32"),
                 "height": pd.Series(heights, dtype="Int32"),

@@ -72,6 +72,13 @@ def bucket_aligned_join(
         )
     on = list(probe.primary_key)
     build_cols = [c for c in build.schema.fieldNames() if c not in on]
+    clash = sorted(set(build_cols) & set(probe.schema.fieldNames()))
+    if clash:
+        raise ValueError(
+            f"non-key columns {clash} exist on both sides — the per-bucket "
+            "join output would be ambiguous; rename or project one side "
+            "before joining"
+        )
     parts: list[DataFrame] = []
     for b in range(probe.n_buckets):
         pdf = probe.read_bucket(b)

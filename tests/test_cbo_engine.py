@@ -1,8 +1,8 @@
 """CBO at the SQL surface: Engine._register consumes ANALYZE stats so
-plain ``engine.sql()`` star joins get plan-time broadcast decisions —
-the same plans/cbo.py estimate that powers join_with_stats, now applied
-where users actually write SQL (reference role: Trino's CBO over
-Iceberg table stats, trino/iceberg.properties:2-6)."""
+plain ``engine.sql()`` joins over analyzed lake tables get a broadcast
+hint — but only when the estimate FLOORED AT ACTUAL MANIFEST BYTES fits
+the session threshold (the width model prices strings at 24 B; without
+the floor a long-text table would be force-broadcast into an OOM)."""
 
 from __future__ import annotations
 
@@ -12,23 +12,13 @@ from fluss_iceberg_spark.engine import Engine
 from fluss_iceberg_spark.plans.checks import count_nodes
 
 
+def _view_has_hint(spark, name: str) -> bool:
+    return "ResolvedHint" in spark.table(name)._jdf.queryExecution().analyzed().toString()
+
+
 @pytest.fixture()
 def eng(spark, tmp_path):
     e = Engine(spark, warehouse=str(tmp_path / "wh"))
-    # PK dimension: its MOR read (union + window dedup) denies Catalyst
-    # a usable static size, and the wide attr column makes its FILE
-    # bytes exceed the test threshold — only row-count × width stats
-    # can justify a broadcast. Fact: a plain log table, clearly big.
-    # attr must be incompressible (distinct sha chunks, not a repeated
-    # uuid) so the dim's FILE bytes genuinely exceed the test threshold
-    dim = spark.range(0, 200).selectExpr(
-        "id AS k",
-        "concat_ws('', transform(sequence(1, 30), "
-        "x -> sha2(concat(cast(id AS STRING), '-', cast(x AS STRING)), 256)"
-        ")) AS attr",
-    )
-    e.create_table("d_dim", dim.schema, primary_key=["k"])
-    e.catalog.load("d_dim").merge(dim)
     fact = spark.range(0, 20000).selectExpr(
         "id % 200 AS k", "repeat(uuid(), 2) AS payload"
     )
@@ -43,41 +33,76 @@ _JOIN = (
 )
 
 
-def test_engine_sql_join_flips_to_bhj_after_analyze(spark, eng):
+def test_analyzed_small_dim_gets_hint_and_bhj(spark, eng):
+    """A dim whose true size fits the threshold: after ANALYZE the view
+    registers with a broadcast hint and the SQL join plans BHJ."""
+    # repeated-uuid attr compresses to almost nothing: manifest bytes
+    # stay far under the 64KB test threshold
+    dim = spark.range(0, 200).selectExpr("id AS k", "repeat(uuid(), 3) AS attr")
+    eng.create_table("d_dim", dim.schema, primary_key=["k"])
+    eng.catalog.load("d_dim").merge(dim)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
     try:
-        before = eng.sql(_JOIN)
-        assert count_nodes(before, "BroadcastHashJoin") == 0, (
-            "premise broken: the static path already broadcasts the dim "
-            "— widen the attr column"
-        )
+        eng.sql("SELECT 1")  # registration refresh pass, pre-ANALYZE
+        assert not _view_has_hint(spark, "d_dim")
         eng.sql("ANALYZE TABLE d_dim")
         after = eng.sql(_JOIN)
+        assert _view_has_hint(spark, "d_dim")
         assert count_nodes(after, "BroadcastHashJoin") >= 1
-        # plans differ, answers don't
-        assert after.count() == before.count() == 20000
+        assert after.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_long_text_dim_never_force_broadcast(spark, eng):
+    """The review scenario the manifest floor exists for: a long-text
+    dim whose WIDTH-MODEL estimate fits the threshold (2000 rows x 32 B
+    = 62KB < 64KB) but whose actual bytes are megabytes. The hint must
+    NOT be applied — broadcasting megabytes at a 64KB budget is the
+    width model's unbounded error, not a plan improvement."""
+    dim = spark.range(0, 2000).selectExpr(
+        "id AS k",
+        "concat_ws('', transform(sequence(1, 30), "
+        "x -> sha2(concat(cast(id AS STRING), '-', cast(x AS STRING)), 256)"
+        ")) AS attr",  # ~1.9KB of incompressible text per row
+    )
+    eng.create_table("d_dim", dim.schema, primary_key=["k"])
+    eng.catalog.load("d_dim").merge(dim)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+    try:
+        eng.sql("ANALYZE TABLE d_dim")
+        eng.sql(_JOIN).count()
+        assert not _view_has_hint(spark, "d_dim")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_hint_withdrawn_when_table_outgrows_threshold(spark, eng):
-    """The estimate rescales by CURRENT manifest rows at every
-    registration (plans/cbo.estimate_rows' stale-stats guard), so a dim
-    that grows far past its ANALYZE-time size loses the hint at its
-    next head movement instead of being force-broadcast on stale
-    stats."""
+    """The estimate rescales by CURRENT manifest state at every
+    registration, so a dim that grows far past its ANALYZE-time size
+    loses the hint at its next head movement instead of being
+    force-broadcast on stale stats."""
+    dim = spark.range(0, 200).selectExpr("id AS k", "repeat(uuid(), 3) AS attr")
+    eng.create_table("d_dim", dim.schema, primary_key=["k"])
+    eng.catalog.load("d_dim").merge(dim)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
     try:
         eng.sql("ANALYZE TABLE d_dim")
-        assert count_nodes(eng.sql(_JOIN), "BroadcastHashJoin") >= 1
-        # grow the dim ~50x: 10_000 rows x 32B estimate = 320KB > 64KB
+        eng.sql(_JOIN).count()
+        assert _view_has_hint(spark, "d_dim")
+        # grow 50x with incompressible text: both the row-count rescale
+        # and the manifest floor now exceed the threshold
         more = spark.range(1_000, 11_000).selectExpr(
-            "id AS k", "repeat(uuid(), 2) AS attr"
+            "id AS k",
+            "concat_ws('', transform(sequence(1, 4), "
+            "x -> sha2(concat(cast(id AS STRING), cast(x AS STRING)), 256))) AS attr",
         )
         eng.catalog.load("d_dim").merge(more)
-        assert count_nodes(eng.sql(_JOIN), "BroadcastHashJoin") == 0
+        eng.sql(_JOIN).count()
+        assert not _view_has_hint(spark, "d_dim")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

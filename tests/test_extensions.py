@@ -165,3 +165,18 @@ def test_connected_components_paths_agree(spark):
         (7, 7),
         (10, 10), (11, 10),
     }
+
+
+def test_decode_real_null_payload_yields_null_features(spark):
+    """A NULL payload (failed fetch) must yield NULL features, not kill
+    the mapInPandas task (review regression guard)."""
+    import pyspark.sql.functions as SF
+
+    docs = spark.createDataFrame(
+        [(1, "P6\n2 2\n255\n" + "x" * 12), (2, None)],
+        "doc_id long, text string",
+    )
+    binarized = MM.binarize_documents(docs)
+    assert binarized.filter(SF.col("payload").isNull()).count() == 1
+    rows = {r.doc_id: r for r in MM.decode_real(binarized).collect()}
+    assert rows[1].width == 2 and rows[2].width is None

@@ -93,3 +93,15 @@ def test_layout_guards(spark, co_bucketed):
         bucket_aligned_join(lt, diff_pk)
     with pytest.raises(ValueError, match="inner/left"):
         bucket_aligned_join(lt, rt, how="full")
+
+
+def test_overlapping_non_key_columns_rejected(spark, co_bucketed):
+    cat, lt, _ = co_bucketed
+    twin = cat.create_table(
+        "twin",
+        spark.range(1).selectExpr("CAST(id AS INT) AS k", "CAST(id AS INT) AS grp").schema,
+        primary_key=["k"],
+        n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        bucket_aligned_join(lt, twin)

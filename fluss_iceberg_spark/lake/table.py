@@ -434,7 +434,17 @@ def _file_may_match(meta: dict | None, col: str, op: str, lit) -> bool:
     ):
         # exact membership beats range bounds; compare in the set's own
         # domain (JSON round-trips str and int losslessly, never mixes)
-        return lit in vset
+        if lit in vset:
+            return True
+        # a miss is definitive only when the literal lives in the set's
+        # domain: Spark's row filter cast-coerces a type-mismatched
+        # literal ('5' vs an int column) and can still match rows the
+        # typed membership test rejects — fall through to bounds/bloom
+        # (keep-conservative) then. One element decides: a set built
+        # from a single parquet column is type-homogeneous. An empty
+        # set (all-null file) stays definitive — NULL never compares.
+        if not vset or type(next(iter(vset))) is type(lit):
+            return False
     bloom = (meta or {}).get("blooms", {}).get(col)
     if bloom is not None and op == "=":
         if isinstance(bloom, dict):  # adaptive-size form
@@ -3696,6 +3706,12 @@ class CatalogTransaction:
         # path -> {"first_base": int, "latest": int, "all": [versions]}
         self._staged: dict[str, dict] = {}
         self._done = False
+        # callers may stage DIFFERENT tables from concurrent threads
+        # (the admission claim phase overlaps its three state writes);
+        # the registry mutation itself must stay atomic
+        import threading
+
+        self._stage_lock = threading.Lock()
 
     def table(self, name: str) -> LakeTable:
         if name not in self._tables:
@@ -3723,11 +3739,12 @@ class CatalogTransaction:
         return s["first_base"] if s else cur
 
     def stage(self, t: LakeTable, base: int, version: int) -> None:
-        s = self._staged.setdefault(
-            t.path, {"first_base": base, "latest": version, "all": []}
-        )
-        s["latest"] = version
-        s["all"].append(version)
+        with self._stage_lock:
+            s = self._staged.setdefault(
+                t.path, {"first_base": base, "latest": version, "all": []}
+            )
+            s["latest"] = version
+            s["all"].append(version)
 
     def commit(self) -> None:
         if self._done:

@@ -73,9 +73,23 @@ class IvfIndex:
     ) -> "IvfIndex":
         spark = emb.sparkSession
         model = train_ivf_centroids(emb, n_lists, n_iters=n_iters, dim=dim)
+        # remap cids (seed vec_ids — arbitrary longs) to DENSE 0..K-1 in
+        # seed order: list_id then always fits the postings' int column
+        # (a seed id past 2^31 would silently wrap on the non-ANSI cast)
+        # and stays dense for probe frames. train_ivf_centroids returns
+        # seeds in ascending vec_id order, so the remap is deterministic
+        # and preserves the lowest-cid tie-break.
+        model = [(i, cv, cn) for i, (_, cv, cn) in enumerate(model)]
         cent = self.catalog.create_table(
             f"{self.prefix}_centroids",
             spark.createDataFrame([], _CENTROIDS_SCHEMA).schema,
+            # the model's build-time shape rides the table so load() in a
+            # fresh process recovers it (a dim mismatch would silently
+            # truncate/null-pad dot products — wrong results, no error)
+            properties={
+                "index.dim": str(dim),
+                "index.n-lists": str(len(model)),
+            },
             replace=True,
         )
         cent.append(_centroids_df(spark, model).coalesce(1))
@@ -96,8 +110,18 @@ class IvfIndex:
         return self
 
     def load(self) -> "IvfIndex":
-        self.catalog.load(f"{self.prefix}_centroids")
+        cent = self.catalog.load(f"{self.prefix}_centroids")
         self.catalog.load(f"{self.prefix}_postings")
+        # restore the build-time model shape; pre-property indexes fall
+        # back to measuring a stored centroid (never a blind default)
+        dim = cent.properties.get("index.dim")
+        if dim is None:
+            row = cent.read().select(F.size("cv").alias("d")).head()
+            dim = row.d if row is not None else 64
+        self._dim = int(dim)
+        self._n_lists = int(
+            cent.properties.get("index.n-lists", 0)
+        ) or None
         return self
 
     @property
@@ -111,13 +135,20 @@ class IvfIndex:
     def _model_df(self) -> DataFrame:
         return self.centroids.read()
 
+    def _require_dim(self) -> int:
+        """The build-time dim, restored from the centroids table when this
+        handle didn't run build() itself (fresh-process load path)."""
+        if not hasattr(self, "_dim"):
+            self.load()
+        return self._dim
+
     # ---- ingestion (no re-clustering) ----
 
     def append(self, new_emb: DataFrame, dim: int | None = None) -> int:
         """Assign new vectors to their nearest FROZEN centroid and append
         them to the inverted lists, repartitioned by list so the write
         stays list-clustered. Returns rows appended."""
-        dim = dim or getattr(self, "_dim", 64)
+        dim = dim or self._require_dim()
         cent = self._model_df()
         assigned = _assign_clusters(_as_double(new_emb), cent, dim).select(
             F.col("cid").cast("int").alias("list_id"),
@@ -158,9 +189,13 @@ class IvfIndex:
         Cost is O(net changed keys), never O(corpus): the changelog diff
         reads only changed buckets, the postings delete rewrites only
         files holding a stale key (manifest pruning on vec_id), and the
-        append is the normal incremental path. Returns
-        {"deleted", "upserted", "synced_to_version"}."""
-        dim = dim or getattr(self, "_dim", 64)
+        append is the normal incremental path. Past ``max_inline_keys``
+        the delete degrades to ONE anti-join overwrite — a full postings
+        rewrite (compaction-sized, O(corpus), not O(changes)); the right
+        trade only because a >100k-key backlog warrants compaction
+        anyway. Returns {"deleted", "upserted", "synced_to_version"};
+        ``deleted`` counts actual stale postings rows on both paths."""
+        dim = dim or self._require_dim()
         to_v = source.current_version()
         log = source.changelog_stream(from_version, to_v)
         # persist the squashed changelog: the sync takes several actions
@@ -194,13 +229,15 @@ class IvfIndex:
         if 0 < len(stale_ids) <= max_inline_keys:
             self.postings.delete(where=[("vec_id", "in", stale_ids)])
             deleted = len(stale_ids)
-        elif stale_ids:  # backlog beyond the inline bound: one anti-join rewrite
+        elif stale_ids:  # backlog beyond the inline bound: one anti-join
+            # rewrite — a FULL postings rewrite (see docstring)
             stale = net.filter(F.col("op").isin("update", "delete")).select(
                 F.col(id_col).alias("vec_id")
             )
+            before = self.postings.read().count()
             live = self.postings.read().join(stale, on="vec_id", how="left_anti")
-            deleted = -1  # unbounded form: count not tracked inline
-            self.postings.overwrite(live)
+            snap = self.postings.overwrite(live)
+            deleted = before - snap.added_rows
         fresh = net.filter(F.col("op").isin("insert", "update")).select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         )
@@ -215,6 +252,55 @@ class IvfIndex:
 
     # ---- search ----
 
+    # past this many queries, query→list routing runs as a Spark job
+    # (broadcast centroids + top-n_probe window) instead of a driver
+    # numpy loop; below it, the driver path avoids a job per search
+    ROUTE_DRIVER_MAX = 1024
+
+    def _route_queries(
+        self, queries: DataFrame, n_probe: int, dim: int
+    ) -> tuple[DataFrame, bool]:
+        """((query_id, list_id) routing pairs, small_query_set flag) —
+        each query's ``n_probe`` nearest centroids by cosine, lowest-cid
+        tie-break. Collects at most ``ROUTE_DRIVER_MAX + 1`` query rows:
+        small query sets route driver-side (numpy over the K·dim model,
+        no Spark job), larger ones route distributed via
+        ``_assign_clusters`` (broadcast centroids, |Q|·K dot products in
+        one scan, top-n_probe window) — the same scoring expression, so
+        both paths pick identical probe sets (unit-gated in
+        tests/test_ann_index.py). The flag tells ``search`` whether the
+        query side is small enough to broadcast into the scoring join."""
+        import numpy as np
+
+        spark = queries.sparkSession
+        qd = _as_double(queries)
+        qrows = qd.limit(self.ROUTE_DRIVER_MAX + 1).collect()
+        if len(qrows) > self.ROUTE_DRIVER_MAX:
+            routed = _assign_clusters(
+                qd, self._model_df(), dim, top_n=n_probe
+            ).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("cid").cast("int").alias("list_id"),
+            )
+            return routed, False
+        model = [
+            (int(r.cid), np.array(r.cv, dtype=np.float64), float(r.cn))
+            for r in self._model_df().collect()
+        ]
+        pairs = []  # (query_id, probed list)
+        for r in qrows:
+            qv = np.array(r.v, dtype=np.float64)
+            qn = float(r.nrm) or 1.0
+            sims = [
+                (-(qv @ cv) / (qn * (cn or 1.0)), cid) for cid, cv, cn in model
+            ]
+            for _, cid in sorted(sims)[:n_probe]:
+                pairs.append((int(r.vec_id), int(cid)))
+        return (
+            spark.createDataFrame(pairs, "query_id long, list_id int"),
+            True,
+        )
+
     def search(
         self,
         queries: DataFrame,
@@ -225,26 +311,13 @@ class IvfIndex:
         """Top-k by exact cosine over the probed lists' candidates.
         Output: (query_id, nn_id, cosine, rank) — the batch ivf_topk
         shape, id tie-broken."""
-        import numpy as np
-
-        dim = dim or getattr(self, "_dim", 64)
-        spark = queries.sparkSession
-        model = [
-            (int(r.cid), np.array(r.cv, dtype=np.float64), float(r.cn))
-            for r in self._model_df().collect()
-        ]
-        qrows = _as_double(queries).collect()  # bounded: caller's queries
-        pairs = []  # (query_id, probed list)
-        for r in qrows:
-            qv = np.array(r.v, dtype=np.float64)
-            qn = float(r.nrm) or 1.0
-            sims = [
-                (-(qv @ cv) / (qn * (cn or 1.0)), cid) for cid, cv, cn in model
-            ]
-            for _, cid in sorted(sims)[:n_probe]:
-                pairs.append((int(r.vec_id), int(cid)))
-        probe = spark.createDataFrame(pairs, "query_id long, list_id int")
-        probed_lists = sorted({l for _, l in pairs})
+        dim = dim or self._require_dim()
+        probe, small_q = self._route_queries(queries, n_probe, dim)
+        # the union of probed lists is bounded by K (model-sized), never
+        # by |Q| — safe to collect for the manifest IN-list pushdown
+        probed_lists = sorted(
+            r[0] for r in probe.select("list_id").distinct().collect()
+        )
         # manifest value-set pruning: only files holding a probed list
         # are ever opened — the scan is ~n_probe/K of the corpus
         cand = self.postings.read(where=[("list_id", "in", probed_lists)])
@@ -253,9 +326,14 @@ class IvfIndex:
             F.col("v").alias("qv"),
             F.col("nrm").alias("nq"),
         )
+        # small query sets broadcast into the postings scan (map-side
+        # join); past ROUTE_DRIVER_MAX the query side joins normally —
+        # AQE plans the |candidates|-vs-|Q| shuffle on actual sizes
+        if small_q:
+            probe, q = F.broadcast(probe), F.broadcast(q)
         scored = (
-            cand.join(F.broadcast(probe), on="list_id")
-            .join(F.broadcast(q), on="query_id")
+            cand.join(probe, on="list_id")
+            .join(q, on="query_id")
             .filter(F.col("vec_id") != F.col("query_id"))
             .withColumn(
                 "cos",

@@ -102,6 +102,7 @@ def _verify_candidates(
     cand: DataFrame,
     threshold: float,
     right_sets: DataFrame | None = None,
+    broadcast_cand: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for candidate (d1, d2) pairs only: join each side's
     full shingle-hash array and intersect JVM-side. Cost is
@@ -110,16 +111,28 @@ def _verify_candidates(
     different frame (the streaming admission path, where d1 is an
     admitted owner and d2 an arriving doc); default is the self-join
     form. ONE implementation on purpose — batch LSH dedup and streaming
-    admission must never drift on the similarity rule."""
+    admission must never drift on the similarity rule.
+
+    ``broadcast_cand``: hint the candidate side into both set joins —
+    right when the caller KNOWS candidates are bounded (a micro-batch's
+    collision set), sparing AQE a runtime discovery round per join;
+    batch dedup leaves it off (corpus-scale candidate sets must
+    shuffle)."""
     s1 = sets.select(
         F.col("doc_id").alias("d1"), F.col("shset").alias("set1"), F.col("n").alias("n1")
     )
     s2 = (sets if right_sets is None else right_sets).select(
         F.col("doc_id").alias("d2"), F.col("shset").alias("set2"), F.col("n").alias("n2")
     )
+    if broadcast_cand:
+        cand = F.broadcast(cand)
+    half = cand.join(s1, on="d1")
+    if broadcast_cand:
+        # still candidate-sized (now carrying d1's set): keep the second
+        # join map-side too
+        half = F.broadcast(half)
     return (
-        cand.join(s1, on="d1")
-        .join(s2, on="d2")
+        half.join(s2, on="d2")
         .withColumn("shared", F.size(F.array_intersect("set1", "set2")).cast("long"))
         .withColumn(
             "jaccard",
@@ -182,7 +195,17 @@ def minhash_signatures(sets: DataFrame) -> DataFrame:
     xxhash64(shingle_hash, k); signature[k] = min over the doc's
     shingles. Computed MAP-SIDE from the shingle-hash array (array_min
     over a transform) — zero shuffles; the old groupBy formulation
-    shuffled the whole shingle index just to take mins."""
+    shuffled the whole shingle index just to take mins.
+
+    Deliberately 64 independent columns, not one nested
+    transform-over-sequence: the values are identical, but the nested
+    higher-order form executes ~6× slower (interpreted nested-lambda
+    evaluation), measured on the sf0.1 admission batch. The cost of
+    this form is a wide expression tree (~0.8 s driver-side Catalyst
+    analysis per action that re-plans the lineage) — consumers that act
+    on it repeatedly (streaming admission) truncate the lineage once
+    per batch instead (localCheckpoint in neardup_admit_batch). Key
+    values are golden-pinned in tests/test_stream_neardup.py."""
     def _perm(k: int):
         # one-positional-arg lambda: a default-arg closure would be read
         # by pyspark as the two-arg (element, index) transform form
@@ -355,12 +378,17 @@ def connected_components(
     edges = (
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
-        .distinct()
         .persist()
     )
-    n_edges = edges.count()
-    if n_edges <= small_graph_edges:
-        rows = edges.collect()
+    # ONE action decides the path AND fetches the fast path's input: a
+    # limit-collect of the RAW edge union — no distinct exchange on this
+    # path (union-find dedups duplicate edges for free, and the limit
+    # caps driver transfer exactly as before; admission control pays
+    # this job per micro-batch tick). Duplicate-heavy graphs may hit the
+    # cap with fewer distinct edges and take the distributed path a bit
+    # early — that path is correct at any size, just slower.
+    rows = edges.limit(small_graph_edges + 1).collect()
+    if len(rows) <= small_graph_edges:
         parent: dict = {}
 
         def find(x):
@@ -391,6 +419,12 @@ def connected_components(
         )
         spark = pairs.sparkSession
         return spark.createDataFrame(out, schema)
+    # big-graph path: dedup the edge list once up front — the iteration
+    # joins it O(log n) times and duplicate edges would multiply every
+    # pass (this pays back the distinct the fast path skipped)
+    raw = edges
+    edges = raw.distinct().persist()
+    raw.unpersist()
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -837,7 +871,12 @@ def band_keys(sig: DataFrame) -> DataFrame:
     signature frame is already map-side); the bucket key is the join
     key of the streaming admission state table — a multi-owner LOG
     table (declaring it PK-on-bkey would turn the appends into
-    last-write-wins and evict earlier owners of shared buckets)."""
+    last-write-wins and evict earlier owners of shared buckets).
+
+    Band b's key is
+    ``"{b}:{xxhash64(h[4b], h[4b+1], h[4b+2], h[4b+3])}"`` — the exact
+    byte form is golden-pinned in tests/test_stream_neardup.py (state
+    tables persist these keys across engine versions)."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -911,10 +950,27 @@ def neardup_admit_batch(
     # loss, OOM) — a long-running admission stream must not accumulate
     # cached frames across ticks under ANY exit path
     cached: list = []
+    checkpointed: list = []
 
     def _persist(df):
         cached.append(df.persist())
         return df
+
+    def _checkpoint(df):
+        """Eager localCheckpoint: materialize AND truncate lineage. The
+        minhash lineage is a ~500-node expression tree that costs ~0.5-
+        0.8 s of driver-side Catalyst analysis+optimization on EVERY
+        downstream action that re-plans it (measured; a tick takes ~6
+        such actions) — a plain persist dedups the execution but not
+        the per-action planning. Checkpointed batches are micro-batch-
+        sized; blocks are released in the finally below. Trade-off,
+        stated: lineage truncation forfeits recompute-on-executor-loss
+        for this tick — the stream's retry unit is the micro-batch
+        (the pipeline replays the tick), so recovery moves up one
+        level, it doesn't disappear."""
+        cp = df.localCheckpoint(eager=True)
+        checkpointed.append(cp)
+        return cp
 
     # optional per-phase wall-clock attribution (a populated dict opts
     # in): each _mark forces the frames named in the phase and records
@@ -934,8 +990,12 @@ def neardup_admit_batch(
         profile[phase] = profile.get(phase, 0.0) + (now - _t0[0])
         _t0[0] = now
 
+    # sets_b persists lazily (its tree is one higher-order expression —
+    # cheap to re-plan); bands_b checkpoints EAGERLY, materializing both
+    # in one job and truncating the ~500-node minhash lineage that every
+    # downstream action would otherwise re-analyze (see _checkpoint)
     sets_b = _persist(shingle_sets(batch_docs))
-    bands_b = _persist(band_keys(minhash_signatures(sets_b)))
+    bands_b = _checkpoint(band_keys(minhash_signatures(sets_b)))
     _mark("shingle_minhash", bands_b)
 
     def _n_files(t) -> int:
@@ -964,8 +1024,12 @@ def neardup_admit_batch(
             )
         else:
             state = buckets.read()
+        # the batch side is micro-batch-bounded BY DESIGN (the same bound
+        # that makes its key set driver-collectable) — broadcast it so
+        # the admitted-state side NEVER shuffles, per tick, at any corpus
+        # size, without an AQE discovery round
         cand_ext = (
-            bands_b.join(state, on="bkey")
+            F.broadcast(bands_b).join(state, on="bkey")
             .select(F.col("owner").alias("d1"), F.col("doc_id").alias("d2"))
             .distinct()
         )
@@ -983,36 +1047,43 @@ def neardup_admit_batch(
             )
         else:
             owner_state = owner_sets.read()
-        rejected = (
-            _verify_candidates(
-                owner_state, cand_ext, threshold, right_sets=sets_b
-            )
-            .select(F.col("d2").alias("doc_id"))
-            .distinct()
-        )
+        # no .distinct(): the left_anti below treats one rejecting owner
+        # and five alike, and the exchange it would cost is pure waste
+        rejected = _verify_candidates(
+            owner_state, cand_ext, threshold, right_sets=sets_b,
+            broadcast_cand=True,
+        ).select(F.col("d2").alias("doc_id"))
         survivors = _persist(
-            sets_b.join(rejected, on="doc_id", how="left_anti")
+            sets_b.join(F.broadcast(rejected), on="doc_id", how="left_anti")
         )
         _mark("state_probe_verify", survivors)
 
         # (b) intra-batch: banded candidates among survivors, exact verify,
-        # min-id per connected component admits
-        bands_s = bands_b.join(survivors.select("doc_id"), on="doc_id", how="left_semi")
+        # min-id per connected component admits — every frame here is
+        # batch-bounded, so every join is hinted map-side
+        bands_s = bands_b.join(
+            F.broadcast(survivors.select("doc_id")), on="doc_id", how="left_semi"
+        )
         cand_in = (
             bands_s.select(F.col("doc_id").alias("d1"), "bkey")
-            .join(bands_s.select(F.col("doc_id").alias("d2"), "bkey"), on="bkey")
+            .join(
+                F.broadcast(bands_s.select(F.col("doc_id").alias("d2"), "bkey")),
+                on="bkey",
+            )
             .filter(F.col("d1") < F.col("d2"))
             .select("d1", "d2")
             .distinct()
         )
-        verified = _verify_candidates(survivors, cand_in, threshold)
+        verified = _verify_candidates(
+            survivors, cand_in, threshold, broadcast_cand=True
+        )
         losers = (
             connected_components(verified)
             .filter(F.col("component") != F.col("doc_id"))
             .select("doc_id")
         )
         admit = _persist(
-            survivors.join(losers, on="doc_id", how="left_anti")
+            survivors.join(F.broadcast(losers), on="doc_id", how="left_anti")
         )
 
         # (c) claim state: sets for future verification; EVERY admitted
@@ -1032,27 +1103,67 @@ def neardup_admit_batch(
             # sizing serves well — the same small-files discipline the
             # tiering compactor applies to data tables.
             import math as _math
+            import os as _os
 
             claim_files = max(1, _math.ceil(n_admitted * 16 / 200_000))
-            owner_sets.append(
-                admit.select("doc_id", "shset", "n").coalesce(claim_files)
-            )
-            buckets.append(
+            sets_df = admit.select("doc_id", "shset", "n").coalesce(claim_files)
+            bucket_df = (
                 bands_b.join(
                     admit.select("doc_id"), on="doc_id", how="left_semi"
                 )
                 .select("bkey", F.col("doc_id").alias("owner"))
                 .coalesce(claim_files)
             )
-            admitted.append(
-                admit.select(
-                    "doc_id", F.lit(batch_id).cast("int").alias("batch")
-                ).coalesce(claim_files)
-            )
+            adm_df = admit.select(
+                "doc_id", F.lit(batch_id).cast("int").alias("batch")
+            ).coalesce(claim_files)
+            # ONE atomic claim commit: the three state tables publish
+            # together under a single CatalogTransaction (one lock
+            # acquisition + one pointer-flip round instead of three
+            # full commits per tick — measured ~0.8 s/tick as three).
+            # Atomicity also closes a replay seam: a crash between the
+            # owner-set and bucket appends can no longer leave a doc
+            # verified-against but unindexed. Falls back to per-table
+            # commits when the state tables live in different catalogs.
+            whs = {
+                _os.path.dirname(t.path)
+                for t in (owner_sets, buckets, admitted)
+            }
+            if len(whs) == 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                from fluss_iceberg_spark.lake.table import LakeCatalog
+
+                cat = LakeCatalog(batch_docs.sparkSession, whs.pop())
+                with cat.transaction() as txn:
+                    # the three staged writes are independent Spark jobs
+                    # over already-materialized frames — submit them
+                    # concurrently (each thread stages its OWN table;
+                    # the txn publishes all three together afterwards)
+                    targets = [
+                        (txn.table(owner_sets.name), sets_df),
+                        (txn.table(buckets.name), bucket_df),
+                        (txn.table(admitted.name), adm_df),
+                    ]
+                    with ThreadPoolExecutor(3) as pool:
+                        list(pool.map(lambda p: p[0].append(p[1]), targets))
+            else:
+                owner_sets.append(sets_df)
+                buckets.append(bucket_df)
+                admitted.append(adm_df)
         _mark("claim_appends")
     finally:
         # a long-running admission stream calls this every tick — cached
         # per-batch frames must not accumulate in executor storage
         for df in cached:
             df.unpersist()
+        for df in checkpointed:
+            # release the checkpoint blocks NOW instead of waiting for
+            # the ContextCleaner's GC-driven sweep (best-effort: the
+            # LogicalRDD handle is an internal seam; on any drift the
+            # cleaner still reclaims the blocks eventually)
+            try:
+                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
     return n_admitted

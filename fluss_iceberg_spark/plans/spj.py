@@ -49,13 +49,25 @@ def bucket_aligned_join(
     build: LakeTable,
     how: str = "inner",
     broadcast: bool = True,
+    max_buckets: int = 64,
 ) -> DataFrame:
     """Join two co-bucketed PK tables on their (shared) primary key,
     one bucket at a time. ``probe`` is the preserved/large side (its
     scan never exchanges); ``build`` is broadcast per bucket.
 
     ``how``: inner | left (left preserves ``probe`` rows — broadcasting
-    the build side stays legal for both)."""
+    the build side stays legal for both).
+
+    ``max_buckets`` bounds the plan: the per-bucket form unions
+    n_buckets independent joins, so driver-side analysis time and (with
+    ``broadcast``) the number of independent broadcasts grow LINEARLY in
+    the bucket count — the right shape at the demo's 8–64 buckets,
+    unbounded at 256+. Past the bound this falls back to ONE plain
+    whole-table join on the PK (results identical — the per-bucket form
+    is just a physical strategy; AQE then plans the single join from
+    actual sizes). A real DSv2 connector reports KeyGroupedPartitioning
+    instead and needs no such guard; the bound is the stand-in's
+    documented plan-size ceiling."""
     if how not in ("inner", "left"):
         raise ValueError(f"bucket_aligned_join supports inner/left, got {how!r}")
     if not probe.primary_key or not build.primary_key:
@@ -79,6 +91,10 @@ def bucket_aligned_join(
             "join output would be ambiguous; rename or project one side "
             "before joining"
         )
+    if probe.n_buckets > max_buckets:
+        # plan-size guard: one whole-table join instead of n unions
+        out = probe.read().join(build.read(), on=on, how=how)
+        return out.select(*probe.schema.fieldNames(), *build_cols)
     parts: list[DataFrame] = []
     for b in range(probe.n_buckets):
         pdf = probe.read_bucket(b)

@@ -82,6 +82,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
+    # ---- round-8 rotation: the 5 queries registered in round 7 (the only
+    # ones with zero driver evidence) rotate IN — multimodal_real_decode,
+    # lake_spj_bucket_join, text_weighted_sample (oracle-backed) and
+    # ann_ivf_index_incremental, ann_index_cdc_sync (rows-only, unit-gated).
+    # Rotated OUT, each with >=4 driver hash-green rounds and its family
+    # still gated in-window: lake_pk_union_read (6 greens r2-r7; tiering +
+    # hot-cold semantics hold exactly-once units + plan tests),
+    # lake_pk_changelog (4 greens; changelog class stays via
+    # lake_scd2_changes + lake_cdc_mirror + lake_matview_changelog),
+    # pipeline_curation_end2end (4 greens; pure composition of the text ops
+    # gated individually), ann_embedding_hygiene (4 greens; the embedding
+    # kernel class keeps five in-window gates incl. the two new index ops),
+    # multimodal_resize_features (4 greens; the Arrow-kernel multimodal
+    # class stays gated via multimodal_real_decode).
     # ---- round-7 rotation: the final 5 queries with ZERO driver evidence
     # (rows-only-by-nature: stream_neardup_admission, dedup_semdedup,
     # ann_kmeans_clusters, ann_pq_topk, ann_ivfpq_topk) rotate IN; the 5
@@ -126,13 +140,14 @@ _PRIORITY = [
     # lake layer (union_read rotates out 4x-green r2-r5 — hot∪cold + tiering
     # stay gated via lake_pk_union_read; row_level_ops rotates out r4+r5
     # green — row-level class stays via lake_mor_delete + engine_merge_into)
-    "lake_pk_union_read",
     "lake_mor_delete",
     "lake_partition_pruning",
     "lake_clustered_scan",
-    "lake_pk_changelog",
     "lake_matview_changelog",
     "lake_value_set_skipping",
+    # storage-partitioned join over co-bucketed PK tables (zero probe-side
+    # exchange, plan-tested) — first driver gate r8
+    "lake_spj_bucket_join",
     # SCD Type 2 maintenance + the CDC-consumer composition over its
     # changelog (TABLE_CHANGES SQL), and full CDC mirror replication —
     # all first gates r6
@@ -167,7 +182,9 @@ _PRIORITY = [
     "text_temperature_mixing",
     "text_token_stats",
     "text_chunk_passages",
-    "pipeline_curation_end2end",
+    # exact-k weighted reservoir sampling (Efraimidis-Spirakis A-ES;
+    # oracle-backed) — first driver gate r8
+    "text_weighted_sample",
     # deduplication (minhash_lsh + connected_components rotate out 4x-green
     # r2-r5; the banded-candidate shape stays via dedup_passage_level's
     # fp-shuffle + semantic_representatives' composition; the cross-source
@@ -181,13 +198,19 @@ _PRIORITY = [
     # embedding-kernel class stays via hygiene + the dedup semantic ops;
     # the three rows-only ANN shapes — k-means census, PQ ADC, IVF-PQ —
     # get their first driver evidence r7, recall unit-gated)
-    "ann_embedding_hygiene",
     "ann_kmeans_clusters",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    # multimodal (frame_sample rotates out r4+r5 green; the Arrow kernel
-    # class stays gated via resize planning)
-    "multimodal_resize_features",
+    # persistent incremental IVF index + CDC maintenance via the changelog
+    # (rows-only: float iteration order; build+append==one-shot, recall,
+    # and postings==frozen-model-assignment unit gates) — first driver
+    # evidence r8
+    "ann_ivf_index_incremental",
+    "ann_index_cdc_sync",
+    # multimodal (resize_features rotates out 4x-green r4-r7; the Arrow
+    # kernel class stays gated via the real-decode path, which EXECUTES
+    # pure-Python header parsing in this codec-less container)
+    "multimodal_real_decode",
     # SQL facade / DDL time travel (source_formats_roundtrip rotates out
     # 4x-green r2-r5; timestamp_travel rotates out r4+r5 green — the
     # facade stays gated via engine_merge_into + VERSION AS OF SQL)

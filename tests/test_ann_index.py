@@ -144,3 +144,96 @@ def test_cdc_sync_matches_frozen_model_assignment(spark, tmp_path, emb):
     # idempotence: nothing new to sync
     res2 = idx.sync_from_changelog(src, from_version=res["synced_to_version"], dim=DIM)
     assert res2["deleted"] == 0 and res2["upserted"] == 0
+
+
+def test_load_restores_build_dim_and_dense_lists(spark, tmp_path, emb):
+    """The build-time dim rides the centroids table (index.dim) so a
+    FRESH handle that only load()s searches correctly without the
+    caller re-passing dim — before r8 it silently fell back to dim=64,
+    truncating/null-padding every dot product. list_ids are dense
+    0..K-1 (remapped from seed vec_ids), so they always fit the
+    postings' int column."""
+    cat = LakeCatalog(spark, str(tmp_path / "dimwh"))
+    built = IvfIndex(cat, "ix").build(emb, n_lists=8, dim=DIM)
+    assert built.centroids.properties["index.dim"] == str(DIM)
+    assert built.centroids.properties["index.n-lists"] == "8"
+    lists = {r.list_id for r in built.postings.read().select("list_id").distinct().collect()}
+    assert lists <= set(range(8))
+    q = emb.filter(F.col("vec_id") < 3)
+    want = [tuple(r) for r in built.search(q, k=5, n_probe=3, dim=DIM)
+            .orderBy("query_id", "rank").collect()]
+    fresh = IvfIndex(cat, "ix").load()
+    assert fresh._dim == DIM
+    got = [tuple(r) for r in fresh.search(q, k=5, n_probe=3)  # NO dim arg
+           .orderBy("query_id", "rank").collect()]
+    assert got == want and len(got) == 15
+    # append without dim on the fresh handle assigns correctly too
+    fresh2 = IvfIndex(cat, "ix")  # not even load()ed — appends self-load
+    before = built.postings.read().count()
+    fresh2.append(
+        emb.filter(F.col("vec_id") < 0)  # empty: just exercises the path
+    )
+    assert built.postings.read().count() == before
+
+
+def test_huge_vec_ids_stay_int_safe(spark, tmp_path):
+    """Seed vec_ids past 2^31 must not wrap the postings' int list_id
+    (pre-r8 the non-ANSI cast corrupted list assignment silently)."""
+    rnd = random.Random(7)
+    base = 5_000_000_000  # > 2^31
+    rows = [(base + i, [rnd.uniform(-1, 1) for _ in range(DIM)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex(LakeCatalog(spark, str(tmp_path / "hugewh")), "ix")
+    idx.build(df, n_lists=4, dim=DIM)
+    got = idx.postings.read().select("list_id", "vec_id").collect()
+    assert len(got) == 60
+    assert {r.list_id for r in got} <= {0, 1, 2, 3}
+    out = idx.search(df.filter(F.col("vec_id") < base + 2), k=5, n_probe=2, dim=DIM)
+    assert out.count() == 10
+
+
+def test_distributed_routing_matches_driver_loop(spark, tmp_path, emb):
+    """Past ROUTE_DRIVER_MAX queries, query->list routing runs as a
+    Spark job (broadcast centroids + top-n_probe window); the probe
+    sets must equal the driver numpy loop's exactly, and search results
+    must be identical on both paths."""
+    idx = IvfIndex(LakeCatalog(spark, str(tmp_path / "routewh")), "ix")
+    idx.build(emb, n_lists=8, dim=DIM)
+    q = emb.filter(F.col("vec_id") < 30)
+    probe_drv, small = idx._route_queries(q, n_probe=3, dim=DIM)
+    assert small is True
+    orig = IvfIndex.ROUTE_DRIVER_MAX
+    IvfIndex.ROUTE_DRIVER_MAX = 10  # force the distributed path
+    try:
+        probe_dist, small2 = idx._route_queries(q, n_probe=3, dim=DIM)
+        assert small2 is False
+        a = {(r.query_id, r.list_id) for r in probe_drv.collect()}
+        b = {(r.query_id, r.list_id) for r in probe_dist.collect()}
+        assert a == b and len(a) == 90
+        got = [tuple(r) for r in idx.search(q, k=5, n_probe=3, dim=DIM)
+               .orderBy("query_id", "rank").collect()]
+    finally:
+        IvfIndex.ROUTE_DRIVER_MAX = orig
+    want = [tuple(r) for r in idx.search(q, k=5, n_probe=3, dim=DIM)
+            .orderBy("query_id", "rank").collect()]
+    assert got == want and len(got) == 150
+
+
+def test_sync_fallback_counts_deleted_rows(spark, tmp_path, emb):
+    """A stale-key backlog past max_inline_keys takes the anti-join
+    overwrite path; ``deleted`` must report the ACTUAL stale postings
+    rows removed (pre-r8 it returned the -1 sentinel)."""
+    cat = LakeCatalog(spark, str(tmp_path / "fbwh"))
+    src = cat.create_table(
+        "s", emb.schema, primary_key=["vec_id"], n_buckets=4
+    )
+    src.merge(emb.filter(F.col("vec_id") < 250))
+    v0 = src.current_version()
+    idx = IvfIndex(cat, "fb").build(src.read(), n_lists=8, dim=DIM)
+    src.delete(where=[("vec_id", ">=", 200)])  # 50 keys leave
+    res = idx.sync_from_changelog(src, from_version=v0, dim=DIM, max_inline_keys=10)
+    assert res["deleted"] == 50 and res["upserted"] == 0
+    assert idx.postings.read().count() == 200
+    # postings still equal the frozen model's view of the final state
+    out = idx.search(src.read().filter(F.col("vec_id") < 2), k=5, dim=DIM)
+    assert out.count() == 10

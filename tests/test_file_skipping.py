@@ -475,6 +475,32 @@ def test_in_predicate_algebra():
     assert _file_may_match(None, "k", "in", [1])
 
 
+def test_value_set_type_mismatch_keeps_file():
+    """A literal outside the set's type domain must NOT be pruned
+    definitively: Spark's row filter cast-coerces ('5' = int column can
+    match rows), so a typed-membership miss only prunes when the types
+    agree — mismatches fall through to bounds/bloom (here: absent, so
+    the file is kept)."""
+    ints = {"value_sets": {"k": [3, 5, 9]}}
+    assert not _file_may_match(ints, "k", "=", 4)  # same-type miss: prune
+    assert _file_may_match(ints, "k", "=", "5")  # str lit vs int set: keep
+    assert _file_may_match(ints, "k", "=", "4")  # conservative either way
+    strs = {"value_sets": {"s": ["3", "5"]}}
+    assert not _file_may_match(strs, "s", "=", "4")
+    assert _file_may_match(strs, "s", "=", 5)  # int lit vs str set: keep
+    # empty set (all-null file): nothing compares equal — definitive
+    assert not _file_may_match({"value_sets": {"k": []}}, "k", "=", 1)
+    # same-type membership still beats bounds (15 is inside [10,20] but
+    # not in the exact set); a mismatched literal falls through and the
+    # incomparable bounds keep the file
+    both = {
+        "value_sets": {"k": [10, 20]},
+        "stats": {"k": [_stat_encode(10), _stat_encode(20)]},
+    }
+    assert not _file_may_match(both, "k", "=", 15)
+    assert _file_may_match(both, "k", "=", "15")
+
+
 def test_in_predicate_bloom_forms():
     from fluss_iceberg_spark.lake.table import _BLOOM_BITS, _bloom_positions
 

@@ -105,3 +105,23 @@ def test_overlapping_non_key_columns_rejected(spark, co_bucketed):
     )
     with pytest.raises(ValueError, match="ambiguous"):
         bucket_aligned_join(lt, twin)
+
+
+def test_max_buckets_fallback_plain_join(spark, co_bucketed):
+    """Past ``max_buckets`` the per-bucket form (driver analysis and
+    broadcast count linear in n_buckets) falls back to ONE plain join —
+    results identical, no per-bucket union in the plan."""
+    _, lt, rt = co_bucketed
+    got = bucket_aligned_join(lt, rt, how="inner", max_buckets=2)
+    want = bucket_aligned_join(lt, rt, how="inner")  # 4 <= default bound
+    assert got.columns == want.columns
+    assert got.count() == 400
+    assert got.exceptAll(want).count() == 0
+    assert count_nodes(got, "Union") == 0  # single join, not n slices
+    # the guarded form keeps at most one join node of any kind
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") <= 2  # one join (name may print twice)
+    # left fallback preserves probe rows too
+    left = bucket_aligned_join(lt, rt, how="left", max_buckets=2)
+    assert left.count() == 500
+    assert left.filter(F.col("val").isNull()).count() == 100

@@ -187,3 +187,34 @@ def test_state_scan_prunes_to_colliding_files(spark, tmp_path):
     state_keys = [r.bkey for r in buckets.read().select("bkey").limit(5).collect()]
     hit = buckets.plan_scan(where=[("bkey", "in", state_keys)])
     assert len(hit) >= 1
+
+
+def test_bucket_key_bytes_are_pinned(spark):
+    """State tables persist bucket keys across engine versions — the
+    exact key bytes (band id + xxhash64 over 4 signature mins) must
+    never drift, or every admitted corpus's state would silently stop
+    colliding with new arrivals. Golden values captured from the r7
+    formulation; any reformulation of shingle/minhash/banding must
+    reproduce them byte-for-byte."""
+    from fluss_iceberg_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    rows = (
+        DD.band_keys(DD.minhash_signatures(DD.shingle_sets(docs)))
+        .orderBy("bkey")
+        .collect()
+    )
+    got = sorted(r.bkey for r in rows)
+    assert got == sorted([
+        "0:-4652815228421735820", "1:8006053365375658152",
+        "2:2838647610137566442", "3:-8581746122306448926",
+        "4:-8191930346844029539", "5:-6222562038941525608",
+        "6:5028712379992463297", "7:-2930617949651063909",
+        "8:-1182103933515838201", "9:4216671489810067053",
+        "10:6313202741838026488", "11:7146574776239625667",
+        "12:-4906201715138207662", "13:3790675555621220525",
+        "14:-6302960123516498105", "15:6333702385396492593",
+    ])

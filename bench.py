@@ -173,6 +173,7 @@ HEADLINE = [
     "ann_ivf_index_incremental",
     "text_weighted_sample",
     "ann_index_cdc_sync",
+    "dedup_substring_spans",
 ]
 
 
@@ -198,9 +199,22 @@ def main() -> None:
     # per call (scratch lake tables rebuild under /tmp), so re-running is
     # safe.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Session recycle (r8 adjudication of ann_pq_topk's in-suite
+    # inflation): late-suite queries can read 2-5× slower than standalone
+    # purely from accumulated JVM heap/codegen-cache pressure — a harness
+    # artifact, not a plan cost (controlled A/B: recycling every 60
+    # queries left the per-query MEDIAN at 0.994× but cut the late-suite
+    # positions 17%, SCALE.md r8). Default ON so every query is measured
+    # in a comparably-fresh session; the restart time is NOT attributed
+    # to any query (the headline is the sum of per-query times). 0 = off.
+    recycle = int(os.environ.get("SPARK_GRAFT_SESSION_RECYCLE", "60"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if recycle and qi and qi % recycle == 0:
+            spark.stop()
+            spark = get_spark(app_name="fluss-iceberg-spark-bench")
+            spark.read.parquet(f"{sf_dir}/nation.parquet").count()
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -793,6 +793,81 @@ def passage_dedup(
     )
 
 
+def substring_duplicate_spans(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact SUBSTRING duplication census — the "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al. 2021) shape, the
+    suffix-array pass approximated with overlapping rolling-fingerprint
+    windows: every ``window``-token span (sampled every ``stride``
+    tokens) fingerprints to md5 of its exact text; spans whose
+    fingerprint occurs more than once anywhere in the corpus are
+    duplicated substrings — cross-document boilerplate, licenses,
+    templated passages — even when the CONTAINING documents are nowhere
+    near duplicate (the case doc-level MinHash provably misses).
+
+    Scale design: windowing is a pure map inside whole-stage codegen
+    (slice over the token array — no per-word explode), then ONE
+    shuffle on the 128-bit fingerprint with map-side partial
+    aggregation; output is duplicated-span groups (collision-sized),
+    never the corpus. At 100 TB the fp shuffle hash-balances by
+    construction and carries each span once — the same profile as
+    passage_dedup's winner pass.
+
+    Output: (fp, n_occurrences, n_docs, first_doc, first_start) per
+    duplicated span, first = lexicographic min (doc_id, start) — the
+    occurrence a removal pass would keep."""
+    from fluss_iceberg_spark.operators.text import tokens
+    from fluss_iceberg_spark.operators.util import spread
+
+    toks = tokens(F.col(text_col))
+    base = spread(docs).select("doc_id", toks.alias("__toks"))
+    n = F.size("__toks")
+    n_wins = ((n - window) / stride).cast("int") + 1
+    # sequence(0, k) is DESCENDING for k < 0 — guard short docs to []
+    idx = F.when(n >= window, F.sequence(F.lit(0), n_wins - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda k: F.struct(
+                    (k * stride).cast("int").alias("start_tok"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                "__toks", (k * stride + 1).cast("int"), window
+                            ),
+                            " ",
+                        )
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.start_tok").alias("start_tok"), F.col("s.fp").alias("fp"))
+    return (
+        spans.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "start_tok")).alias("__first"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "fp",
+            "n_occurrences",
+            "n_docs",
+            F.col("__first.doc_id").alias("first_doc"),
+            F.col("__first.start_tok").alias("first_start"),
+        )
+    )
+
+
 def semdedup(
     emb: DataFrame,
     n_clusters: int = 8,

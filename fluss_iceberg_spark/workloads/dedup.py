@@ -266,6 +266,45 @@ def passage_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.passage_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ), spans AS (
+        SELECT doc_id, CAST(s AS INT) AS start_tok,
+               md5(array_to_string(w[s + 1 : s + 32], ' ')) AS fp
+        FROM words,
+             UNNEST(range(0, len(w) - 32 + 1, 16)) AS t(s)
+        WHERE len(w) >= 32
+    ), agg AS (
+        SELECT fp, COUNT(1) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM spans GROUP BY fp HAVING COUNT(1) > 1
+    ), firsts AS (
+        SELECT fp, doc_id, start_tok,
+               row_number() OVER (
+                   PARTITION BY fp ORDER BY doc_id, start_tok
+               ) AS rn
+        FROM spans
+    )
+    SELECT a.fp, a.n_occurrences, a.n_docs,
+           f.doc_id AS first_doc, f.start_tok AS first_start
+    FROM agg a JOIN firsts f ON a.fp = f.fp AND f.rn = 1
+    """,
+)
+def substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication census (32-token windows every 16):
+    duplicated spans ACROSS documents that doc-level MinHash misses —
+    the Lee et al. 2021 training-data pass, rolling-fingerprint form.
+    One fingerprint shuffle with map-side partial agg; output is
+    duplicated-span groups, never the corpus."""
+    return DD.substring_duplicate_spans(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @query("dedup_semdedup")
 def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic pruning: k-means partition + within-cluster

@@ -237,3 +237,60 @@ def test_sync_fallback_counts_deleted_rows(spark, tmp_path, emb):
     # postings still equal the frozen model's view of the final state
     out = idx.search(src.read().filter(F.col("vec_id") < 2), k=5, dim=DIM)
     assert out.count() == 10
+
+
+def test_adaptive_delete_path_choice(spark, tmp_path, emb):
+    """The sync delete strategy is chosen from the MANIFEST (r8
+    crossover run, SCALE.md): stale keys concentrated in a minority of
+    postings files -> inline manifest-pruned delete; keys bloom-hitting
+    most files -> one anti-join rewrite (the inline IN-list would
+    rewrite everything anyway plus pay O(keys x files) driver probes)."""
+    cat = LakeCatalog(spark, str(tmp_path / "adwh"))
+    src = cat.create_table(
+        "s", emb.schema, primary_key=["vec_id"], n_buckets=4
+    )
+    src.merge(emb.filter(F.col("vec_id") < 100))
+    idx = IvfIndex(cat, "ad").build(src.read(), n_lists=4, dim=DIM)
+    # three more appends of DISJOINT vec_id ranges: per-file vec_id
+    # bounds then isolate each range's keys to its own files
+    for lo, hi in ((100, 170), (170, 240), (240, 300)):
+        v0 = src.current_version()
+        src.merge(emb.filter(F.col("vec_id").between(lo, hi - 1)))
+        idx.sync_from_changelog(src, from_version=v0, dim=DIM)
+    assert idx.postings.read().count() == 300
+    n_files = len(idx.postings.plan_scan())
+    assert n_files >= 4
+    # concentrated delta: only the LAST range changes -> its keys prune
+    # to a minority of files -> inline
+    v0 = src.current_version()
+    src.delete(where=[("vec_id", ">=", 280)])
+    res = idx.sync_from_changelog(src, from_version=v0, dim=DIM)
+    assert res["delete_path"] == "inline" and res["deleted"] == 20
+    # scattered delta: every 3rd key across ALL ranges -> hits most
+    # files -> rewrite
+    v0 = src.current_version()
+    upd = emb.filter(
+        (F.col("vec_id") < 280) & (F.pmod("vec_id", F.lit(3)) == 0)
+    ).select("vec_id", F.reverse("embedding").alias("embedding"))
+    src.merge(upd)
+    res = idx.sync_from_changelog(src, from_version=v0, dim=DIM)
+    assert res["delete_path"] == "rewrite"
+    assert res["deleted"] == res["upserted"] == upd.count()
+    assert idx.postings.read().count() == 280
+    # both paths land on the same invariant: postings == frozen-model
+    # assignment of the source's final state
+    from fluss_iceberg_spark.operators.similarity import (
+        _as_double,
+        _assign_clusters,
+    )
+    want = {
+        (r.cid, r.vec_id)
+        for r in _assign_clusters(
+            _as_double(src.read()), idx._model_df(), DIM
+        ).collect()
+    }
+    got = {
+        (r.list_id, r.vec_id)
+        for r in idx.postings.read().select("list_id", "vec_id").collect()
+    }
+    assert got == want

@@ -75,3 +75,55 @@ def test_matches_reference_offset_shifts(spark):
 def test_empty_and_whitespace_docs(spark):
     docs = [(1, "x y z"), (2, "   x y z   "), (3, "x")]
     _check(spark, docs, chunk=2)
+
+
+def test_substring_duplicate_spans_matches_python_reference(spark):
+    """Exact substring census vs a from-scratch Python replay (split,
+    window every stride, md5, group) — including a cross-doc shared
+    span at DIFFERENT offsets, intra-doc repetition, and short docs."""
+    import hashlib
+    from collections import defaultdict
+
+    from fluss_iceberg_spark.operators.dedup import substring_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(32))
+    docs = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(16))),   # span at 0
+        (2, " ".join(f"b{i}" for i in range(16)) + " " + shared),   # span at 16
+        (3, " ".join(f"c{i}" for i in range(64))),                  # unique
+        (4, " ".join(f"r{i % 16}" for i in range(64))),             # self-repeats
+        (5, "too short"),
+    ]
+    W, S = 32, 16
+
+    def replay():
+        groups = defaultdict(list)
+        for doc_id, text in docs:
+            toks = text.split()
+            if len(toks) < W:
+                continue
+            for start in range(0, len(toks) - W + 1, S):
+                fp = hashlib.md5(
+                    " ".join(toks[start : start + W]).encode()
+                ).hexdigest()
+                groups[fp].append((doc_id, start))
+        out = {}
+        for fp, occ in groups.items():
+            if len(occ) > 1:
+                occ.sort()
+                out[fp] = (
+                    len(occ), len({d for d, _ in occ}), occ[0][0], occ[0][1]
+                )
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.fp: (r.n_occurrences, r.n_docs, r.first_doc, r.first_start)
+        for r in substring_duplicate_spans(df).collect()
+    }
+    want = replay()
+    assert got == want
+    assert want, "fixture must actually produce duplicated spans"
+    # the cross-doc shared span is found at offsets 0 and 16
+    shared_fp = hashlib.md5(shared.encode()).hexdigest()
+    assert got[shared_fp] == (2, 2, 1, 0)

@@ -1,0 +1,150 @@
+"""REST catalog facade (lake/rest_catalog.py — the S18 catalog-service
+role): a SECOND PROCESS with no engine code reads a committed table's
+current snapshot through HTTP metadata + plain DuckDB parquet reads;
+pointer CAS answers 409 on stale expectations and serializes through
+the same commit section writers use; read-after-commit sees new data."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.lake.rest_catalog import (
+    RestCatalogServer,
+    cas_commit,
+    fetch_table,
+    http_json,
+)
+from fluss_iceberg_spark.lake.table import LakeCatalog
+
+READER = textwrap.dedent(
+    """
+    import json, sys, urllib.request
+    import duckdb
+    endpoint, table = sys.argv[1], sys.argv[2]
+    with urllib.request.urlopen(f"{endpoint}/v1/tables/{table}") as r:
+        doc = json.loads(r.read())
+    files = doc["data-files"]
+    n, s = duckdb.sql(
+        "SELECT COUNT(*), COALESCE(SUM(v), 0) FROM read_parquet($f)", params={"f": files}
+    ).fetchone()
+    print(json.dumps({
+        "version": doc["current-version"], "rows": int(n), "sum": int(s),
+    }))
+    """
+)
+
+
+def _reader(endpoint: str, table: str) -> dict:
+    """The engine-free consumer process (imports: stdlib + duckdb)."""
+    out = subprocess.run(
+        [sys.executable, "-c", READER, endpoint, table],
+        capture_output=True, text=True, timeout=120, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture()
+def served(spark, tmp_path):
+    wh = str(tmp_path / "rest_wh")
+    cat = LakeCatalog(spark, wh)
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    t = cat.create_table("events", df.schema)
+    t.append(df)
+    srv = RestCatalogServer(wh).start()
+    yield cat, t, srv
+    srv.stop()
+
+
+def test_second_process_reads_current_snapshot(spark, served):
+    cat, t, srv = served
+    got = _reader(srv.endpoint, "events")
+    assert got == {"version": 0, "rows": 100, "sum": 9900}
+
+
+def test_read_after_commit_sees_new_snapshot(spark, served):
+    """The reference's cross-engine loop (README.md:129-133): engine A
+    commits, engine B refreshes through the catalog and sees it."""
+    cat, t, srv = served
+    assert _reader(srv.endpoint, "events")["rows"] == 100
+    t.append(spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v"))
+    got = _reader(srv.endpoint, "events")
+    assert got["version"] == 1 and got["rows"] == 150
+    # time travel through the facade: the old snapshot stays addressable
+    old = fetch_table(srv.endpoint, "events", version=0)
+    assert old["snapshot-version"] == 0 and len(old["data-files"]) >= 1
+
+
+def test_cas_commit_409_on_stale_expectation(spark, served):
+    cat, t, srv = served
+    t.append(spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v"))
+    assert t.current_version() == 1
+    # stale expectation loses (the Iceberg REST CommitFailedException role)
+    status, body = cas_commit(srv.endpoint, "events", expected=0, target=1)
+    assert status == 409 and "v1" in body["error"]
+    # correct expectation flips — here a ROLLBACK to snapshot 0 by CAS
+    status, body = cas_commit(srv.endpoint, "events", expected=1, target=0)
+    assert status == 200 and body["current-version"] == 0
+    assert t.read().count() == 100  # the engine follows the flipped pointer
+    assert _reader(srv.endpoint, "events")["rows"] == 100
+    # pointers only move between EXISTING snapshots
+    status, body = cas_commit(srv.endpoint, "events", expected=0, target=99)
+    assert status == 400
+
+
+def test_listing_config_and_name_guard(spark, served):
+    cat, t, srv = served
+    status, cfg = http_json(f"{srv.endpoint}/v1/config")
+    assert status == 200 and cfg["warehouse"] == srv.warehouse
+    status, listing = http_json(f"{srv.endpoint}/v1/tables")
+    assert status == 200 and listing["identifiers"] == ["events"]
+    status, _ = http_json(f"{srv.endpoint}/v1/tables/no_such")
+    assert status == 404
+    status, body = http_json(f"{srv.endpoint}/v1/tables/..")
+    assert status in (400, 404)  # guard (or the client normalizes away)
+
+
+def test_facade_cas_excludes_writer_commits(spark, tmp_path):
+    """The facade's CAS takes the SAME commit section as every writer's
+    pointer flip: while the facade holds it (via a coordinator service),
+    a writer commit blocks. Proves the two entry points serialize, not
+    just coexist."""
+    import threading
+    import time
+
+    from fluss_iceberg_spark.lake import coordinator
+    from fluss_iceberg_spark.lake.rest_catalog import _commit_section
+
+    wh = str(tmp_path / "serial_wh")
+    cat = LakeCatalog(spark, wh)
+    proc, sock = coordinator.serve_in_subprocess()
+    try:
+        coordinator.enable(wh, sock)
+        df = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+        t = cat.create_table("tser", df.schema)
+        t.append(df)
+        order: list[str] = []
+        entered = threading.Event()
+
+        def hold_section():
+            with _commit_section(wh):
+                entered.set()
+                time.sleep(1.5)
+                order.append("facade-released")
+
+        holder = threading.Thread(target=hold_section)
+        holder.start()
+        assert entered.wait(10)
+        t.append(spark.range(10, 20).selectExpr("id AS k", "id * 2 AS v"))
+        order.append("writer-committed")
+        holder.join()
+        assert order == ["facade-released", "writer-committed"]
+        assert t.read().count() == 20
+    finally:
+        proc.terminate()
+        proc.join()

@@ -174,6 +174,7 @@ HEADLINE = [
     "text_weighted_sample",
     "ann_index_cdc_sync",
     "dedup_substring_spans",
+    "text_quality_topq",
 ]
 
 
@@ -244,6 +245,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "runs_per_query": runs,
+        # harness mode matters for cross-record comparisons (~8% of
+        # total wall at sf0.1) — records must be self-describing
+        "session_recycle": recycle,
     }
     if errors:
         result["errors"] = errors

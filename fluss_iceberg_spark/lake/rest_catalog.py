@@ -136,32 +136,36 @@ def _cas_commit(warehouse: str, name: str, body: dict) -> dict:
     state dict; raises _Conflict/_BadRequest for HTTP mapping."""
     req = body.get("requirements") or {}
     upd = body.get("updates") or {}
-    expected = req.get("expected-version")
-    target = upd.get("set-current-version")
-    if expected is None or target is None:
+    try:
+        expected = int(req["expected-version"])
+        target = int(upd["set-current-version"])
+    except (KeyError, TypeError, ValueError):
         raise _BadRequest(
-            "body needs requirements.expected-version and "
+            "body needs integer requirements.expected-version and "
             "updates.set-current-version"
         )
     tpath = os.path.join(warehouse, name)
-    snap_file = os.path.join(tpath, "meta", f"v{int(target)}.json")
-    if not os.path.exists(snap_file):
-        raise _BadRequest(
-            f"v{target} is not a published snapshot of {name} — the "
-            "facade flips pointers between existing snapshots only"
-        )
     with _commit_section(warehouse):
+        # target-exists is checked UNDER the section: a concurrent
+        # expire_snapshots between an outside check and the flip could
+        # otherwise wedge the pointer on a deleted snapshot
+        snap_file = os.path.join(tpath, "meta", f"v{target}.json")
+        if not os.path.exists(snap_file):
+            raise _BadRequest(
+                f"v{target} is not a published snapshot of {name} — the "
+                "facade flips pointers between existing snapshots only"
+            )
         vf = os.path.join(tpath, "meta", "VERSION")
         current = _current_version(tpath)
-        if current != int(expected):
+        if current != expected:
             raise _Conflict(
                 f"expected v{expected} but {name} is at v{current}"
             )
         tmp = f"{vf}.casa.tmp"
         with open(tmp, "w") as f:
-            f.write(str(int(target)))
+            f.write(str(target))
         os.replace(tmp, vf)  # atomic, same as every writer's flip
-    return {"name": name, "current-version": int(target)}
+    return {"name": name, "current-version": target}
 
 
 class _BadRequest(ValueError):
@@ -205,7 +209,13 @@ class _Handler(BaseHTTPRequestHandler):
             if len(parts) == 3:
                 return _table_doc(wh, name)
             if len(parts) == 5 and parts[3] == "snapshots":
-                return _table_doc(wh, name, version=int(parts[4]))
+                try:
+                    v = int(parts[4])
+                except ValueError:
+                    raise _BadRequest(
+                        f"snapshot version must be an integer, got {parts[4]!r}"
+                    )
+                return _table_doc(wh, name, version=v)
         raise FileNotFoundError(self.path)
 
     def do_GET(self):

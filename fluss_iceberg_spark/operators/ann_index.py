@@ -251,8 +251,12 @@ class IvfIndex:
                 )
                 inline = 2 * len(hit) <= n_files
         if inline:
+            # count actual rows via O(1) manifest counts (copy-on-write
+            # delete keeps total_rows exact) — key count would miss
+            # duplicate postings a replayed append could have left
+            before_rows = self.postings.count_rows()
             self.postings.delete(where=[("vec_id", "in", stale_ids)])
-            deleted = len(stale_ids)
+            deleted = before_rows - self.postings.count_rows()
         elif stale_ids:  # scattered or oversized backlog: one anti-join
             # rewrite — a FULL postings pass (see docstring)
             stale = net.filter(F.col("op").isin("update", "delete")).select(
@@ -305,13 +309,27 @@ class IvfIndex:
         qd = _as_double(queries)
         qrows = qd.limit(self.ROUTE_DRIVER_MAX + 1).collect()
         if len(qrows) > self.ROUTE_DRIVER_MAX:
-            routed = _assign_clusters(
-                qd, self._model_df(), dim, top_n=n_probe
-            ).select(
+            # zero-norm guards mirror the driver loop's `or 1.0` exactly —
+            # a zero centroid/query must rank by its raw dot product on
+            # BOTH paths, or the probe sets diverge at the size boundary
+            cent = self._model_df().select(
+                "cid", "cv",
+                F.when(F.col("cn") == 0, F.lit(1.0))
+                .otherwise(F.col("cn")).alias("cn"),
+            )
+            qg = qd.select(
+                "vec_id", "v",
+                F.when(F.col("nrm") == 0, F.lit(1.0))
+                .otherwise(F.col("nrm")).alias("nrm"),
+            )
+            routed = _assign_clusters(qg, cent, dim, top_n=n_probe).select(
                 F.col("vec_id").alias("query_id"),
                 F.col("cid").cast("int").alias("list_id"),
             )
-            return routed, False
+            # materialize once: search() consumes this both for the
+            # probed-list collect AND inside the scoring join — without a
+            # checkpoint the |Q|·K routing job would run twice
+            return routed.localCheckpoint(eager=True), False
         model = [
             (int(r.cid), np.array(r.cv, dtype=np.float64), float(r.cn))
             for r in self._model_df().collect()

@@ -112,6 +112,50 @@ def quality_score(
     )
 
 
+def quality_percentile_filter(
+    df: DataFrame,
+    frac: float = 0.25,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum percentile quality pruning — keep each group's top
+    ``frac`` of documents by quality score (the CCNet/RedPajama-style
+    'quality buckets, keep the head' curation step; rates are relative
+    to each language's own distribution, so low-resource strata are not
+    wiped out by a global threshold).
+
+    Exact semantics, deterministic: within each group rank by
+    (quality DESC, doc_id) and keep rank ≤ ceil(frac · group size).
+    Cost is one shuffle on the stratum key + a per-group sort. At
+    100 TB per-group sorts of billions of docs would instead run the
+    two-phase form (approx per-group threshold from a sample, exact
+    rank refinement only around the cut) — the exact form here IS the
+    refinement kernel, and strata counts are the only skew axis (the
+    same per-shard window trade documented for pack_sequences).
+
+    Output: (doc_id, {group_col}, quality, grp_rank, grp_size)."""
+    from pyspark.sql.window import Window
+
+    scored = quality_score(df, text_col, keep=(group_col,))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wall = Window.partitionBy(group_col)
+    return (
+        scored.select(
+            "doc_id",
+            group_col,
+            "quality",
+            F.row_number().over(w).alias("grp_rank"),
+            F.count(F.lit(1)).over(wall).alias("grp_size"),
+        )
+        .filter(
+            F.col("grp_rank")
+            <= F.ceil(F.col("grp_size") * F.lit(frac)).cast("long")
+        )
+    )
+
+
 def budget_select(
     df: DataFrame,
     token_budget: int,

@@ -70,6 +70,50 @@ def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_quality_topq",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               CAST(length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+        FROM documents
+    ), q AS (
+        SELECT doc_id, lang,
+               round(least(stopword_ratio * 4.0, 1.0) * 0.4
+                     + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+                            THEN 0.3 ELSE 0.0 END
+                     + greatest(0.0, 0.2 - digit_ratio * 2.0)
+                     + greatest(0.0, 0.1 - punct_ratio), 4) AS quality
+        FROM f
+    ), r AS (
+        SELECT doc_id, lang, quality,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY quality DESC, doc_id
+               ) AS grp_rank,
+               COUNT(1) OVER (PARTITION BY lang) AS grp_size
+        FROM q
+    )
+    SELECT doc_id, lang, quality, grp_rank, grp_size
+    FROM r WHERE grp_rank <= CAST(ceil(grp_size * 0.25) AS BIGINT)
+    """,
+)
+def quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile quality pruning: keep each language's top
+    quartile by quality score, rank-exact and deterministic (quality
+    DESC, doc_id tie-break) — relative thresholds per stratum so
+    low-resource languages are not wiped out by a global cutoff."""
+    return TX.quality_percentile_filter(
+        load_table(spark, sf_dir, "documents"), frac=0.25
+    )
+
+
+@query(
     "text_lang_id",
     oracle="""
     WITH s AS (

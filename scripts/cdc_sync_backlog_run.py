@@ -9,9 +9,13 @@
   backlog warrants anyway).
 
 Builds a synthetic corpus far past the sf fixtures (default 300k
-vectors, dim 16 — deterministic from xxhash64, no RNG), then times one
-sync with an inline-sized backlog and one with a fallback-sized backlog
-against the same frozen index. Prints one JSON line per scenario plus a
+vectors, dim 16 — deterministic from xxhash64 with literal salts, no
+RNG), then times two SCATTERED backlogs (which the adaptive rule must
+route to the rewrite — their keys bloom-hit every list-clustered file)
+and one CONCENTRATED delta (a disjoint appended vec_id range deleted
+again — its keys isolate to a minority of files, so the inline
+manifest-pruned path runs). Each record carries ``delete_path`` so the
+numbers are attributable. Prints one JSON line per scenario plus a
 SUMMARY line for SCALE.md.
 
 Usage: python scripts/cdc_sync_backlog_run.py [n_vectors] [dim]
@@ -74,11 +78,16 @@ def main() -> None:
     }), flush=True)
 
     results = []
-    # scenario A: backlog under the bound → inline manifest-pruned delete
-    # scenario B: backlog over the bound → anti-join full rewrite
-    for label, n_changed in (("inline", 80_000), ("fallback", 150_000)):
+    # Scattered backlogs (updates spread across vec_id space — every
+    # postings file bloom-hits): the adaptive rule must route BOTH to
+    # the anti-join rewrite, whatever their size. Salts are literal
+    # integers so every run generates identical vectors.
+    for label, n_changed, salt in (
+        ("scattered_80k", 80_000, 2),
+        ("scattered_150k", 150_000, 3),
+    ):
         v0 = src.current_version()
-        upd = synth(spark, n, dim, salt=hash(label) % 1000 + 2).filter(
+        upd = synth(spark, n, dim, salt=salt).filter(
             F.col("vec_id") < n_changed
         )
         src.merge(upd)
@@ -90,6 +99,7 @@ def main() -> None:
             "scenario": label,
             "changed_keys": n_changed,
             "sync_sec": round(dt, 1),
+            "delete_path": res["delete_path"],
             "deleted": res["deleted"],
             "upserted": res["upserted"],
             "postings_files_before": files_before,
@@ -99,14 +109,42 @@ def main() -> None:
         results.append(rec)
         print(json.dumps(rec), flush=True)
         assert rec["postings_rows"] == n, rec  # no dup/lost postings
+        assert rec["delete_path"] == "rewrite", rec  # scattered → rewrite
+
+    # Concentrated delta: append a fresh disjoint vec_id range (its
+    # postings land in new files whose vec_id bounds isolate them), then
+    # delete exactly that range — the manifest probe finds the stale
+    # keys in a minority of files and the INLINE path runs.
+    v0 = src.current_version()
+    extra = synth(spark, n + 5_000, dim, salt=4).filter(F.col("vec_id") >= n)
+    src.merge(extra)
+    idx.sync_from_changelog(src, from_version=v0, dim=dim)
+    v1 = src.current_version()
+    src.delete(where=[("vec_id", ">=", n)])
+    t0 = time.perf_counter()
+    res = idx.sync_from_changelog(src, from_version=v1, dim=dim)
+    rec = {
+        "scenario": "concentrated_5k",
+        "changed_keys": 5_000,
+        "sync_sec": round(time.perf_counter() - t0, 1),
+        "delete_path": res["delete_path"],
+        "deleted": res["deleted"],
+        "postings_rows": idx.postings.read().count(),
+    }
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+    assert rec["postings_rows"] == n, rec
+    assert rec["delete_path"] == "inline", rec  # concentrated → inline
 
     # the synced index still serves: postings == frozen-model view
     q = src.read().filter(F.col("vec_id") < 4)
     hits = idx.search(q, k=5, n_probe=4, dim=dim).count()
     print("SUMMARY " + json.dumps({
         "n_vectors": n,
-        "inline_sec": results[0]["sync_sec"],
-        "fallback_sec": results[1]["sync_sec"],
+        "scattered_80k_sec": results[0]["sync_sec"],
+        "scattered_150k_sec": results[1]["sync_sec"],
+        "concentrated_inline_sec": results[2]["sync_sec"],
+        "paths": [r["delete_path"] for r in results],
         "search_rows_after": hits,
     }), flush=True)
     shutil.rmtree(wh, ignore_errors=True)

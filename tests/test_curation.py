@@ -102,3 +102,39 @@ def test_budget_two_phase_equals_exact_greedy(spark):
         fast = TX.budget_select_two_phase(docs, budget).collect()
         assert {r.doc_id for r in fast} == exact, f"budget={budget}"
         assert len(fast) == len({r.doc_id for r in fast})  # no dup rows
+
+
+def test_quality_percentile_filter_exact_quartile(spark):
+    """Per-stratum top-quartile keep vs a from-scratch Python replay of
+    the rank rule (quality DESC, doc_id tie-break, ceil(frac*n) kept)."""
+    import math
+
+    from fluss_iceberg_spark.operators.text import (
+        quality_percentile_filter,
+        quality_score,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "en", "the and of to is " * (i % 7 + 1) + "x" * (i % 5)))
+    for i in range(30, 37):
+        rows.append((i, "de", "der und ist " + "word " * (i % 3 + 2)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r.doc_id, r.lang, r.grp_rank, r.grp_size)
+        for r in quality_percentile_filter(docs, frac=0.25).collect()
+    }
+    scored = quality_score(docs, keep=("lang",)).collect()
+    by_lang: dict = {}
+    for r in scored:
+        by_lang.setdefault(r.lang, []).append((-r.quality, r.doc_id))
+    want = set()
+    for lang, items in by_lang.items():
+        items.sort()
+        k = math.ceil(len(items) * 0.25)
+        for rank, (_, doc_id) in enumerate(items[:k], start=1):
+            want.add((doc_id, lang, rank, len(items)))
+    assert got == want and want
+    # every language stratum keeps ceil(n/4) docs — none wiped out
+    langs = {lang for _, lang, _, _ in want}
+    assert langs == {"en", "de"}

@@ -148,3 +148,39 @@ def test_facade_cas_excludes_writer_commits(spark, tmp_path):
     finally:
         proc.terminate()
         proc.join()
+
+
+def test_facade_cas_excludes_writer_commits_flock_path(spark, tmp_path):
+    """Same mutual-exclusion pin for the DEFAULT (no-coordinator) flock
+    branch: the facade and table.py must agree on the lock file
+    byte-for-byte, or CAS and writer flips silently stop excluding each
+    other on every warehouse that never opted into a coordinator.
+    (flock is per-open-file-description, so two holders in one process
+    DO contend — this exercises the real lock, not a thread mutex.)"""
+    import threading
+    import time
+
+    from fluss_iceberg_spark.lake.rest_catalog import _commit_section
+
+    wh = str(tmp_path / "flock_wh")
+    cat = LakeCatalog(spark, wh)
+    df = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+    t = cat.create_table("tf", df.schema)
+    t.append(df)
+    order: list[str] = []
+    entered = threading.Event()
+
+    def hold_section():
+        with _commit_section(wh):
+            entered.set()
+            time.sleep(1.5)
+            order.append("facade-released")
+
+    holder = threading.Thread(target=hold_section)
+    holder.start()
+    assert entered.wait(10)
+    t.append(spark.range(10, 20).selectExpr("id AS k", "id * 2 AS v"))
+    order.append("writer-committed")
+    holder.join()
+    assert order == ["facade-released", "writer-committed"]
+    assert t.read().count() == 20

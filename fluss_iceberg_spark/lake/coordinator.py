@@ -60,10 +60,19 @@ def endpoint_for(warehouse: str) -> str | None:
 
 
 def enable(warehouse: str, socket_path: str) -> None:
-    """Point every future commit in ``warehouse`` at a coordinator."""
+    """Point every future commit in ``warehouse`` at a coordinator.
+    Merges into _catalog.json (a REST-facade opt-in may coexist)."""
     os.makedirs(warehouse, exist_ok=True)
-    with open(os.path.join(warehouse, "_catalog.json"), "w") as f:
-        json.dump({"commit-coordinator": socket_path}, f)
+    cfg_path = os.path.join(warehouse, "_catalog.json")
+    cfg = {}
+    try:
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+    except (OSError, ValueError):
+        pass
+    cfg["commit-coordinator"] = socket_path
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
 
 
 class CoordinatorClient:

@@ -51,6 +51,25 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from fluss_iceberg_spark.lake import coordinator
 
 
+def enable_for_writers(warehouse: str, endpoint: str) -> None:
+    """Route every future single-table pointer commit in ``warehouse``
+    through the facade at ``endpoint`` (lake/table._commit posts the
+    CAS instead of flipping the pointer itself — the deployment
+    topology where writers never touch catalog state directly).
+    Merges into _catalog.json so a commit-coordinator opt-in coexists."""
+    os.makedirs(warehouse, exist_ok=True)
+    cfg_path = os.path.join(warehouse, "_catalog.json")
+    cfg = {}
+    try:
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+    except (OSError, ValueError):
+        pass
+    cfg["rest-catalog"] = endpoint
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+
 def _is_valid_name(name: str) -> bool:
     """Same rule as LakeCatalog.create_table (lake/table.py): a table
     name resolves to a DIRECT child of the warehouse, never outside."""

@@ -117,6 +117,17 @@ def _commit_lock(table_path: str):
         os.close(fd)
 
 
+def _rest_catalog_endpoint(warehouse: str) -> str | None:
+    """The REST catalog facade a warehouse routes its pointer commits
+    through (``_catalog.json`` key "rest-catalog"), or None (direct
+    filesystem CAS under the commit lock)."""
+    try:
+        with open(os.path.join(warehouse, "_catalog.json")) as f:
+            return json.load(f).get("rest-catalog") or None
+    except (OSError, ValueError):
+        return None
+
+
 def _exclusive_write(path: str, payload: str) -> None:
     """Write ``payload`` to ``path`` all-or-nothing, failing with
     CommitConflictError if ``path`` already exists. The payload is written
@@ -1205,18 +1216,75 @@ class LakeTable:
             # UNDER the catalog commit lock: exactly one same-base
             # writer wins, the loser removes its unpublished snapshot
             # and raises (the Iceberg catalog compare-and-swap).
-            with _commit_lock(self.path):
-                cur = self.current_version()
-                if cur != base:
-                    os.remove(self._meta(f"v{version}.json"))
-                    if extra:
-                        self._pending_commit_extra = extra
-                    raise CommitConflictError(
-                        f"concurrent commit advanced {self.name} to v{cur} "
-                        f"(this commit was based on v{base})"
-                    )
-                _atomic_write(self._meta("VERSION"), str(version))
+            #
+            # A warehouse that opted into a REST catalog facade
+            # (_catalog.json "rest-catalog") instead POSTs the CAS to
+            # the catalog SERVICE — the real deployment topology, where
+            # writers never touch the pointer themselves. The facade
+            # performs the identical check→flip inside the identical
+            # commit section, so facade-routed single-table commits,
+            # direct commits, and multi-table transaction publishes all
+            # serialize against each other.
+            endpoint = _rest_catalog_endpoint(
+                os.path.dirname(os.path.abspath(self.path).rstrip(os.sep))
+            )
+            if endpoint:
+                self._cas_via_rest(endpoint, base, version, extra)
+            else:
+                with _commit_lock(self.path):
+                    cur = self.current_version()
+                    if cur != base:
+                        os.remove(self._meta(f"v{version}.json"))
+                        if extra:
+                            self._pending_commit_extra = extra
+                        raise CommitConflictError(
+                            f"concurrent commit advanced {self.name} to "
+                            f"v{cur} (this commit was based on v{base})"
+                        )
+                    _atomic_write(self._meta("VERSION"), str(version))
         return snap
+
+    def _cas_via_rest(
+        self, endpoint: str, base: int, version: int, extra: dict | None
+    ) -> None:
+        """Publish the staged v{version}.json by asking the catalog
+        facade to compare-and-swap the pointer (lake/rest_catalog.py).
+        409 = lost the race: same cleanup + error as the direct path.
+        A TRANSPORT failure is ambiguous (a timeout may hide an applied
+        commit), so the staged snapshot is deliberately NOT deleted
+        there: if the pointer shows the commit landed we succeed,
+        otherwise the file is orphan debris the id-skipping commit path
+        already tolerates and remove_orphan_files sweeps."""
+        from fluss_iceberg_spark.lake import rest_catalog
+
+        try:
+            status, body = rest_catalog.cas_commit(
+                endpoint, self.name, expected=base, target=version
+            )
+        except OSError as e:
+            if self.current_version() == version:
+                return  # the commit landed; only the response was lost
+            if extra:
+                self._pending_commit_extra = extra
+            raise RuntimeError(
+                f"REST catalog unreachable at {endpoint} committing "
+                f"{self.name} v{version}: {e} (staged snapshot left as "
+                "orphan debris; pointer unchanged)"
+            ) from e
+        if status == 200:
+            return
+        os.remove(self._meta(f"v{version}.json"))
+        if extra:
+            self._pending_commit_extra = extra
+        if status == 409:
+            raise CommitConflictError(
+                f"catalog rejected commit of {self.name} v{version}: "
+                f"{body.get('error')}"
+            )
+        raise RuntimeError(
+            f"REST catalog CAS failed for {self.name} v{version} "
+            f"(HTTP {status}): {body}"
+        )
 
     # ---------- writes ----------
 

@@ -184,3 +184,71 @@ def test_facade_cas_excludes_writer_commits_flock_path(spark, tmp_path):
     holder.join()
     assert order == ["facade-released", "writer-committed"]
     assert t.read().count() == 20
+
+
+def test_writer_commits_route_through_facade(spark, tmp_path):
+    """With _catalog.json's rest-catalog opt-in, a table's pointer flip
+    is POSTed to the catalog service instead of written by the writer —
+    proven by pointing the warehouse at a DEAD endpoint (the commit must
+    fail loudly, so routing is engaged, and the staged snapshot is
+    cleaned up) and then at the live facade (commits succeed end-to-end
+    and a plain reader sees them)."""
+    from fluss_iceberg_spark.lake import rest_catalog as rc
+
+    wh = str(tmp_path / "routed_wh")
+    cat = LakeCatalog(spark, wh)
+    df = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v")
+    t = cat.create_table("ev", df.schema)
+    t.append(df)  # v0: direct (no opt-in yet)
+    srv = RestCatalogServer(wh).start()
+    try:
+        rc.enable_for_writers(wh, "http://127.0.0.1:9")  # dead endpoint
+        with pytest.raises(RuntimeError, match="unreachable"):
+            t.append(spark.range(50, 60).selectExpr("id AS k", "id * 2 AS v"))
+        assert t.current_version() == 0  # commit did not land; the
+        # staged snapshot stays as orphan debris (a transport failure is
+        # ambiguous — deleting could corrupt a commit a timeout hid),
+        # which the id-skipping retry below simply steps past
+        rc.enable_for_writers(wh, srv.endpoint)  # live facade
+        t.append(spark.range(50, 60).selectExpr("id AS k", "id * 2 AS v"))
+        assert t.current_version() > 0
+        assert t.read().count() == 60
+        assert _reader(srv.endpoint, "ev")["rows"] == 60
+        # a CAS rejection surfaces as the engine's CommitConflictError
+        from fluss_iceberg_spark.lake import table as tbl
+        orig = rc.cas_commit
+        try:
+            rc.cas_commit = lambda *a, **k: (409, {"error": "stale"})
+            with pytest.raises(tbl.CommitConflictError):
+                t.append(spark.range(60, 70).selectExpr("id AS k", "id * 2 AS v"))
+        finally:
+            rc.cas_commit = orig
+        # and the loser's staged snapshot is gone; a retry then lands
+        t.append(spark.range(60, 70).selectExpr("id AS k", "id * 2 AS v"))
+        assert t.read().count() == 70
+    finally:
+        srv.stop()
+
+
+def test_txn_publish_coexists_with_facade_routing(spark, tmp_path):
+    """Multi-table transactions keep their atomic lock-held publish on a
+    facade-enabled warehouse (single-table commits route over HTTP; the
+    facade's CAS takes the same section, so the two serialize)."""
+    from fluss_iceberg_spark.lake import rest_catalog as rc
+
+    wh = str(tmp_path / "txnfac_wh")
+    cat = LakeCatalog(spark, wh)
+    df = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+    a = cat.create_table("ta", df.schema)
+    b = cat.create_table("tb", df.schema)
+    srv = RestCatalogServer(wh).start()
+    try:
+        rc.enable_for_writers(wh, srv.endpoint)
+        with cat.transaction() as txn:
+            txn.table("ta").append(df)
+            txn.table("tb").append(df)
+        assert a.read().count() == 10 and b.read().count() == 10
+        a.append(df)  # routed single-table commit after the txn
+        assert a.read().count() == 20 and a.current_version() == 1
+    finally:
+        srv.stop()

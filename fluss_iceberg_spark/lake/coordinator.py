@@ -59,9 +59,15 @@ def endpoint_for(warehouse: str) -> str | None:
         return None
 
 
-def enable(warehouse: str, socket_path: str) -> None:
-    """Point every future commit in ``warehouse`` at a coordinator.
-    Merges into _catalog.json (a REST-facade opt-in may coexist)."""
+def merge_catalog_key(warehouse: str, key: str, value: str) -> None:
+    """Read-merge-write ONE key of ``_catalog.json`` atomically (tmp +
+    os.replace): a concurrent reader never sees a truncated file, so a
+    committing writer can never silently fall back to the wrong commit
+    path mid-rewrite. (Two concurrent ENABLES can still last-write-win
+    each other's key — opt-ins are deployment-time configuration, not a
+    data path, so that's accepted.)"""
+    import uuid as _uuid
+
     os.makedirs(warehouse, exist_ok=True)
     cfg_path = os.path.join(warehouse, "_catalog.json")
     cfg = {}
@@ -70,9 +76,17 @@ def enable(warehouse: str, socket_path: str) -> None:
             cfg = json.load(f)
     except (OSError, ValueError):
         pass
-    cfg["commit-coordinator"] = socket_path
-    with open(cfg_path, "w") as f:
+    cfg[key] = value
+    tmp = f"{cfg_path}.{_uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
         json.dump(cfg, f)
+    os.replace(tmp, cfg_path)
+
+
+def enable(warehouse: str, socket_path: str) -> None:
+    """Point every future commit in ``warehouse`` at a coordinator.
+    Merges into _catalog.json (a REST-facade opt-in may coexist)."""
+    merge_catalog_key(warehouse, "commit-coordinator", socket_path)
 
 
 class CoordinatorClient:

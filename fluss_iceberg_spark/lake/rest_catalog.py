@@ -53,21 +53,13 @@ from fluss_iceberg_spark.lake import coordinator
 
 def enable_for_writers(warehouse: str, endpoint: str) -> None:
     """Route every future single-table pointer commit in ``warehouse``
-    through the facade at ``endpoint`` (lake/table._commit posts the
-    CAS instead of flipping the pointer itself — the deployment
-    topology where writers never touch catalog state directly).
-    Merges into _catalog.json so a commit-coordinator opt-in coexists."""
-    os.makedirs(warehouse, exist_ok=True)
-    cfg_path = os.path.join(warehouse, "_catalog.json")
-    cfg = {}
-    try:
-        with open(cfg_path) as f:
-            cfg = json.load(f)
-    except (OSError, ValueError):
-        pass
-    cfg["rest-catalog"] = endpoint
-    with open(cfg_path, "w") as f:
-        json.dump(cfg, f)
+    through the facade at ``endpoint`` (lake/table._commit stages under
+    rest-v{N}.json and POSTs the CAS instead of flipping the pointer
+    itself — the deployment topology where writers never touch catalog
+    state directly; multi-table txn publishes and WAP fast_forward keep
+    their direct lock-held flips under the same section). Atomic merge
+    into _catalog.json so a commit-coordinator opt-in coexists."""
+    coordinator.merge_catalog_key(warehouse, "rest-catalog", endpoint)
 
 
 def _is_valid_name(name: str) -> bool:
@@ -165,21 +157,31 @@ def _cas_commit(warehouse: str, name: str, body: dict) -> dict:
         )
     tpath = os.path.join(warehouse, name)
     with _commit_section(warehouse):
-        # target-exists is checked UNDER the section: a concurrent
-        # expire_snapshots between an outside check and the flip could
-        # otherwise wedge the pointer on a deleted snapshot
-        snap_file = os.path.join(tpath, "meta", f"v{target}.json")
-        if not os.path.exists(snap_file):
-            raise _BadRequest(
-                f"v{target} is not a published snapshot of {name} — the "
-                "facade flips pointers between existing snapshots only"
-            )
         vf = os.path.join(tpath, "meta", "VERSION")
         current = _current_version(tpath)
         if current != expected:
             raise _Conflict(
                 f"expected v{expected} but {name} is at v{current}"
             )
+        # target resolution, all UNDER the section (a concurrent
+        # expire_snapshots between an outside check and the flip could
+        # otherwise wedge the pointer on a deleted snapshot): either an
+        # already-published snapshot (pure pointer move — rollback), or
+        # a writer's staged rest-v{N}.json, which the facade LINKS into
+        # its public place here — the staged name stays invisible to
+        # readers until this exact moment, so a routed commit that
+        # never reaches this point leaves no phantom snapshot.
+        snap_file = os.path.join(tpath, "meta", f"v{target}.json")
+        if not os.path.exists(snap_file):
+            staged = os.path.join(tpath, "meta", f"rest-v{target}.json")
+            try:
+                os.link(staged, snap_file)
+                os.remove(staged)  # consumed; client cleanup is a no-op
+            except FileNotFoundError:
+                raise _BadRequest(
+                    f"v{target} is neither a published snapshot of "
+                    f"{name} nor staged for publication"
+                )
         tmp = f"{vf}.casa.tmp"
         with open(tmp, "w") as f:
             f.write(str(target))

@@ -117,6 +117,12 @@ def _commit_lock(table_path: str):
         os.close(fd)
 
 
+def _warehouse_of(table_path: str) -> str:
+    """The warehouse root = the table dir's parent (names are validated
+    to contain no path separators, so this cannot alias)."""
+    return os.path.dirname(os.path.abspath(table_path).rstrip(os.sep))
+
+
 def _rest_catalog_endpoint(warehouse: str) -> str | None:
     """The REST catalog facade a warehouse routes its pointer commits
     through (``_catalog.json`` key "rest-catalog"), or None (direct
@@ -833,11 +839,23 @@ class LakeTable:
         """Next snapshot id: ids are unique across ALL refs (branch
         commits interleave with main's), so the next id clears every
         existing snapshot file, not just the active ref's head — plus
-        this transaction's own staged (not yet visible) snapshots."""
+        this transaction's own staged (not yet visible) snapshots, plus
+        any rest-v{N}.json a crashed facade-routed commit left behind
+        (invisible to readers but holding its exclusive-create name; a
+        successor must skip past it like any other orphan debris)."""
         staged = self._txn.staged_all(self) if self._txn is not None else ()
+        rest_staged = -1
+        meta_dir = self._meta()
+        if os.path.isdir(meta_dir):
+            for f in os.listdir(meta_dir):
+                if f.startswith("rest-v") and f.endswith(".json"):
+                    try:
+                        rest_staged = max(rest_staged, int(f[6:-5]))
+                    except ValueError:
+                        continue
         return max(self.current_version(),
                    max(self.snapshot_versions(), default=-1),
-                   max(staged, default=-1)) + 1
+                   max(staged, default=-1), rest_staged) + 1
 
     def snapshot(self, version: int | str | None = None) -> Snapshot | None:
         v = self._head() if version is None else version
@@ -1175,8 +1193,19 @@ class LakeTable:
         # list only v*.json, so uncommitted transaction work is invisible
         # to every other reader (not just pointer-following ones) — the
         # staged file is linked into place at publish time.
+        # facade-routed commits stage under rest-v{N}.json — like txn
+        # staging, a name NO reader lists — and the catalog service
+        # links it into its public v{N}.json place inside the commit
+        # section. A transport failure can then never leave a phantom
+        # readable snapshot, and the client's cleanup of the staged
+        # NAME is always safe (the public hard link, if the commit did
+        # land, is unaffected).
+        rest_endpoint = None
+        if self._txn is None and not self.write_branch:
+            rest_endpoint = _rest_catalog_endpoint(_warehouse_of(self.path))
         snap_name = (
             f"txn-v{version}.json" if self._txn is not None
+            else f"rest-v{version}.json" if rest_endpoint
             else f"v{version}.json"
         )
         try:
@@ -1220,16 +1249,12 @@ class LakeTable:
             # A warehouse that opted into a REST catalog facade
             # (_catalog.json "rest-catalog") instead POSTs the CAS to
             # the catalog SERVICE — the real deployment topology, where
-            # writers never touch the pointer themselves. The facade
-            # performs the identical check→flip inside the identical
-            # commit section, so facade-routed single-table commits,
-            # direct commits, and multi-table transaction publishes all
-            # serialize against each other.
-            endpoint = _rest_catalog_endpoint(
-                os.path.dirname(os.path.abspath(self.path).rstrip(os.sep))
-            )
-            if endpoint:
-                self._cas_via_rest(endpoint, base, version, extra)
+            # writers never touch the pointer themselves (multi-table
+            # txn publishes and WAP fast_forward keep their direct
+            # lock-held flips; the facade takes the same section, so
+            # all three entry points serialize against each other).
+            if rest_endpoint:
+                self._cas_via_rest(rest_endpoint, base, version, extra)
             else:
                 with _commit_lock(self.path):
                     cur = self.current_version()
@@ -1247,44 +1272,68 @@ class LakeTable:
     def _cas_via_rest(
         self, endpoint: str, base: int, version: int, extra: dict | None
     ) -> None:
-        """Publish the staged v{version}.json by asking the catalog
-        facade to compare-and-swap the pointer (lake/rest_catalog.py).
-        409 = lost the race: same cleanup + error as the direct path.
-        A TRANSPORT failure is ambiguous (a timeout may hide an applied
-        commit), so the staged snapshot is deliberately NOT deleted
-        there: if the pointer shows the commit landed we succeed,
-        otherwise the file is orphan debris the id-skipping commit path
-        already tolerates and remove_orphan_files sweeps."""
+        """Publish the staged rest-v{version}.json by asking the catalog
+        facade to link it into its public place and compare-and-swap the
+        pointer (lake/rest_catalog.py). 409 = lost the race: same error
+        as the direct path.
+
+        Failure handling is DETERMINATE on this stand-in, not merely
+        conservative: the staged NAME is removed under the local commit
+        lock (the same section the facade applies inside, same
+        filesystem), so any not-yet-applied request finds its staged
+        file gone at link time and aborts, while an already-applied one
+        left a public hard link the removal cannot touch — after the
+        locked remove+pointer-check, the outcome is known. A REMOTE
+        catalog (no shared lock) cannot close this window; there the
+        transport branch would surface Iceberg's
+        CommitStateUnknownException semantics instead."""
+        import http.client
+
         from fluss_iceberg_spark.lake import rest_catalog
 
+        staged = self._meta(f"rest-v{version}.json")
+
+        def _cleanup_staged() -> None:
+            try:
+                os.remove(staged)
+            except FileNotFoundError:
+                pass  # the facade already consumed (linked+removed) it
+
+        err: Exception | None = None
+        status, body = 0, {}
         try:
             status, body = rest_catalog.cas_commit(
                 endpoint, self.name, expected=base, target=version
             )
-        except OSError as e:
-            if self.current_version() == version:
-                return  # the commit landed; only the response was lost
+        except (OSError, http.client.HTTPException, ValueError) as e:
+            err = e
+        if status == 200:
+            _cleanup_staged()  # normally already consumed by the link
+            return
+        if status == 409:
+            _cleanup_staged()  # definitive: the CAS never linked it
             if extra:
                 self._pending_commit_extra = extra
-            raise RuntimeError(
-                f"REST catalog unreachable at {endpoint} committing "
-                f"{self.name} v{version}: {e} (staged snapshot left as "
-                "orphan debris; pointer unchanged)"
-            ) from e
-        if status == 200:
-            return
-        os.remove(self._meta(f"v{version}.json"))
-        if extra:
-            self._pending_commit_extra = extra
-        if status == 409:
             raise CommitConflictError(
                 f"catalog rejected commit of {self.name} v{version}: "
                 f"{body.get('error')}"
             )
+        # transport error, garbled response, or an intermediary status
+        # (502/504) — the origin MAY have applied the CAS. Resolve under
+        # the shared section (see docstring): remove the staged name
+        # (poisons any not-yet-applied request), then read the pointer.
+        with _commit_lock(self.path):
+            _cleanup_staged()
+            if self.current_version() == version:
+                return  # applied; only the response was lost
+        if extra:
+            self._pending_commit_extra = extra
         raise RuntimeError(
-            f"REST catalog CAS failed for {self.name} v{version} "
-            f"(HTTP {status}): {body}"
-        )
+            f"REST catalog at {endpoint} failed committing {self.name} "
+            f"v{version} ({err or f'HTTP {status}: {body}'}; resolved "
+            "under the commit section: pointer unchanged, staged "
+            "snapshot removed)"
+        ) from err
 
     # ---------- writes ----------
 
@@ -3165,15 +3214,16 @@ class LakeTable:
             s = self.snapshot(v)
             referenced.update(s.files)
             referenced.update(s.delete_files)
-        # a LIVE transaction's staged snapshots (txn-v{N}.json) are not
-        # listed by snapshot_versions() but their data files are not
-        # orphans — protect them, and only sweep staged metadata old
-        # enough that no transaction can still be running (the Iceberg
+        # LIVE staged snapshots — a transaction's txn-v{N}.json or a
+        # facade-routed commit's rest-v{N}.json — are not listed by
+        # snapshot_versions() but their data files are not orphans:
+        # protect them, and only sweep staged metadata old enough that
+        # no commit can still be in flight (the Iceberg
         # remove_orphan_files `older_than` discipline)
         stale_staged = []
         now_ms = int(time.time() * 1000)
         for fname in os.listdir(self._meta()):
-            if fname.startswith("txn-v") and fname.endswith(".json"):
+            if fname.startswith(("txn-v", "rest-v")) and fname.endswith(".json"):
                 try:
                     with open(self._meta(fname)) as f:
                         staged = Snapshot.from_json(f.read())

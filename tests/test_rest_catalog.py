@@ -203,12 +203,15 @@ def test_writer_commits_route_through_facade(spark, tmp_path):
     srv = RestCatalogServer(wh).start()
     try:
         rc.enable_for_writers(wh, "http://127.0.0.1:9")  # dead endpoint
-        with pytest.raises(RuntimeError, match="unreachable"):
+        with pytest.raises(RuntimeError, match="failed committing"):
             t.append(spark.range(50, 60).selectExpr("id AS k", "id * 2 AS v"))
-        assert t.current_version() == 0  # commit did not land; the
-        # staged snapshot stays as orphan debris (a transport failure is
-        # ambiguous — deleting could corrupt a commit a timeout hid),
-        # which the id-skipping retry below simply steps past
+        assert t.current_version() == 0  # determinate: commit did not land
+        import os
+        meta = os.listdir(os.path.join(wh, "ev", "meta"))
+        assert not any(m.startswith("rest-v") for m in meta), (
+            "failed routed commit must consume its staged snapshot"
+        )
+        assert "v1.json" not in meta, "no phantom public snapshot"
         rc.enable_for_writers(wh, srv.endpoint)  # live facade
         t.append(spark.range(50, 60).selectExpr("id AS k", "id * 2 AS v"))
         assert t.current_version() > 0

@@ -67,6 +67,15 @@ class CommitConflictError(RuntimeError):
     CAS via exclusive-create)."""
 
 
+class CommitStateUnknownError(RuntimeError):
+    """A routed commit whose outcome the client could NOT resolve — the
+    Iceberg ``CommitStateUnknownException`` role: the staged snapshot
+    was already consumed, but neither the pointer nor a published
+    snapshot confirms the commit. The caller must NOT blindly retry
+    (a retry could double-apply the write); it must inspect the table
+    or re-derive the write idempotently."""
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
@@ -1250,9 +1259,10 @@ class LakeTable:
             # (_catalog.json "rest-catalog") instead POSTs the CAS to
             # the catalog SERVICE — the real deployment topology, where
             # writers never touch the pointer themselves (multi-table
-            # txn publishes and WAP fast_forward keep their direct
-            # lock-held flips; the facade takes the same section, so
-            # all three entry points serialize against each other).
+            # txn publishes route through the facade's
+            # /v1/transactions/commit; WAP fast_forward keeps its
+            # direct lock-held flip; the facade takes the same section,
+            # so all entry points serialize against each other).
             if rest_endpoint:
                 self._cas_via_rest(rest_endpoint, base, version, extra)
             else:
@@ -1283,21 +1293,29 @@ class LakeTable:
         filesystem), so any not-yet-applied request finds its staged
         file gone at link time and aborts, while an already-applied one
         left a public hard link the removal cannot touch — after the
-        locked remove+pointer-check, the outcome is known. A REMOTE
-        catalog (no shared lock) cannot close this window; there the
-        transport branch would surface Iceberg's
-        CommitStateUnknownException semantics instead."""
+        locked remove, WHO removed the staged name discriminates the
+        outcome even when a concurrent commit has already advanced the
+        pointer past ``version``: we removed it ⇒ the CAS never
+        applied; already gone + public v{version}.json present ⇒ it
+        applied and only the response was lost. A REMOTE catalog (no
+        shared lock) cannot close this window; the one residual local
+        case (staged gone, no public snapshot — external interference)
+        surfaces CommitStateUnknownError, Iceberg's
+        CommitStateUnknownException semantics."""
         import http.client
 
         from fluss_iceberg_spark.lake import rest_catalog
 
         staged = self._meta(f"rest-v{version}.json")
 
-        def _cleanup_staged() -> None:
+        def _cleanup_staged() -> bool:
+            """Remove the staged name; True if WE removed it, False if it
+            was already gone (= the facade consumed it via the link)."""
             try:
                 os.remove(staged)
+                return True
             except FileNotFoundError:
-                pass  # the facade already consumed (linked+removed) it
+                return False
 
         err: Exception | None = None
         status, body = 0, {}
@@ -1322,12 +1340,38 @@ class LakeTable:
         # (502/504) — the origin MAY have applied the CAS. Resolve under
         # the shared section (see docstring): remove the staged name
         # (poisons any not-yet-applied request), then read the pointer.
+        # The pointer alone is NOT the discriminator: a commit that DID
+        # apply can be followed by a concurrent v{version+1} commit
+        # before this lock is acquired, so "pointer != version" must not
+        # be reported as determinate failure. The staged name is the
+        # discriminator — the facade consumes it (link + remove) at the
+        # exact moment it publishes, so: staged still present ⇒ the CAS
+        # never linked it (determinate failure, and removing it poisons
+        # any still-in-flight request); staged gone AND the public
+        # snapshot exists ⇒ the commit landed, only the response was
+        # lost.
         with _commit_lock(self.path):
-            _cleanup_staged()
+            we_removed_staged = _cleanup_staged()
             if self.current_version() == version:
                 return  # applied; only the response was lost
+            if not we_removed_staged and os.path.exists(
+                self._meta(f"v{version}.json")
+            ):
+                return  # applied, then a later commit advanced the pointer
         if extra:
             self._pending_commit_extra = extra
+        if not we_removed_staged:
+            # staged name gone but no public snapshot: an outcome this
+            # client cannot resolve (e.g. external cleanup raced us) —
+            # surface Iceberg's CommitStateUnknown semantics, NOT a
+            # determinate failure that would invite a double-applying
+            # retry.
+            raise CommitStateUnknownError(
+                f"REST catalog at {endpoint}: commit of {self.name} "
+                f"v{version} is in an unknown state ({err or f'HTTP {status}: {body}'}; "
+                "staged snapshot already consumed but neither the pointer "
+                "nor a published snapshot confirms it)"
+            ) from err
         raise RuntimeError(
             f"REST catalog at {endpoint} failed committing {self.name} "
             f"v{version} ({err or f'HTTP {status}: {body}'}; resolved "
@@ -3869,6 +3913,15 @@ class CatalogTransaction:
             raise ValueError("transaction already finished")
         self._done = True
         try:
+            # A warehouse that opted into a REST catalog facade routes
+            # the whole multi-table publish through the catalog SERVICE
+            # (the Iceberg REST commitTransaction shape) — the facade
+            # runs the same verify→link→intent→publish protocol under
+            # the same commit section, so crash recovery is shared.
+            endpoint = _rest_catalog_endpoint(self.catalog.warehouse)
+            if endpoint and self._staged:
+                self._commit_via_rest(endpoint)
+                return
             # The whole verify→intent→publish sequence runs under the
             # catalog commit lock: single-table commits flip their
             # pointer under the same lock, so no concurrent commit can
@@ -3970,6 +4023,90 @@ class CatalogTransaction:
                     pass  # intent remains; next open rolls forward
         finally:
             self._detach()
+
+    def _commit_via_rest(self, endpoint: str) -> None:
+        """Publish every staged table atomically through the catalog
+        facade (rest_catalog._txn_commit — verify→link→intent→publish
+        under the shared commit section). Failure resolution mirrors
+        LakeTable._cas_via_rest: on transport loss the staged
+        ``txn-v{N}.json`` names discriminate — the facade consumes them
+        all at publish time, so all-present ⇒ never applied
+        (determinate failure), all-gone + every pointer at/past its
+        target ⇒ applied with the response lost; anything mixed is
+        first given to the intent roll-forward sweep, then surfaced as
+        CommitStateUnknownError if still unresolved."""
+        import http.client
+
+        from fluss_iceberg_spark.lake import rest_catalog
+
+        changes = [
+            {
+                "name": os.path.basename(path.rstrip(os.sep)),
+                "expected": s["first_base"],
+                "target": s["latest"],
+                "staged_versions": s["all"],
+            }
+            for path, s in self._staged.items()
+        ]
+        err: Exception | None = None
+        status, body = 0, {}
+        try:
+            status, body = rest_catalog.commit_transaction(endpoint, changes)
+        except (OSError, http.client.HTTPException, ValueError) as e:
+            err = e
+        if status == 200:
+            # the facade consumed every staged name and flipped every
+            # pointer — nothing left for abort/cleanup to touch
+            self._staged.clear()
+            return
+        if status in (400, 409):
+            self._abort()
+            raise CommitConflictError(
+                f"catalog rejected transaction publish: {body.get('error')}"
+            )
+        # transport error / intermediary status — the facade MAY have
+        # applied the transaction. Resolve under the shared section
+        # (the facade holds it while processing, so post-lock state is
+        # quiescent).
+        with _commit_lock(os.path.join(self.catalog.warehouse, "_")):
+            staged_flags = [
+                os.path.exists(os.path.join(path, "meta", f"txn-v{v}.json"))
+                for path, s in self._staged.items()
+                for v in s["all"]
+            ]
+            applied = all(
+                self._tables_by_path(path).current_version() >= s["latest"]
+                for path, s in self._staged.items()
+            )
+            if applied and not any(staged_flags):
+                self._staged.clear()
+                return  # committed; only the response was lost
+            if all(staged_flags) and not applied:
+                # nothing linked, nothing flipped: determinate failure
+                self._abort()
+                raise RuntimeError(
+                    f"REST catalog at {endpoint} failed the transaction "
+                    f"publish ({err or f'HTTP {status}: {body}'}; resolved "
+                    "under the commit section: no table advanced, staged "
+                    "snapshots removed)"
+                ) from err
+        # mixed state: an intent MAY exist — let the roll-forward sweep
+        # finish a committed-but-unpublished transaction, then re-check
+        try:
+            self.catalog._recover_transactions()
+        except Exception:
+            pass
+        if all(
+            self._tables_by_path(path).current_version() >= s["latest"]
+            for path, s in self._staged.items()
+        ):
+            self._staged.clear()
+            return
+        raise CommitStateUnknownError(
+            f"REST catalog at {endpoint}: transaction publish is in an "
+            f"unknown state ({err or f'HTTP {status}: {body}'}); staged "
+            "snapshots partially consumed and no intent resolved it"
+        ) from err
 
     def abort(self) -> None:
         if self._done:

@@ -61,6 +61,10 @@ class IvfIndex:
     def __init__(self, catalog: LakeCatalog, prefix: str):
         self.catalog = catalog
         self.prefix = prefix
+        # the previous distributed-routing checkpoint frame (>1024-query
+        # searches); released when the NEXT search routes, or explicitly
+        # via release_route_cache() — see _route_queries
+        self._route_cp: DataFrame | None = None
 
     # ---- lifecycle ----
 
@@ -106,6 +110,7 @@ class IvfIndex:
             replace=True,
         )
         self._dim = dim
+        self._n_lists = len(model)
         self.append(emb)
         return self
 
@@ -328,8 +333,17 @@ class IvfIndex:
             )
             # materialize once: search() consumes this both for the
             # probed-list collect AND inside the scoring join — without a
-            # checkpoint the |Q|·K routing job would run twice
-            return routed.localCheckpoint(eager=True), False
+            # checkpoint the |Q|·K routing job would run twice. The
+            # checkpoint blocks of the PREVIOUS search are released here
+            # (and via release_route_cache) so repeated large-|Q|
+            # searches in a long-lived session don't accumulate blocks
+            # until the GC-driven ContextCleaner sweep — which means a
+            # search's returned plan must be consumed before the next
+            # search is issued (it is in every caller: the plan is
+            # lazy only until the caller's own action).
+            self.release_route_cache()
+            self._route_cp = routed.localCheckpoint(eager=True)
+            return self._route_cp, False
         model = [
             (int(r.cid), np.array(r.cv, dtype=np.float64), float(r.cn))
             for r in self._model_df().collect()
@@ -348,6 +362,18 @@ class IvfIndex:
             True,
         )
 
+    def release_route_cache(self) -> None:
+        """Free the checkpoint blocks a previous >ROUTE_DRIVER_MAX-query
+        search left behind (best-effort, same internal seam as
+        neardup_admit_batch's per-tick release — on any drift the
+        ContextCleaner still reclaims the blocks eventually)."""
+        cp, self._route_cp = self._route_cp, None
+        if cp is not None:
+            try:
+                cp._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
+
     def search(
         self,
         queries: DataFrame,
@@ -357,8 +383,13 @@ class IvfIndex:
     ) -> DataFrame:
         """Top-k by exact cosine over the probed lists' candidates.
         Output: (query_id, nn_id, cosine, rank) — the batch ivf_topk
-        shape, id tie-broken."""
+        shape, id tie-broken. ``n_probe`` is clamped to the model's
+        list count (a probe count past K would only duplicate work on
+        the distributed routing path's window)."""
         dim = dim or self._require_dim()
+        n_lists = getattr(self, "_n_lists", None)
+        if n_lists:
+            n_probe = min(n_probe, n_lists)
         probe, small_q = self._route_queries(queries, n_probe, dim)
         # the union of probed lists is bounded by K (model-sized), never
         # by |Q| — safe to collect for the manifest IN-list pushdown

@@ -82,6 +82,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
+    # ---- round-9 rotation: the 2 queries registered in round 8 — the only
+    # registered queries with zero driver evidence — rotate IN:
+    # dedup_substring_spans (Lee-et-al substring-duplication census,
+    # oracle-backed) and text_quality_topq (per-language percentile
+    # pruning, oracle-backed). Rotated OUT, each 4× driver hash-green
+    # (r5-r8) with its family still gated in-window: events_gap_fill
+    # (events family keeps retention_cohorts + session_window_builtin +
+    # anomaly_zscore + value_percentiles + value_histogram) and
+    # lake_clustered_scan (lake scan-pruning family keeps
+    # partition_pruning + value_set_skipping + runtime_filter_join +
+    # spj_bucket_join).
     # ---- round-8 rotation: the 5 queries registered in round 7 (the only
     # ones with zero driver evidence) rotate IN — multimodal_real_decode,
     # lake_spj_bucket_join, text_weighted_sample (oracle-backed) and
@@ -133,7 +144,6 @@ _PRIORITY = [
     # the ordered-step class stays via retention_cohorts; the two
     # never-gated event shapes — built-in session_window TVF and
     # windowed anomaly z-score — gate first)
-    "events_gap_fill",
     "events_retention_cohorts",
     "events_session_window_builtin",
     "events_anomaly_zscore",
@@ -142,7 +152,6 @@ _PRIORITY = [
     # green — row-level class stays via lake_mor_delete + engine_merge_into)
     "lake_mor_delete",
     "lake_partition_pruning",
-    "lake_clustered_scan",
     "lake_matview_changelog",
     "lake_value_set_skipping",
     # storage-partitioned join over co-bucketed PK tables (zero probe-side
@@ -185,12 +194,18 @@ _PRIORITY = [
     # exact-k weighted reservoir sampling (Efraimidis-Spirakis A-ES;
     # oracle-backed) — first driver gate r8
     "text_weighted_sample",
+    # per-language percentile quality pruning (top-quartile by stratum;
+    # oracle-backed) — first driver gate r9
+    "text_quality_topq",
     # deduplication (minhash_lsh + connected_components rotate out 4x-green
     # r2-r5; the banded-candidate shape stays via dedup_passage_level's
     # fp-shuffle + semantic_representatives' composition; the cross-source
     # overlap matrix gates first)
     "dedup_passage_level",
     "dedup_source_overlap",
+    # exact substring-duplication census (Lee et al. 2021 windowed
+    # fingerprints; oracle-backed) — first driver gate r9
+    "dedup_substring_spans",
     # SemDeDup semantic pruning (rows-only: k-means float iteration order;
     # greedy == exact-reference unit gate) — first driver evidence r7
     "dedup_semdedup",

@@ -234,9 +234,13 @@ def test_writer_commits_route_through_facade(spark, tmp_path):
 
 
 def test_txn_publish_coexists_with_facade_routing(spark, tmp_path):
-    """Multi-table transactions keep their atomic lock-held publish on a
-    facade-enabled warehouse (single-table commits route over HTTP; the
-    facade's CAS takes the same section, so the two serialize)."""
+    """Multi-table transactions on a facade-enabled warehouse route
+    their whole publish through /v1/transactions/commit (single-table
+    commits POST their CAS; both take the same section, so the entry
+    points serialize). The facade consumes every staged txn-v{N}.json
+    at publish time."""
+    import os
+
     from fluss_iceberg_spark.lake import rest_catalog as rc
 
     wh = str(tmp_path / "txnfac_wh")
@@ -251,7 +255,123 @@ def test_txn_publish_coexists_with_facade_routing(spark, tmp_path):
             txn.table("ta").append(df)
             txn.table("tb").append(df)
         assert a.read().count() == 10 and b.read().count() == 10
+        for name in ("ta", "tb"):
+            meta = os.listdir(os.path.join(wh, name, "meta"))
+            assert not any(m.startswith("txn-v") for m in meta)
+        assert not os.path.isdir(os.path.join(wh, "_txn")) or not os.listdir(
+            os.path.join(wh, "_txn")
+        )
         a.append(df)  # routed single-table commit after the txn
         assert a.read().count() == 20 and a.current_version() == 1
     finally:
+        srv.stop()
+
+
+def test_txn_via_facade_conflict_and_transport_failure(spark, tmp_path):
+    """The routed transaction publish fails determinately: a 409 from
+    the facade aborts the whole transaction (no table advanced, staged
+    names cleaned); a transport error with the request never applied
+    resolves to a determinate RuntimeError; a transport error AFTER the
+    facade applied resolves to success (response-lost case)."""
+    import os
+
+    from fluss_iceberg_spark.lake import rest_catalog as rc
+    from fluss_iceberg_spark.lake import table as tbl
+
+    wh = str(tmp_path / "txnfail_wh")
+    cat = LakeCatalog(spark, wh)
+    df = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+    a = cat.create_table("fa", df.schema)
+    b = cat.create_table("fb", df.schema)
+    srv = RestCatalogServer(wh).start()
+    orig = rc.commit_transaction
+    try:
+        rc.enable_for_writers(wh, srv.endpoint)
+
+        # 1) facade 409 → whole txn aborts, neither table advances
+        rc.commit_transaction = lambda *args, **kw: (409, {"error": "stale"})
+        with pytest.raises(tbl.CommitConflictError):
+            with cat.transaction() as txn:
+                txn.table("fa").append(df)
+                txn.table("fb").append(df)
+        rc.commit_transaction = orig
+        assert a.current_version() == -1 and b.current_version() == -1
+        for name in ("fa", "fb"):
+            meta = os.listdir(os.path.join(wh, name, "meta"))
+            assert not any(m.startswith(("txn-v", "v")) for m in meta if m.endswith(".json") and m != "table.json"), meta
+
+        # 2) transport error, request never reached the facade →
+        # determinate failure, staged names consumed
+        def _dead(*args, **kw):
+            raise OSError("connection refused")
+
+        rc.commit_transaction = _dead
+        with pytest.raises(RuntimeError, match="no table advanced"):
+            with cat.transaction() as txn:
+                txn.table("fa").append(df)
+                txn.table("fb").append(df)
+        rc.commit_transaction = orig
+        assert a.current_version() == -1 and b.current_version() == -1
+
+        # 3) facade applied, response lost → resolved as SUCCESS
+        def _applied_then_lost(endpoint, changes):
+            orig(endpoint, changes)
+            raise OSError("response lost")
+
+        rc.commit_transaction = _applied_then_lost
+        with cat.transaction() as txn:
+            txn.table("fa").append(df)
+            txn.table("fb").append(df)
+        assert a.read().count() == 10 and b.read().count() == 10
+        assert a.current_version() == 0 and b.current_version() == 0
+    finally:
+        rc.commit_transaction = orig
+        srv.stop()
+
+
+def test_cas_resolution_applied_then_advanced(spark, tmp_path):
+    """ADVICE r8 (medium): a routed single-table commit whose CAS
+    APPLIED but whose response was lost, followed by a concurrent
+    commit advancing the pointer before the client resolves, must be
+    reported as SUCCESS (staged name consumed + public snapshot
+    present), never as a determinate failure inviting a double-apply
+    retry."""
+    import os
+
+    from fluss_iceberg_spark.lake import rest_catalog as rc
+
+    wh = str(tmp_path / "casadv_wh")
+    cat = LakeCatalog(spark, wh)
+    df = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+    t = cat.create_table("tc", df.schema)
+    t.append(df)  # v0 direct
+    srv = RestCatalogServer(wh).start()
+    orig = rc.cas_commit
+    try:
+        rc.enable_for_writers(wh, srv.endpoint)
+
+        def _applied_advanced_lost(endpoint, name, expected, target):
+            status, body = orig(endpoint, name, expected, target)
+            assert status == 200
+            # a concurrent writer lands v{target+1} before resolution:
+            # simulate with a pointer-visible published snapshot
+            meta = os.path.join(wh, "tc", "meta")
+            os.link(
+                os.path.join(meta, f"v{target}.json"),
+                os.path.join(meta, f"v{target + 1}.json"),
+            )
+            with open(os.path.join(meta, "VERSION.t"), "w") as f:
+                f.write(str(target + 1))
+            os.replace(
+                os.path.join(meta, "VERSION.t"), os.path.join(meta, "VERSION")
+            )
+            raise OSError("response lost")
+
+        rc.cas_commit = _applied_advanced_lost
+        t.append(spark.range(10, 20).selectExpr("id AS k", "id * 2 AS v"))
+        # no exception: the commit is acknowledged as applied
+        assert t.current_version() == 2  # the "concurrent" advance
+        assert os.path.exists(os.path.join(wh, "tc", "meta", "v1.json"))
+    finally:
+        rc.cas_commit = orig
         srv.stop()

@@ -868,6 +868,109 @@ def substring_duplicate_spans(
     )
 
 
+def substring_rewrite(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal half of the Lee et al. 2021 substring-dedup pipeline
+    (``substring_duplicate_spans`` is the census half): every duplicated
+    ``window``-token span keeps ONLY its first occurrence corpus-wide
+    (lexicographic min (doc_id, start_tok) — the same winner the census
+    reports), every other occurrence is excised from its document, and
+    each document is reassembled from its surviving tokens in original
+    order.
+
+    Scale design, same profile as ``passage_dedup``:
+      1. span fingerprinting is the census's pure map (slice over the
+         token array inside whole-stage codegen, no per-word explode);
+      2. ONE shuffle on the 128-bit fingerprint ranks occurrences
+         (count + row_number share the fp partitioning — a single
+         exchange), keeping rank-1 spans and emitting the rest as
+         removals: collision-sized output, never the corpus;
+      3. removals group per doc (their volume IS the duplication, not
+         the corpus) and join back to the token arrays on doc_id —
+         AQE broadcast-plans the collision-sized side; the excision
+         itself is an array filter in whole-stage codegen (token i
+         survives iff no removed span s covers s ≤ i < s+window —
+         per-doc cost |tokens|·|removed spans in that doc|, and a doc
+         with no removed spans costs |tokens|·0).
+
+    Overlapping removed spans compose as interval cover, so stride <
+    window never double-removes. Every input document survives; a
+    fully-duplicated one comes back with kept_text='' .
+
+    Output: (doc_id, kept_text, n_removed_spans, n_kept_tokens,
+    n_total_tokens)."""
+    from fluss_iceberg_spark.operators.text import tokens
+    from fluss_iceberg_spark.operators.util import spread
+
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = spread(docs).select("doc_id", toks.alias("__toks"))
+    n = F.size("__toks")
+    n_wins = ((n - window) / stride).cast("int") + 1
+    idx = F.when(n >= window, F.sequence(F.lit(0), n_wins - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda k: F.struct(
+                    (k * stride).cast("int").alias("start_tok"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                "__toks", (k * stride + 1).cast("int"), window
+                            ),
+                            " ",
+                        )
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.start_tok").alias("start_tok"),
+        F.col("s.fp").alias("fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    wrank = Window.partitionBy("fp").orderBy("doc_id", "start_tok")
+    removals = (
+        spans.withColumn("cnt", F.count(F.lit(1)).over(wfp))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("start_tok")).alias("__starts"),
+            F.count(F.lit(1)).cast("int").alias("n_removed_spans"),
+        )
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — shared by filter+doc
+        "__starts", lambda s: (s <= i) & (i < s + window)
+    )
+    return (
+        base.join(removals, on="doc_id", how="left")
+        .withColumn(
+            "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
+        )
+        .withColumn(
+            "__kept", F.filter("__toks", lambda tok, i: ~covered(i))
+        )
+        .select(
+            "doc_id",
+            F.array_join("__kept", " ").alias("kept_text"),
+            F.coalesce("n_removed_spans", F.lit(0)).alias("n_removed_spans"),
+            F.size("__kept").alias("n_kept_tokens"),
+            F.size("__toks").alias("n_total_tokens"),
+        )
+    )
+
+
 def semdedup(
     emb: DataFrame,
     n_clusters: int = 8,

@@ -126,12 +126,12 @@ def quality_percentile_filter(
 
     Exact semantics, deterministic: within each group rank by
     (quality DESC, doc_id) and keep rank ≤ ceil(frac · group size).
-    Cost is one shuffle on the stratum key + a per-group sort. At
-    100 TB per-group sorts of billions of docs would instead run the
-    two-phase form (approx per-group threshold from a sample, exact
-    rank refinement only around the cut) — the exact form here IS the
-    refinement kernel, and strata counts are the only skew axis (the
-    same per-shard window trade documented for pack_sequences).
+    Cost is one shuffle on the stratum key + a per-group sort — right
+    at test scale, and the oracle twin of the scale form. At 100 TB a
+    single stratum (a billion-doc English partition) makes that one
+    per-group sort the skew axis: use
+    ``quality_percentile_filter_two_phase`` (same selected set, same
+    columns, sorts bounded to (group, quality) levels above the cut).
 
     Output: (doc_id, {group_col}, quality, grp_rank, grp_size)."""
     from pyspark.sql.window import Window
@@ -153,6 +153,70 @@ def quality_percentile_filter(
             F.col("grp_rank")
             <= F.ceil(F.col("grp_size") * F.lit(frac)).cast("long")
         )
+    )
+
+
+def quality_percentile_filter_two_phase(
+    df: DataFrame,
+    frac: float = 0.25,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The 100 TB form of ``quality_percentile_filter`` — SAME selected
+    set, SAME output columns (equality unit-gated in
+    tests/test_extensions.py), but no whole-stratum sort anywhere.
+
+    Because quality is 4-decimal-rounded, the per-(group, quality)
+    histogram is at most #groups × 10⁴ rows regardless of corpus size
+    — phase 1 aggregates it map-side-combined, and a tiny window over
+    THAT (not the corpus) computes each group's size, its cut
+    ``ceil(frac · size)``, and every level's rank offset (docs at
+    strictly-better levels). Levels entirely below the cut are dropped
+    by the broadcast join BEFORE any sort, so phase 2's per-doc window
+    — needed because the output contract includes the exact
+    ``grp_rank`` — runs only over the kept ≈``frac`` of the corpus,
+    partitioned by (group, quality) instead of by group: ranking by
+    (quality DESC, doc_id) decomposes into level-major order plus a
+    doc_id sort WITHIN each level, so the billion-doc stratum sort
+    becomes ≤10⁴ independent level sorts. Residual skew axis, stated:
+    one level holding a huge share of identical-quality docs (the same
+    boundary-level trade ``budget_select_two_phase`` documents); the
+    cut bound ``grp_rank ≤ cutoff`` still prunes its output, and a
+    caller that can drop the exact-rank column could shard such a
+    level further by a hash sub-key."""
+    scored = quality_score(df, text_col, keep=(group_col,)).select(
+        "doc_id", group_col, "quality"
+    )
+    hist = scored.groupBy(group_col, "quality").agg(
+        F.count(F.lit(1)).alias("lvl_cnt")
+    )
+    wq = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    levels = (
+        hist.withColumn("cum_cnt", F.sum("lvl_cnt").over(wq))
+        .withColumn("prev_cnt", F.col("cum_cnt") - F.col("lvl_cnt"))
+        .withColumn("grp_size", F.sum("lvl_cnt").over(wall))
+        .withColumn(
+            "cutoff", F.ceil(F.col("grp_size") * F.lit(frac)).cast("long")
+        )
+        .filter(F.col("prev_cnt") < F.col("cutoff"))
+        .select(group_col, "quality", "prev_cnt", "grp_size", "cutoff")
+    )
+    joined = scored.join(
+        F.broadcast(levels), on=[group_col, "quality"], how="inner"
+    )
+    wl = Window.partitionBy(group_col, "quality").orderBy(F.asc("doc_id"))
+    return (
+        joined.withColumn(
+            "grp_rank",
+            (F.col("prev_cnt") + F.row_number().over(wl)).cast("int"),
+        )
+        .filter(F.col("grp_rank") <= F.col("cutoff"))
+        .select("doc_id", group_col, "quality", "grp_rank", "grp_size")
     )
 
 

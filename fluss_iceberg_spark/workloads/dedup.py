@@ -305,6 +305,66 @@ def substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring_rewrite",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ), spans AS (
+        SELECT doc_id, CAST(s AS INT) AS start_tok,
+               md5(array_to_string(w[s + 1 : s + 32], ' ')) AS fp
+        FROM words,
+             UNNEST(range(0, len(w) - 32 + 1, 16)) AS t(s)
+        WHERE len(w) >= 32
+    ), marked AS (
+        SELECT doc_id, start_tok,
+               COUNT(1) OVER (PARTITION BY fp) AS cnt,
+               row_number() OVER (
+                   PARTITION BY fp ORDER BY doc_id, start_tok
+               ) AS rn
+        FROM spans
+    ), removals AS (
+        SELECT doc_id, start_tok FROM marked WHERE cnt > 1 AND rn > 1
+    ), rem_by_doc AS (
+        SELECT doc_id, CAST(COUNT(1) AS INT) AS n_removed_spans
+        FROM removals GROUP BY doc_id
+    ), toks AS (
+        SELECT doc_id, CAST(i AS INT) AS idx, w[CAST(i AS INT) + 1] AS tok
+        FROM words, UNNEST(range(0, len(w))) AS t(i)
+    ), kept AS (
+        SELECT t.doc_id, t.idx, t.tok
+        FROM toks t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM removals r
+            WHERE r.doc_id = t.doc_id
+              AND t.idx >= r.start_tok AND t.idx < r.start_tok + 32
+        )
+    ), reasm AS (
+        SELECT doc_id,
+               array_to_string(list(tok ORDER BY idx), ' ') AS kept_text,
+               CAST(COUNT(1) AS INT) AS n_kept_tokens
+        FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(re.kept_text, '') AS kept_text,
+           COALESCE(r.n_removed_spans, 0) AS n_removed_spans,
+           COALESCE(re.n_kept_tokens, 0) AS n_kept_tokens,
+           CAST(len(w.w) AS INT) AS n_total_tokens
+    FROM words w
+    LEFT JOIN rem_by_doc r USING (doc_id)
+    LEFT JOIN reasm re USING (doc_id)
+    """,
+)
+def substring_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication REMOVAL pass (Lee et al. 2021, second
+    half): excise every duplicated 32-token span except its first
+    occurrence corpus-wide and reassemble the documents. One fp
+    shuffle ranks occurrences; removals are collision-sized; excision
+    is an in-codegen array filter."""
+    return DD.substring_rewrite(load_table(spark, sf_dir, "documents"))
+
+
 @query("dedup_semdedup")
 def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic pruning: k-means partition + within-cluster

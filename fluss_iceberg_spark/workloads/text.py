@@ -107,8 +107,13 @@ def quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language percentile quality pruning: keep each language's top
     quartile by quality score, rank-exact and deterministic (quality
     DESC, doc_id tie-break) — relative thresholds per stratum so
-    low-resource languages are not wiped out by a global cutoff."""
-    return TX.quality_percentile_filter(
+    low-resource languages are not wiped out by a global cutoff.
+
+    Runs the TWO-PHASE scale form (histogram cut + level-bounded rank
+    refinement) so the driver gate hash-checks the 100 TB plan against
+    the exact-window SQL oracle; equality with the exact Spark form is
+    separately unit-gated."""
+    return TX.quality_percentile_filter_two_phase(
         load_table(spark, sf_dir, "documents"), frac=0.25
     )
 

@@ -138,3 +138,41 @@ def test_quality_percentile_filter_exact_quartile(spark):
     # every language stratum keeps ceil(n/4) docs — none wiped out
     langs = {lang for _, lang, _, _ in want}
     assert langs == {"en", "de"}
+
+
+def test_quality_percentile_two_phase_equals_exact(spark):
+    """The 100 TB histogram-cut form must return EXACTLY the exact
+    window form's rows — doc set, grp_rank, grp_size — including
+    quality-tie levels straddling the cut, single-doc strata, and
+    frac edge values (everything kept / one kept per group)."""
+    import random
+
+    from fluss_iceberg_spark.operators.text import (
+        quality_percentile_filter,
+        quality_percentile_filter_two_phase,
+    )
+
+    rng = random.Random(11)
+    words = ["the", "and", "of", "to", "is", "noise", "x1", "!!", "99", "pad"]
+    rows = []
+    for i in range(500):
+        lang = ["en", "en", "en", "de", "fr", "solo"][i % 6]
+        if lang == "solo" and i > 5:
+            lang = "en"  # keep one genuine single-doc stratum
+        n = rng.randint(2, 25)
+        rows.append((i, lang, " ".join(rng.choice(words) for _ in range(n))))
+    # force heavy quality TIES: many duplicate texts per group
+    for i in range(500, 560):
+        rows.append((i, "de", "the and of to is exactly alike"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for frac in (0.25, 0.5, 1.0, 0.01):
+        exact = {
+            (r.doc_id, r[1], r.quality, r.grp_rank, r.grp_size)
+            for r in quality_percentile_filter(docs, frac=frac).collect()
+        }
+        fast = quality_percentile_filter_two_phase(docs, frac=frac).collect()
+        got = {
+            (r.doc_id, r[1], r.quality, r.grp_rank, r.grp_size) for r in fast
+        }
+        assert got == exact and exact, f"frac={frac}"
+        assert len(fast) == len(got)  # no duplicate rows

@@ -127,3 +127,75 @@ def test_substring_duplicate_spans_matches_python_reference(spark):
     # the cross-doc shared span is found at offsets 0 and 16
     shared_fp = hashlib.md5(shared.encode()).hexdigest()
     assert got[shared_fp] == (2, 2, 1, 0)
+
+
+def test_substring_rewrite_matches_python_reference(spark):
+    """The removal pass vs a from-scratch Python replay: duplicated
+    spans keep only the (doc_id, start) minimum, every other occurrence
+    excises its token interval, documents reassemble in order —
+    including overlapping removed spans, a doc that keeps the first
+    occurrence, and a fully-self-repeating doc."""
+    import hashlib
+    from collections import defaultdict
+
+    from fluss_iceberg_spark.operators.dedup import substring_rewrite
+
+    shared = " ".join(f"s{i}" for i in range(32))
+    docs = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(16))),
+        (2, " ".join(f"b{i}" for i in range(16)) + " " + shared),
+        (3, " ".join(f"c{i}" for i in range(64))),
+        (4, " ".join(f"r{i % 16}" for i in range(64))),  # overlapping dups
+        (5, "too short"),
+        (6, shared),  # exactly one window, duplicated elsewhere
+    ]
+    W, S = 32, 16
+
+    def replay():
+        groups = defaultdict(list)
+        toks_by_doc = {}
+        for doc_id, text in docs:
+            toks = text.split()
+            toks_by_doc[doc_id] = toks
+            if len(toks) < W:
+                continue
+            for start in range(0, len(toks) - W + 1, S):
+                fp = hashlib.md5(
+                    " ".join(toks[start : start + W]).encode()
+                ).hexdigest()
+                groups[fp].append((doc_id, start))
+        removals = defaultdict(list)
+        for fp, occ in groups.items():
+            if len(occ) > 1:
+                occ.sort()
+                for doc_id, start in occ[1:]:
+                    removals[doc_id].append(start)
+        out = {}
+        for doc_id, toks in toks_by_doc.items():
+            starts = removals.get(doc_id, [])
+            kept = [
+                t
+                for i, t in enumerate(toks)
+                if not any(s <= i < s + W for s in starts)
+            ]
+            out[doc_id] = (
+                " ".join(kept), len(starts), len(kept), len(toks)
+            )
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.kept_text, r.n_removed_spans, r.n_kept_tokens, r.n_total_tokens
+        )
+        for r in substring_rewrite(df).collect()
+    }
+    want = replay()
+    assert got == want
+    # doc 1 holds the first occurrence → untouched; doc 6 is fully
+    # duplicated → comes back empty but PRESENT
+    assert got[1][0].startswith("s0 s1") and got[1][1] == 0
+    assert got[6] == ("", 1, 0, 32)
+    # doc 4's self-repeats excise down (every repeated window after the
+    # first occurrence is removed; overlaps compose as interval cover)
+    assert got[4][1] > 0 and got[4][2] < got[4][3]

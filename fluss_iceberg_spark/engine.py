@@ -833,8 +833,9 @@ class Engine:
         """Iceberg-style maintenance procedures (the `CALL system.<proc>`
         Spark surface): expire_snapshots, rewrite_data_files,
         remove_orphan_files, rollback_to_snapshot, create_tag, drop_tag,
-        create_branch, fast_forward, drop_branch. Args are positional
-        literals; table name first."""
+        create_branch, fast_forward, drop_branch,
+        export_iceberg_metadata. Args are positional literals; table
+        name first."""
         m = re.match(r"CALL\s+(?:system\.)?(\w+)\s*\((.*)\)\s*$", q, re.I | re.S)
         if not m:
             raise ValueError(f"cannot parse CALL: {q!r}")
@@ -935,6 +936,9 @@ class Engine:
         elif proc == "drop_branch":
             t.drop_branch(args[1])
             out = [(args[0], "drop_branch", args[1])]
+        elif proc == "export_iceberg_metadata":
+            mloc = t.export_iceberg_metadata()
+            out = [(args[0], "export_iceberg_metadata", mloc)]
         else:
             raise ValueError(f"unknown procedure {proc!r}")
         self._register(t)

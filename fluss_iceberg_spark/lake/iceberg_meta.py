@@ -1,0 +1,829 @@
+"""Iceberg v2 metadata emission — the format third of S18.
+
+The reference's deployment contract is cross-engine: an Iceberg REST
+catalog fronts tables whose METADATA FORMAT any Iceberg reader
+understands (trino/iceberg.properties:2-6 points Trino at the same
+warehouse Flink tiers into; README.md:129-133 reads it back from a
+second engine). lake/rest_catalog.py provides the catalog *service*
+role and lake/table.py the commit protocol; this module closes the
+remaining gap by exporting a committed snapshot in the Iceberg v2
+on-disk format so a reader with NO engine code — pyiceberg, DuckDB's
+iceberg extension, Trino — can resolve and scan it:
+
+- ``metadata/v{K}.metadata.json``  — Iceberg v2 TableMetadata (spec
+  https://iceberg.apache.org/spec/#table-metadata): schema with stable
+  field ids (mapped 1:1 from the stand-in's own ``field_ids``, +1 so
+  ids start at 1), snapshot entry with sequence numbers, refs,
+  snapshot-log and metadata-log chaining across exports.
+- ``metadata/snap-{sid}.avro``     — the manifest list (Avro container,
+  written by the stdlib encoder below; one data manifest + one delete
+  manifest when position deletes are active).
+- ``metadata/manifest-{sid}-m{i}.avro`` — manifest files whose entries
+  carry file_path/file_format/record_count/file_size_in_bytes (from
+  the stand-in's own per-file manifest stats — no file re-read).
+- position-delete parquet rewritten to the spec schema
+  (``file_path`` 2147483546 / ``pos`` 2147483545, absolute paths) via
+  pyarrow — the stand-in's (__file, __pos) tombstones are the same
+  model under different column names.
+- ``metadata/version-hint.text``   — the filesystem-catalog pointer
+  convention, also what rest_catalog surfaces as ``metadata-location``.
+
+Because the stand-in's parquet is written by Spark WITHOUT Iceberg
+field-id annotations, the metadata carries the spec's escape hatch for
+exactly this case: a ``schema.name-mapping.default`` property (the
+mechanism Iceberg's own ``add_files``/migrate procedures use), so
+spec-compliant readers resolve columns by name.
+
+Deliberate simplifications, stated:
+- The exported spec is UNPARTITIONED (spec-id 0, no fields) even for
+  partitioned stand-in tables: reads stay correct — Iceberg-side
+  partition pruning is simply absent (the stand-in's own manifest
+  pruning is the serving path; the export is the interchange path).
+- Each export covers the CURRENT snapshot (one snapshot entry, full
+  manifest rewrite — O(live files)); older exports remain readable and
+  are chained through metadata-log. Real Iceberg reuses manifests
+  across snapshots; an interchange export does not need to.
+- Equality deletes are not exportable (their bucket-scoped semantics
+  have no spec twin here) — ``export_iceberg_metadata`` raises with
+  the offending table state named.
+
+Validation: tests/test_iceberg_meta.py round-trips every Avro file
+through the stdlib decoder below, asserts the spec invariants, scans
+the resolved parquet, and — when ``pyiceberg`` is importable — loads
+the table via ``StaticTable.from_metadata`` and compares planned data
+files (the optional-dependency seam, same pattern as the PIL codec).
+
+Spark-free by design (stdlib + pyarrow): export and consumption both
+run without a JVM.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import struct
+import uuid
+import zlib
+
+# ---------------------------------------------------------------------------
+# Minimal Avro 1.11 object-container codec (stdlib only).
+#
+# Supports exactly the type surface Iceberg manifest files use: records,
+# unions with null, arrays, maps, string/bytes/int/long/boolean/double/
+# float/fixed. Null codec only. The decoder exists so tests (and any
+# consumer without an Avro dependency) can round-trip what the writer
+# emits — it resolves by the embedded writer schema, which is all a
+# self-describing container needs.
+# ---------------------------------------------------------------------------
+
+_MAGIC = b"Obj\x01"
+
+
+def _zz(n: int) -> bytes:
+    """zigzag varint (Avro int/long)."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _wstr(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _zz(len(b)) + b
+
+
+def _wbytes(b: bytes) -> bytes:
+    return _zz(len(b)) + b
+
+
+def _encode(schema, value) -> bytes:
+    """Encode ``value`` per the (JSON-dict) Avro ``schema``."""
+    if isinstance(schema, list):  # union — null first by convention
+        if value is None:
+            return _zz(schema.index("null"))
+        idx = next(
+            i for i, s in enumerate(schema) if s != "null"
+        )
+        return _zz(idx) + _encode(schema[idx], value)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        out = bytearray()
+        for f in schema["fields"]:
+            out += _encode(f["type"], value.get(f["name"]))
+        return bytes(out)
+    if t == "array":
+        if not value:
+            return _zz(0)
+        out = bytearray(_zz(len(value)))
+        for item in value:
+            out += _encode(schema["items"], item)
+        out += _zz(0)
+        return bytes(out)
+    if t == "map":
+        if not value:
+            return _zz(0)
+        out = bytearray(_zz(len(value)))
+        for k, v in value.items():
+            out += _wstr(k) + _encode(schema["values"], v)
+        out += _zz(0)
+        return bytes(out)
+    if t in ("long", "int"):
+        return _zz(int(value))
+    if t == "string":
+        return _wstr(value)
+    if t == "bytes":
+        return _wbytes(value)
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t == "double":
+        return struct.pack("<d", float(value))
+    if t == "float":
+        return struct.pack("<f", float(value))
+    if t == "fixed":
+        assert len(value) == schema["size"]
+        return bytes(value)
+    if t == "null":
+        return b""
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def write_avro(
+    path: str,
+    schema: dict,
+    records: list[dict],
+    metadata: dict[str, str] | None = None,
+) -> None:
+    """Write an Avro object-container file (null codec), atomically.
+    The 16-byte sync marker derives from the path so re-exports are
+    byte-deterministic."""
+    sync = bytes(
+        bytearray(zlib.crc32(path.encode()).to_bytes(4, "big") * 4)
+    )
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    for k, v in (metadata or {}).items():
+        meta[k] = v
+    buf = io.BytesIO()
+    buf.write(_MAGIC)
+    buf.write(_zz(len(meta)))
+    for k, v in meta.items():
+        buf.write(_wstr(k))
+        buf.write(_wbytes(v.encode("utf-8")))
+    buf.write(_zz(0))
+    buf.write(sync)
+    if records:
+        body = b"".join(_encode(schema, r) for r in records)
+        buf.write(_zz(len(records)))
+        buf.write(_zz(len(body)))
+        buf.write(body)
+        buf.write(sync)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.p = 0
+
+    def long(self) -> int:
+        u, shift = 0, 0
+        while True:
+            b = self.d[self.p]
+            self.p += 1
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (u >> 1) ^ -(u & 1)
+
+    def raw(self, n: int) -> bytes:
+        b = self.d[self.p : self.p + n]
+        self.p += n
+        return b
+
+    def decode(self, schema):
+        if isinstance(schema, list):
+            return self.decode(schema[self.long()])
+        t = schema["type"] if isinstance(schema, dict) else schema
+        if t == "record":
+            return {
+                f["name"]: self.decode(f["type"]) for f in schema["fields"]
+            }
+        if t == "array":
+            out = []
+            while True:
+                n = self.long()
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    self.long()
+                for _ in range(n):
+                    out.append(self.decode(schema["items"]))
+        if t == "map":
+            out = {}
+            while True:
+                n = self.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    self.long()
+                for _ in range(n):
+                    k = self.raw(self.long()).decode("utf-8")
+                    out[k] = self.decode(schema["values"])
+        if t in ("long", "int"):
+            return self.long()
+        if t == "string":
+            return self.raw(self.long()).decode("utf-8")
+        if t == "bytes":
+            return self.raw(self.long())
+        if t == "boolean":
+            return self.raw(1) == b"\x01"
+        if t == "double":
+            return struct.unpack("<d", self.raw(8))[0]
+        if t == "float":
+            return struct.unpack("<f", self.raw(4))[0]
+        if t == "fixed":
+            return self.raw(schema["size"])
+        if t == "null":
+            return None
+        raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def read_avro(path: str) -> tuple[dict, list[dict], dict[str, str]]:
+    """(schema, records, file-metadata) of a null-codec Avro container."""
+    with open(path, "rb") as f:
+        r = _Reader(f.read())
+    if r.raw(4) != _MAGIC:
+        raise ValueError(f"{path}: not an Avro object container")
+    meta: dict[str, str] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.raw(r.long()).decode("utf-8")
+            v = r.raw(r.long())
+            meta[k] = v.decode("utf-8", errors="replace")
+    if meta.get("avro.codec", "null") != "null":
+        raise ValueError(f"{path}: unsupported codec {meta['avro.codec']}")
+    schema = json.loads(meta["avro.schema"])
+    sync = r.raw(16)
+    records: list[dict] = []
+    while r.p < len(r.d):
+        count = r.long()
+        r.long()  # block byte size
+        for _ in range(count):
+            records.append(r.decode(schema))
+        if r.raw(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch")
+    return schema, records, meta
+
+
+# ---------------------------------------------------------------------------
+# Spark schema (jsonValue) → Iceberg schema JSON with stable field ids
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    "long": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+class _IdGen:
+    def __init__(self, start: int):
+        self.n = start
+
+    def next(self) -> int:
+        self.n += 1
+        return self.n
+
+
+def _iceberg_type(spark_type, ids: _IdGen):
+    if isinstance(spark_type, str):
+        if spark_type in _PRIMITIVES:
+            return _PRIMITIVES[spark_type]
+        if spark_type.startswith("decimal"):
+            return spark_type.replace("decimal(", "decimal(").replace(
+                ",", ", ", 1
+            )
+        raise ValueError(f"no Iceberg mapping for Spark type {spark_type!r}")
+    t = spark_type["type"]
+    if t == "array":
+        eid = ids.next()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(spark_type["elementType"], ids),
+            "element-required": not spark_type.get("containsNull", True),
+        }
+    if t == "map":
+        kid, vid = ids.next(), ids.next()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(spark_type["keyType"], ids),
+            "value-id": vid,
+            "value": _iceberg_type(spark_type["valueType"], ids),
+            "value-required": not spark_type.get("valueContainsNull", True),
+        }
+    if t == "struct":
+        fields = []
+        for f in spark_type["fields"]:
+            fid = ids.next()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f["name"],
+                    "required": not f.get("nullable", True),
+                    "type": _iceberg_type(f["type"], ids),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    raise ValueError(f"no Iceberg mapping for Spark type {t!r}")
+
+
+def _iceberg_schema(schema_json: dict, field_ids: dict[str, int]) -> dict:
+    """Top-level ids come from the stand-in's own stable ``field_ids``
+    (+1 — Iceberg ids start at 1); nested ids are assigned past the
+    top-level maximum, in field order (deterministic re-export)."""
+    top = {
+        f["name"]: field_ids.get(f["name"], i) + 1
+        for i, f in enumerate(schema_json["fields"])
+    }
+    ids = _IdGen(max(top.values(), default=0))
+    fields = []
+    for f in schema_json["fields"]:
+        fields.append(
+            {
+                "id": top[f["name"]],
+                "name": f["name"],
+                "required": not f.get("nullable", True),
+                "type": _iceberg_type(f["type"], ids),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": fields,
+    }, ids.n
+
+
+def _name_mapping(ice_schema: dict) -> list[dict]:
+    """schema.name-mapping.default — maps field-id-less parquet columns
+    (Spark-written) to the exported ids by name, recursively."""
+
+    def field_entry(fid, names, typ):
+        e = {"field-id": fid, "names": names}
+        nested = nested_entries(typ)
+        if nested:
+            e["fields"] = nested
+        return e
+
+    def nested_entries(typ):
+        if not isinstance(typ, dict):
+            return []
+        if typ["type"] == "struct":
+            return [
+                field_entry(f["id"], [f["name"]], f["type"])
+                for f in typ["fields"]
+            ]
+        if typ["type"] == "list":
+            return [
+                field_entry(typ["element-id"], ["element"], typ["element"])
+            ]
+        if typ["type"] == "map":
+            return [
+                field_entry(typ["key-id"], ["key"], typ["key"]),
+                field_entry(typ["value-id"], ["value"], typ["value"]),
+            ]
+        return []
+
+    return [
+        field_entry(f["id"], [f["name"]], f["type"])
+        for f in ice_schema["fields"]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Iceberg manifest / manifest-list Avro schemas (v2)
+# ---------------------------------------------------------------------------
+
+
+def _opt(name, typ, fid, **extra):
+    f = {"name": name, "type": ["null", typ], "default": None, "field-id": fid}
+    f.update(extra)
+    return f
+
+
+def _req(name, typ, fid):
+    return {"name": name, "type": typ, "field-id": fid}
+
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        _req("content", "int", 134),
+        _req("file_path", "string", 100),
+        _req("file_format", "string", 101),
+        _req(
+            "partition",
+            {"type": "record", "name": "r102", "fields": []},
+            102,
+        ),
+        _req("record_count", "long", 103),
+        _req("file_size_in_bytes", "long", 104),
+        _opt("key_metadata", "bytes", 131),
+        _opt("split_offsets", {"type": "array", "items": "long"}, 132),
+        _opt("equality_ids", {"type": "array", "items": "int"}, 135),
+        _opt("sort_order_id", "int", 140),
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        _req("status", "int", 0),
+        _opt("snapshot_id", "long", 1),
+        _opt("sequence_number", "long", 3),
+        _opt("file_sequence_number", "long", 4),
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _req("manifest_path", "string", 500),
+        _req("manifest_length", "long", 501),
+        _req("partition_spec_id", "int", 502),
+        _req("content", "int", 517),
+        _req("sequence_number", "long", 515),
+        _req("min_sequence_number", "long", 516),
+        _req("added_snapshot_id", "long", 503),
+        _req("added_files_count", "int", 504),
+        _req("existing_files_count", "int", 505),
+        _req("deleted_files_count", "int", 506),
+        _req("added_rows_count", "long", 512),
+        _req("existing_rows_count", "long", 513),
+        _req("deleted_rows_count", "long", 514),
+        _opt(
+            "partitions",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "r508",
+                    "fields": [
+                        _req("contains_null", "boolean", 509),
+                        _opt("contains_nan", "boolean", 518),
+                        _opt("lower_bound", "bytes", 510),
+                        _opt("upper_bound", "bytes", 511),
+                    ],
+                },
+            },
+            507,
+        ),
+        _opt("key_metadata", "bytes", 519),
+    ],
+}
+
+# Iceberg reserved field ids for position-delete file columns
+_POS_DELETE_PATH_ID = 2147483546
+_POS_DELETE_POS_ID = 2147483545
+
+
+def _equality_delete_active(rel_files: list[str], meta: dict) -> bool:
+    """Whether an equality delete still hides rows in this snapshot —
+    the same inertness rule as Snapshot.active_delete_count (a bucket
+    rewrite materializes the delete there), replicated over the path
+    conventions (data/s{seq}/.../__bucket={b}/...) so this module stays
+    pyspark-import-free."""
+    seq = meta.get("seq", -1)
+    hides = meta.get("hides") or {}
+    for f in rel_files:
+        m = re.match(r"data/s(\d+)/", f)
+        if m is None or int(m.group(1)) >= seq:
+            continue
+        for part in f.split(os.sep):
+            if part.startswith("__bucket=") and part[9:] in hides:
+                return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------
+
+
+def _table_uuid(tpath: str) -> str:
+    """Stable per-table uuid (persisted in metadata-log chaining via the
+    previous export when present, else derived deterministically)."""
+    prev = _prev_metadata(tpath)
+    if prev:
+        return prev["table-uuid"]
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(tpath)))
+
+
+def _prev_metadata(tpath: str) -> dict | None:
+    hint = os.path.join(tpath, "metadata", "version-hint.text")
+    try:
+        with open(hint) as f:
+            k = int(f.read().strip())
+        with open(
+            os.path.join(tpath, "metadata", f"v{k}.metadata.json")
+        ) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def export_iceberg_metadata(table) -> str:
+    """Export ``table``'s CURRENT snapshot as Iceberg v2 metadata under
+    ``{table.path}/metadata/``; returns the metadata-location. ``table``
+    is a LakeTable (duck-typed: .path/.schema/.field_ids/.properties —
+    import stays lazy so this module needs no pyspark).
+
+    Raises ValueError on a table with active equality deletes (no spec
+    twin — see module docstring) or an empty table (no snapshot)."""
+    tpath = os.path.abspath(table.path)
+    version = table.current_version()
+    if version < 0:
+        raise ValueError(f"{tpath}: no committed snapshot to export")
+    with open(os.path.join(tpath, "meta", f"v{version}.json")) as f:
+        snap = json.load(f)
+    for d in snap.get("delete_files") or []:
+        meta = (snap.get("delete_meta") or {}).get(d) or {}
+        if meta.get("kind") == "equality" and _equality_delete_active(
+            snap.get("files") or [], meta
+        ):
+            raise ValueError(
+                f"{tpath}: snapshot v{version} carries active equality "
+                f"delete {d} — not exportable as Iceberg v2 (position "
+                "deletes and data files are; inert equality deletes are "
+                "skipped)"
+            )
+
+    schema_json = snap.get("schema_json") or table.schema.jsonValue()
+    field_ids = snap.get("field_ids") or table.field_ids
+    ice_schema, last_col_id = _iceberg_schema(schema_json, field_ids)
+
+    meta_dir = os.path.join(tpath, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    sid = version + 1  # snapshot ids start at 1 (v0 → sid 1)
+    seq = version + 1
+    ts_ms = int(snap.get("committed_at_ms") or 0)
+    file_meta = snap.get("file_meta") or {}
+
+    # ---- data manifest -------------------------------------------------
+    def _rows_of(rel: str) -> int:
+        m = file_meta.get(rel) or {}
+        if "rows" in m:
+            return int(m["rows"])
+        import pyarrow.parquet as pq  # footer only
+
+        return pq.ParquetFile(os.path.join(tpath, rel)).metadata.num_rows
+
+    def _entry(abs_path: str, rows: int, content: int = 0) -> dict:
+        return {
+            "status": 1,  # ADDED (full rewrite per export)
+            "snapshot_id": sid,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": abs_path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": rows,
+                "file_size_in_bytes": os.path.getsize(abs_path),
+                "key_metadata": None,
+                "split_offsets": None,
+                "equality_ids": None,
+                "sort_order_id": None,
+            },
+        }
+
+    avro_meta = {
+        "schema": json.dumps(
+            {k: v for k, v in ice_schema.items() if k != "schema-id"}
+        ),
+        "schema-id": "0",
+        "partition-spec": "[]",
+        "partition-spec-id": "0",
+        "format-version": "2",
+    }
+    manifests = []
+    data_entries = [
+        _entry(os.path.join(tpath, rel), _rows_of(rel))
+        for rel in snap.get("files") or []
+    ]
+    m0 = os.path.join(meta_dir, f"manifest-{sid}-m0.avro")
+    write_avro(
+        m0,
+        MANIFEST_ENTRY_SCHEMA,
+        data_entries,
+        metadata={**avro_meta, "content": "data"},
+    )
+    manifests.append(
+        {
+            "manifest_path": m0,
+            "manifest_length": os.path.getsize(m0),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": sid,
+            "added_files_count": len(data_entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in data_entries
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": [],
+            "key_metadata": None,
+        }
+    )
+
+    # ---- position-delete manifest (spec-schema parquet rewrite) --------
+    active_deletes = [
+        d
+        for d in snap.get("delete_files") or []
+        if any(
+            f in set(snap.get("files") or [])
+            for f in ((snap.get("delete_meta") or {}).get(d) or {}).get(
+                "files", {}
+            )
+        )
+    ]
+    if active_deletes:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        del_entries = []
+        for i, rel in enumerate(active_deletes):
+            t = pq.read_table(os.path.join(tpath, rel))
+            out = pa.table(
+                {
+                    "file_path": [
+                        os.path.join(tpath, p)
+                        for p in t.column("__file").to_pylist()
+                    ],
+                    "pos": t.column("__pos"),
+                },
+                schema=pa.schema(
+                    [
+                        pa.field(
+                            "file_path",
+                            pa.string(),
+                            nullable=False,
+                            metadata={
+                                "PARQUET:field_id": str(_POS_DELETE_PATH_ID)
+                            },
+                        ),
+                        pa.field(
+                            "pos",
+                            pa.int64(),
+                            nullable=False,
+                            metadata={
+                                "PARQUET:field_id": str(_POS_DELETE_POS_ID)
+                            },
+                        ),
+                    ]
+                ),
+            )
+            dpath = os.path.join(meta_dir, f"delete-{sid}-d{i}.parquet")
+            pq.write_table(out, dpath)
+            del_entries.append(_entry(dpath, out.num_rows, content=1))
+        m1 = os.path.join(meta_dir, f"manifest-{sid}-m1.avro")
+        write_avro(
+            m1,
+            MANIFEST_ENTRY_SCHEMA,
+            del_entries,
+            metadata={**avro_meta, "content": "deletes"},
+        )
+        manifests.append(
+            {
+                **manifests[0],
+                "manifest_path": m1,
+                "manifest_length": os.path.getsize(m1),
+                "content": 1,
+                "added_files_count": len(del_entries),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in del_entries
+                ),
+            }
+        )
+
+    # ---- manifest list --------------------------------------------------
+    mlist = os.path.join(meta_dir, f"snap-{sid}.avro")
+    write_avro(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        manifests,
+        metadata={
+            "snapshot-id": str(sid),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
+
+    # ---- table metadata json --------------------------------------------
+    prev = _prev_metadata(tpath)
+    k = 1
+    metadata_log = []
+    if prev:
+        k = int(prev["__export-k"]) + 1
+        metadata_log = list(prev.get("metadata-log") or [])
+        metadata_log.append(
+            {
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{k - 1}.metadata.json"
+                ),
+                "timestamp-ms": prev["last-updated-ms"],
+            }
+        )
+    snapshot_entry = {
+        "snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": ts_ms,
+        "manifest-list": mlist,
+        "summary": {
+            "operation": (
+                "append"
+                if snap.get("operation") in ("append", "tier")
+                else "overwrite"
+            )
+        },
+        "schema-id": 0,
+    }
+    parent = snap.get("parent_id")
+    if parent is not None and parent >= 0:
+        snapshot_entry["parent-snapshot-id"] = parent + 1
+    doc = {
+        "format-version": 2,
+        "table-uuid": _table_uuid(tpath),
+        "location": tpath,
+        "last-sequence-number": seq,
+        "last-updated-ms": ts_ms,
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            **{str(k2): str(v) for k2, v in (table.properties or {}).items()},
+            "schema.name-mapping.default": json.dumps(
+                _name_mapping(ice_schema)
+            ),
+        },
+        "current-snapshot-id": sid,
+        "refs": {"main": {"snapshot-id": sid, "type": "branch"}},
+        "snapshots": [snapshot_entry],
+        "snapshot-log": [{"snapshot-id": sid, "timestamp-ms": ts_ms}],
+        "metadata-log": metadata_log,
+        # private chaining key (ignored by spec readers)
+        "__export-k": str(k),
+    }
+    mpath = os.path.join(meta_dir, f"v{k}.metadata.json")
+    tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp, mpath)
+    tmp = os.path.join(meta_dir, f"version-hint.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(k))
+    os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+    return mpath

@@ -3291,6 +3291,18 @@ class LakeTable:
             removed.append(os.path.join("meta", fname))
         return sorted(removed)
 
+    def export_iceberg_metadata(self) -> str:
+        """Export the CURRENT snapshot in the Iceberg v2 on-disk format
+        under ``{path}/metadata/`` (table-metadata JSON + Avro manifest
+        list/manifests + version-hint) so engine-free Iceberg readers
+        can resolve it — the interchange contract the reference's
+        cross-engine topology demands (trino/iceberg.properties:2-6,
+        README.md:129-133). Returns the metadata-location; the REST
+        facade surfaces it on table GETs. See lake/iceberg_meta.py."""
+        from fluss_iceberg_spark.lake import iceberg_meta
+
+        return iceberg_meta.export_iceberg_metadata(self)
+
     def _persist_schema_meta(self) -> None:
         meta_path = os.path.join(self.path, "meta", "table.json")
         with open(meta_path) as f:

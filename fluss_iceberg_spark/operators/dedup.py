@@ -1255,18 +1255,60 @@ def neardup_admit_batch(
         verified = _verify_candidates(
             survivors, cand_in, threshold, broadcast_cand=True
         )
-        losers = (
-            connected_components(verified)
-            .filter(F.col("component") != F.col("doc_id"))
-            .select("doc_id")
+        # ONE merged action replaces {CC edge-collect, admit.count()}:
+        # survivor ids and verified edges come back in the same job
+        # (survivor ids are micro-batch-bounded — strictly smaller than
+        # the 16-per-doc probe-key collect above), the min-label
+        # union-find runs on the driver exactly as connected_components'
+        # small-graph fast path does (admission edge sets are
+        # collision-sized, far under its 2M bound), and n_admitted falls
+        # out as a length — no separate count job, no broadcast
+        # anti-join. This was the last shaveable action of the per-tick
+        # floor (SCALE.md r8/r9 admission records).
+        id_type = survivors.schema["doc_id"].dataType
+        rows = (
+            survivors.select(
+                F.col("doc_id").alias("a"),
+                F.lit(None).cast(id_type).alias("b"),
+            )
+            .unionByName(
+                verified.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+            )
+            .collect()
         )
-        admit = _persist(
-            survivors.join(F.broadcast(losers), on="doc_id", how="left_anti")
-        )
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        surv_ids: list = []
+        for r in rows:
+            if r.b is None:
+                surv_ids.append(r.a)
+                continue
+            parent.setdefault(r.a, r.a)
+            parent.setdefault(r.b, r.b)
+            ra, rb = _find(r.a), _find(r.b)
+            if ra != rb:
+                # union by min so the representative IS the min label —
+                # min doc_id per component admits, everyone else loses
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        losers = {x for x in parent if _find(x) != x}
 
         # (c) claim state: sets for future verification; EVERY admitted
         # doc's bucket keys append (multi-owner buckets — see docstring)
-        n_admitted = admit.count()
+        n_admitted = len(surv_ids) - len(losers)
+        admit = (
+            _persist(survivors.filter(~F.col("doc_id").isin(list(losers))))
+            if losers
+            else survivors
+        )
         _mark("intra_batch_cc")
         if n_admitted:
             # COALESCED state writes: the claim frames arrive in 32

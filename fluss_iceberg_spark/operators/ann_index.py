@@ -294,6 +294,13 @@ class IvfIndex:
     # (broadcast centroids + top-n_probe window) instead of a driver
     # numpy loop; below it, the driver path avoids a job per search
     ROUTE_DRIVER_MAX = 1024
+    # scoring-join broadcast bounds, independent of the routing path:
+    # the probe frame broadcasts while |Q|·n_probe stays executor-cheap
+    # (12-byte rows → ~100 MB at the bound), the query frame while its
+    # vector payload stays under ~32 MB — each decided on ITS size, not
+    # on how the routing ran
+    BROADCAST_PROBE_ROWS = 8_000_000
+    BROADCAST_Q_BYTES = 32 * 1024 * 1024
 
     def _route_queries(
         self, queries: DataFrame, n_probe: int, dim: int
@@ -404,11 +411,25 @@ class IvfIndex:
             F.col("v").alias("qv"),
             F.col("nrm").alias("nq"),
         )
-        # small query sets broadcast into the postings scan (map-side
-        # join); past ROUTE_DRIVER_MAX the query side joins normally —
-        # AQE plans the |candidates|-vs-|Q| shuffle on actual sizes
+        # Broadcast decisions are decoupled from the ROUTING-path choice
+        # and sized per frame (measured: coupling them cost 3.2x at the
+        # 1024→1025 boundary — dropping the probe broadcast shuffles the
+        # FULL candidate set on list_id, a ≤K-distinct-value key, the
+        # worst possible exchange). The probe frame is |Q|·n_probe
+        # 12-byte rows and the query frame |Q| vectors — each broadcasts
+        # while under its own byte bound, however the routing ran; past
+        # the bounds AQE plans the shuffles on actual sizes. |Q| is free
+        # on both paths: the small path collected the rows, the large
+        # path counts the already-checkpointed routing frame (no
+        # recompute).
         if small_q:
             probe, q = F.broadcast(probe), F.broadcast(q)
+        else:
+            n_q = probe.count() // max(n_probe, 1)
+            if n_q * n_probe <= self.BROADCAST_PROBE_ROWS:
+                probe = F.broadcast(probe)
+            if n_q * (dim * 8 + 32) <= self.BROADCAST_Q_BYTES:
+                q = F.broadcast(q)
         scored = (
             cand.join(probe, on="list_id")
             .join(q, on="query_id")

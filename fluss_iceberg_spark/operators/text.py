@@ -715,6 +715,143 @@ def unigram_scores(
     )
 
 
+def bigram_scores(
+    df: DataFrame, text_col: str = "text", rare_df: int = 2
+) -> DataFrame:
+    """Second-order LM quality scoring — the bigram step up from
+    ``unigram_scores`` toward the CCNet/Gopher perplexity filter: "train"
+    by counting every corpus bigram, then score each document by how
+    predictable its word transitions are under that corpus model.
+
+    Per document (docs with <2 tokens have no bigrams and drop out):
+
+    - ``coherence`` = Σ c(w₁w₂) / Σ c(w₁·) over the doc's bigram stream —
+      the occurrence-weighted average conditional probability P(w₂|w₁)
+      (weights c(w₁·)/Σc(w₁·)). Boilerplate scores high, word salad low.
+      A ratio of two INTEGER sums: one IEEE division at the end, so the
+      value bit-matches any engine (no logs — libm rounding differs).
+    - ``avg_bigram_freq`` = Σ c(w₁w₂) / n_bigrams (2nd-order analogue of
+      ``avg_token_freq``).
+    - ``rare_bigram_frac`` = fraction of bigram occurrences whose corpus
+      count ≤ ``rare_df`` (novel-transition mass — high ⇒ noisy/OOD).
+
+    Scale shape (mirrors ``unigram_scores``): the corpus is scanned and
+    exploded ONCE into per-(doc, bigram) counts — partial aggregation
+    absorbs within-doc repeats map-side and the fact-sized shuffle keys
+    on (doc, bigram), which no hot bigram can skew the way a bare
+    bigram key would. The corpus bigram vocabulary derives from that
+    reduced table, and the CONTEXT counts c(w₁·) derive from the bigram
+    vocabulary in turn (Σ over bigrams starting with w₁) — no second
+    pass over the corpus, no unigram table. Both model tables are
+    Zipf-small relative to the corpus and join back on their own keys;
+    neither collects to the driver."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    grams = (
+        spread(df)
+        .select("doc_id", tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "doc_id", F.explode(F.expr(_ngram_array("toks", 2))).alias("bg")
+        )
+    )
+    # dc feeds the vocabulary AND the scoring join (a diamond): persist
+    # it or each branch re-runs the scan + explode
+    dc = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    freq = dc.groupBy("bg").agg(F.sum("cnt").alias("c_bg"))
+    pref = (
+        freq.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    per_doc = (
+        dc.join(freq, on="bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(pref, on="w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("c_bg")).alias("sum_bg"),
+            F.sum(F.col("cnt") * F.col("c_w1")).alias("sum_w1"),
+            F.sum(
+                F.when(F.col("c_bg") <= rare_df, F.col("cnt")).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        (d("sum_bg") / d("sum_w1")).alias("coherence"),
+        (d("sum_bg") / d("n_bigrams")).alias("avg_bigram_freq"),
+        (d("n_rare") / d("n_bigrams")).alias("rare_bigram_frac"),
+    )
+
+
+def domain_frequency_cap(
+    df: DataFrame,
+    cap: int = 40,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain frequency capping — keep at most ``cap`` documents per
+    domain, preferring the richest (``order_col`` DESC, doc_id tie-break
+    ASC): the C4/RefinedWeb-style guard against a single site flooding
+    the corpus, with a deterministic keep-priority instead of "first
+    crawled wins".
+
+    This is the absolute-N sibling of
+    ``quality_percentile_filter_two_phase`` and reuses its shape: an
+    exact top-N per key with NO whole-domain sort anywhere. Phase 1
+    aggregates the (domain, level) histogram (level = the order value —
+    map-side combined, bounded by #domains × #distinct levels, tiny vs
+    the corpus), a window over THAT finds each domain's cut level and
+    rank offsets, and levels entirely below the cut drop via the join
+    BEFORE any per-doc work. Phase 2's residual rank window partitions
+    by (domain, level) — the flooding domain's million-doc sort becomes
+    independent per-level doc_id sorts, and only docs at kept levels
+    (≤ cap + boundary ties per domain) enter it. The join side is
+    bounded by ~cap levels per domain; it broadcasts under the same
+    model-size discipline as the percentile form (at extreme domain
+    cardinality the hint would drop and the join keys on (domain,
+    level) anyway).
+
+    Output: (doc_id, {domain_col}, {order_col}, dom_rank, dom_size)."""
+    scored = df.select("doc_id", domain_col, order_col)
+    hist = scored.groupBy(domain_col, order_col).agg(
+        F.count(F.lit(1)).alias("lvl_cnt")
+    )
+    wq = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.desc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(domain_col)
+    levels = (
+        hist.withColumn("cum_cnt", F.sum("lvl_cnt").over(wq))
+        .withColumn("prev_cnt", F.col("cum_cnt") - F.col("lvl_cnt"))
+        .withColumn("dom_size", F.sum("lvl_cnt").over(wall))
+        .filter(F.col("prev_cnt") < F.lit(cap))
+        .select(domain_col, order_col, "prev_cnt", "dom_size")
+    )
+    joined = scored.join(
+        F.broadcast(levels), on=[domain_col, order_col], how="inner"
+    )
+    wl = Window.partitionBy(domain_col, order_col).orderBy(F.asc("doc_id"))
+    return (
+        joined.withColumn(
+            "dom_rank",
+            (F.col("prev_cnt") + F.row_number().over(wl)).cast("int"),
+        )
+        .filter(F.col("dom_rank") <= cap)
+        .select(
+            "doc_id",
+            domain_col,
+            order_col,
+            "dom_rank",
+            F.col("dom_size").cast("int").alias("dom_size"),
+        )
+    )
+
+
 def shard_assignment(
     docs: DataFrame,
     n_shards: int,

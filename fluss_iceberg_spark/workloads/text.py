@@ -727,3 +727,77 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.weighted_reservoir_sample(
         load_table(spark, sf_dir, "documents"), k=40
     )
+
+
+@query(
+    "text_bigram_coherence",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ), dc AS (
+        SELECT doc_id, bg, COUNT(1) AS cnt FROM grams GROUP BY 1, 2
+    ), freq AS (
+        SELECT bg, SUM(cnt) AS c_bg FROM dc GROUP BY 1
+    ), pref AS (
+        SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1
+        FROM freq GROUP BY 1
+    )
+    SELECT dc.doc_id,
+           CAST(SUM(dc.cnt) AS INT) AS n_bigrams,
+           CAST(SUM(dc.cnt * f.c_bg) AS DOUBLE)
+               / CAST(SUM(dc.cnt * p.c_w1) AS DOUBLE) AS coherence,
+           CAST(SUM(dc.cnt * f.c_bg) AS DOUBLE)
+               / CAST(SUM(dc.cnt) AS DOUBLE) AS avg_bigram_freq,
+           CAST(SUM(CASE WHEN f.c_bg <= 2 THEN dc.cnt ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(dc.cnt) AS DOUBLE) AS rare_bigram_frac
+    FROM dc
+    JOIN freq f USING (bg)
+    JOIN pref p ON split_part(dc.bg, ' ', 1) = p.w1
+    GROUP BY dc.doc_id
+    """,
+)
+def bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM quality scoring: occurrence-weighted average
+    bigram conditional probability per document (plus avg bigram corpus
+    frequency and rare-transition mass) — the bigram step up from
+    unigram_scores toward the CCNet/Gopher perplexity filter, kept in
+    integer sums with one final division so values bit-match the oracle
+    (operators/text.bigram_scores; one corpus explode, fact shuffle on
+    (doc, bigram), context counts derived from the bigram vocabulary)."""
+    return TX.bigram_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_domain_cap",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS dom_rank,
+               COUNT(1) OVER (PARTITION BY source) AS dom_size
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(dom_rank AS INT) AS dom_rank,
+           CAST(dom_size AS INT) AS dom_size
+    FROM r WHERE dom_rank <= 15
+    """,
+)
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping: keep at most 15 documents per
+    source, preferring the longest (n_chars DESC, doc_id tie-break) —
+    the C4/RefinedWeb guard against one site flooding the corpus. Runs
+    the two-phase histogram-cut form (the absolute-N sibling of
+    quality_percentile_filter_two_phase — no whole-domain sort anywhere)
+    while the oracle ranks each domain outright, so the driver gate
+    hash-checks the 100 TB plan against the naive semantics
+    (operators/text.domain_frequency_cap)."""
+    return TX.domain_frequency_cap(
+        load_table(spark, sf_dir, "documents"), cap=15
+    )

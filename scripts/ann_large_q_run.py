@@ -76,7 +76,10 @@ def main() -> None:
 
     results = []
     for n_q in (1024, 1025, 4096, 16384):
-        queries = base.limit(n_q)
+        # filter, NOT limit: limit collapses the query side to one
+        # partition, which is a harness artifact a real query table
+        # doesn't have
+        queries = base.filter(F.col("vec_id") < n_q)
         t0 = time.perf_counter()
         rows = idx.search(queries, k=5, n_probe=4).count()
         dt = time.perf_counter() - t0

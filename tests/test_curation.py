@@ -176,3 +176,100 @@ def test_quality_percentile_two_phase_equals_exact(spark):
         }
         assert got == exact and exact, f"frac={frac}"
         assert len(fast) == len(got)  # no duplicate rows
+
+
+def test_bigram_scores_match_python_replay(spark):
+    """bigram_scores == a pure-Python bigram-LM replay: corpus bigram
+    counts, context counts as prefix sums over the bigram vocabulary,
+    per-doc weighted conditional probability / avg frequency / rare
+    mass. Exercises repeats within a doc, cross-doc shared bigrams,
+    sub-2-token docs (dropped), and rare_df boundary counts."""
+    from collections import Counter
+
+    from fluss_iceberg_spark.operators.text import bigram_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "the cat the cat the cat"),  # intra-doc repeats
+        (4, "one"),                       # no bigrams -> dropped
+        (5, ""),                          # no bigrams -> dropped
+        (6, "zz qq"),                     # globally unique bigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_bigrams,
+            round(r.coherence, 12),
+            round(r.avg_bigram_freq, 12),
+            round(r.rare_bigram_frac, 12),
+        )
+        for r in bigram_scores(docs).collect()
+    }
+    # replay
+    toks = {d: t.split() for d, t in rows}
+    grams = {d: [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+             for d, w in toks.items() if len(w) >= 2 and w != [""]}
+    freq = Counter(g for gs in grams.values() for g in gs)
+    pref = Counter()
+    for g, c in freq.items():
+        pref[g.split(" ")[0]] += c
+    want = {}
+    for d, gs in grams.items():
+        if not gs:
+            continue
+        n = len(gs)
+        sum_bg = sum(freq[g] for g in gs)
+        sum_w1 = sum(pref[g.split(" ")[0]] for g in gs)
+        n_rare = sum(1 for g in gs if freq[g] <= 2)
+        want[d] = (
+            n,
+            round(sum_bg / sum_w1, 12),
+            round(sum_bg / n, 12),
+            round(n_rare / n, 12),
+        )
+    assert got == want
+    assert 4 not in got and 5 not in got
+    # doc 3's transitions are all "the cat"/"cat the" — high coherence;
+    # doc 6's unique bigram is 100% rare
+    assert got[6][3] == 1.0
+
+
+def test_domain_cap_equals_naive_window(spark):
+    """domain_frequency_cap (two-phase histogram cut) == the naive
+    per-domain rank window, including: tie levels straddling the cap,
+    under-cap domains (pass through whole), a flooding domain, and
+    cap >= domain size."""
+    from pyspark.sql import Window as W
+
+    from fluss_iceberg_spark.operators.text import domain_frequency_cap
+
+    rows = []
+    i = 0
+    for dom, sizes in (
+        ("a.com", [100] * 7 + [50, 50, 10]),   # ties straddle cap=8
+        ("b.org", [30, 20, 10]),                # under cap
+        ("flood.net", list(range(200))),        # oversized
+        ("solo.io", [5]),
+    ):
+        for s in sizes:
+            rows.append((i, dom, s))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    for cap in (8, 1, 500):
+        got = {
+            tuple(r) for r in domain_frequency_cap(docs, cap=cap).collect()
+        }
+        w = W.partitionBy("source").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+        want = {
+            tuple(r)
+            for r in docs.select(
+                "doc_id", "source", "n_chars",
+                F.row_number().over(w).cast("int").alias("dom_rank"),
+                F.count(F.lit(1)).over(W.partitionBy("source"))
+                .cast("int").alias("dom_size"),
+            ).filter(F.col("dom_rank") <= cap).collect()
+        }
+        assert got == want and want, f"cap={cap}"

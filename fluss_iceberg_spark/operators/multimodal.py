@@ -189,6 +189,273 @@ def sampled_frames(
     )
 
 
+# ------------------------------------------------------- raster features
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels int, "
+    "sum_r long, sum_g long, sum_b long, min_v int, max_v int"
+)
+
+
+def pixel_stats_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL raster decode (operators/rasters.py —
+    PNG/netpbm/BMP pixel arrays, not just headers) → exact integer
+    channel statistics. All-integer outputs (sums, min, max) so an
+    arithmetic oracle can replay them bit-exactly; undecodable payloads
+    yield NULL stats, never a task failure. Grayscale rasters populate
+    sum_r only (the single channel); RGBA ignores alpha."""
+    from fluss_iceberg_spark.operators.rasters import decode_pixels
+
+    import numpy as np
+
+    for pdf in batch_iter:
+        n = len(pdf)
+        width = np.full(n, None, dtype=object)
+        height = np.full(n, None, dtype=object)
+        npix = np.full(n, None, dtype=object)
+        sums = [[None] * n for _ in range(3)]
+        minv = np.full(n, None, dtype=object)
+        maxv = np.full(n, None, dtype=object)
+        for k, payload in enumerate(pdf["payload"]):
+            got = decode_pixels(payload) if payload is not None else None
+            if got is None:
+                continue
+            arr, _mode = got
+            h, w, c = arr.shape
+            width[k], height[k], npix[k] = w, h, w * h
+            flat = arr.reshape(-1, c).astype(np.int64)
+            for ch in range(min(c, 3)):
+                sums[ch][k] = int(flat[:, ch].sum())
+            minv[k] = int(arr.min())
+            maxv[k] = int(arr.max())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(width, dtype="Int32"),
+                "height": pd.Series(height, dtype="Int32"),
+                "n_pixels": pd.Series(npix, dtype="Int32"),
+                "sum_r": pd.Series(sums[0], dtype="Int64"),
+                "sum_g": pd.Series(sums[1], dtype="Int64"),
+                "sum_b": pd.Series(sums[2], dtype="Int64"),
+                "min_v": pd.Series(minv, dtype="Int32"),
+                "max_v": pd.Series(maxv, dtype="Int32"),
+            }
+        )
+
+
+def pixel_stats(binarized: DataFrame) -> DataFrame:
+    """Per-image exact channel statistics over decoded rasters."""
+    return binarized.select("doc_id", "payload").mapInPandas(
+        pixel_stats_kernel, PIXEL_STATS_SCHEMA
+    )
+
+
+AHASH_SCHEMA = "doc_id long, width int, height int, ahash string"
+
+
+def ahash_bits(arr) -> str | None:
+    """64-bit average hash (aHash) with EXACT integer semantics: gray =
+    per-pixel channel sum (no division), 8x8 block grid with boundaries
+    floor(k*dim/8), bit[r,c] = block_sum * n_pixels > total_sum *
+    block_n_pixels (cross-multiplied — never a float). Returned as a
+    64-char '0'/'1' string, identical across engines by construction.
+    Images smaller than 8x8 hash to None. Block sums come from an
+    integral image (two cumsums), so the kernel is O(pixels) vectorized."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    if h < 8 or w < 8:
+        return None
+    gray = arr.astype(np.int64).sum(axis=2) if arr.ndim == 3 else arr.astype(np.int64)
+    integral = np.zeros((h + 1, w + 1), dtype=np.int64)
+    integral[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ys = [(k * h) // 8 for k in range(9)]
+    xs = [(k * w) // 8 for k in range(9)]
+    yi = np.array(ys)
+    xi = np.array(xs)
+    bsum = (
+        integral[np.ix_(yi[1:], xi[1:])]
+        - integral[np.ix_(yi[:-1], xi[1:])]
+        - integral[np.ix_(yi[1:], xi[:-1])]
+        + integral[np.ix_(yi[:-1], xi[:-1])]
+    )
+    bnpix = np.outer(np.diff(yi), np.diff(xi))
+    total = int(gray.sum())
+    bits = bsum * (h * w) > total * bnpix
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+def ahash_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: raster decode → 64-bit average hash."""
+    from fluss_iceberg_spark.operators.rasters import decode_pixels
+
+    for pdf in batch_iter:
+        widths, heights, hashes = [], [], []
+        for payload in pdf["payload"]:
+            got = decode_pixels(payload) if payload is not None else None
+            if got is None:
+                widths.append(None)
+                heights.append(None)
+                hashes.append(None)
+                continue
+            arr, _mode = got
+            widths.append(arr.shape[1])
+            heights.append(arr.shape[0])
+            hashes.append(ahash_bits(arr))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(widths, dtype="Int32"),
+                "height": pd.Series(heights, dtype="Int32"),
+                "ahash": pd.Series(hashes, dtype="object"),
+            }
+        )
+
+
+def perceptual_hashes(binarized: DataFrame) -> DataFrame:
+    """Per-image 64-bit aHash over decoded rasters: the image near-dup
+    fingerprint. At 100 TB the downstream dedup is a GROUP BY on the
+    64-bit hash (exact-duplicate collapse) or a banded hamming join
+    (near-dup) — either way the raster never leaves the map side; only
+    the 8-byte fingerprint shuffles."""
+    return binarized.select("doc_id", "payload").mapInPandas(
+        ahash_kernel, AHASH_SCHEMA
+    )
+
+
+def synth_png_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel synthesizing REAL PNG payloads whose pixels are
+    a pure arithmetic function of doc_id: w = doc_id%9+8, h = doc_id%5+8,
+    RGB pixel byte i = (doc_id*31 + i*7) % 251, scanline filter =
+    doc_id%5 (the corpus exercises all five PNG filters). The encoder
+    (rasters.encode_png) applies filters FORWARD; the decode kernel must
+    invert zlib + filtering to recover the raster, so a downstream
+    arithmetic oracle match proves the full PNG raster path."""
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.rasters import encode_png
+
+    for pdf in batch_iter:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = d % 9 + 8, d % 5 + 8
+            v = (d * 31 + np.arange(w * h * 3, dtype=np.int64) * 7) % 251
+            payloads.append(encode_png(v.astype(np.uint8).reshape(h, w, 3), d % 5))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": pd.Series(payloads, dtype="object")}
+        )
+
+
+def synth_png_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → deterministic PNG payload (see synth_png_kernel)."""
+    return docs.select("doc_id").mapInPandas(
+        synth_png_kernel, "doc_id long, payload binary"
+    )
+
+
+# -------------------------------------------------------- audio features
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_frames int, channels int, rate int, duration_us long, "
+    "sum_samples long, energy long, min_s int, max_s int, crossings int"
+)
+
+
+def audio_features_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL WAV/RIFF PCM decode (operators/audio.py)
+    → exact integer waveform statistics (frame/channel counts, integer
+    duration, sample sum, energy = sum of squares, min/max, channel-0
+    zero crossings). All-integer outputs so an arithmetic oracle can
+    replay them; undecodable payloads yield NULL features."""
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.audio import decode_wav, zero_crossings
+
+    for pdf in batch_iter:
+        cols: dict[str, list] = {k: [] for k in (
+            "n_frames", "channels", "rate", "duration_us",
+            "sum_samples", "energy", "min_s", "max_s", "crossings",
+        )}
+        for payload in pdf["payload"]:
+            got = decode_wav(payload) if payload is not None else None
+            if got is None:
+                for k in cols:
+                    cols[k].append(None)
+                continue
+            arr, rate = got
+            n, c = arr.shape
+            a64 = arr.astype(np.int64)
+            cols["n_frames"].append(n)
+            cols["channels"].append(c)
+            cols["rate"].append(rate)
+            cols["duration_us"].append(n * 1_000_000 // rate)
+            cols["sum_samples"].append(int(a64.sum()))
+            cols["energy"].append(int((a64 * a64).sum()))
+            cols["min_s"].append(int(arr.min()))
+            cols["max_s"].append(int(arr.max()))
+            cols["crossings"].append(zero_crossings(arr[:, 0]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": pd.Series(cols["n_frames"], dtype="Int32"),
+                "channels": pd.Series(cols["channels"], dtype="Int32"),
+                "rate": pd.Series(cols["rate"], dtype="Int32"),
+                "duration_us": pd.Series(cols["duration_us"], dtype="Int64"),
+                "sum_samples": pd.Series(cols["sum_samples"], dtype="Int64"),
+                "energy": pd.Series(cols["energy"], dtype="Int64"),
+                "min_s": pd.Series(cols["min_s"], dtype="Int32"),
+                "max_s": pd.Series(cols["max_s"], dtype="Int32"),
+                "crossings": pd.Series(cols["crossings"], dtype="Int32"),
+            }
+        )
+
+
+def audio_features(binarized: DataFrame) -> DataFrame:
+    """Per-clip exact waveform statistics over decoded WAV payloads."""
+    return binarized.select("doc_id", "payload").mapInPandas(
+        audio_features_kernel, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def synth_wav_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel synthesizing REAL WAV payloads whose waveform
+    is a pure arithmetic function of doc_id: channels = 1 + doc_id%2,
+    rate = 8000 + (doc_id%4)*4000, n_frames = doc_id%50 + 20, and the
+    bit width alternates (8-bit unsigned-biased when doc_id%3 == 0, else
+    16-bit signed) so the corpus exercises both PCM sample layouts.
+    Flattened interleaved sample j = (doc_id*13 + j*17) % 200 - 100
+    (8-bit) or % 4001 - 2000 (16-bit). The encoder (audio.encode_wav)
+    shares no parsing code with the decoder."""
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.audio import encode_wav
+
+    for pdf in batch_iter:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            c = 1 + d % 2
+            rate = 8000 + (d % 4) * 4000
+            n = d % 50 + 20
+            j = np.arange(n * c, dtype=np.int64)
+            if d % 3 == 0:
+                bits, v = 8, (d * 13 + j * 17) % 200 - 100
+            else:
+                bits, v = 16, (d * 13 + j * 17) % 4001 - 2000
+            payloads.append(encode_wav(v.reshape(n, c), rate, bits))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": pd.Series(payloads, dtype="object")}
+        )
+
+
+def synth_wav_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → deterministic WAV payload (see synth_wav_kernel)."""
+    return docs.select("doc_id").mapInPandas(
+        synth_wav_kernel, "doc_id long, payload binary"
+    )
+
+
 def resize_features(
     decoded: DataFrame, max_w: int = 64, max_h: int = 64
 ) -> DataFrame:

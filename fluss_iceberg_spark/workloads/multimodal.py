@@ -77,6 +77,160 @@ def resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_pixel_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 9 + 8 AS w, doc_id % 5 + 8 AS h FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, i, (doc_id * 31 + i * 7) % 251 AS v, i % 3 AS ch
+        FROM d, UNNEST(range(0, w * h * 3)) t(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(MAX(w) * MAX(h) AS INT) AS n_pixels,
+           CAST(SUM(v) FILTER (WHERE ch = 0) AS BIGINT) AS sum_r,
+           CAST(SUM(v) FILTER (WHERE ch = 1) AS BIGINT) AS sum_g,
+           CAST(SUM(v) FILTER (WHERE ch = 2) AS BIGINT) AS sum_b,
+           CAST(MIN(v) AS INT) AS min_v,
+           CAST(MAX(v) AS INT) AS max_v
+    FROM px GROUP BY doc_id
+    """,
+)
+def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG raster decode end-to-end: synthesize a valid PNG per
+    document whose RGB pixel bytes are a pure arithmetic function of
+    doc_id (scanline filter = doc_id % 5 — the corpus exercises all five
+    PNG filter types), then decode the raster back (zlib inflate +
+    filter inversion, operators/rasters.py) and reduce it to exact
+    integer channel statistics. The oracle recomputes the statistics
+    arithmetically from doc_id, so a hash match proves the decoder
+    recovered every pixel byte from the compressed container. Encoder
+    and decoder share no filter code (forward vs inverse)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.pixel_stats(MM.synth_png_payloads(docs))
+
+
+@query(
+    "multimodal_ahash_dedup",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               i,
+               ((doc_id % 60) * 37 + i * 11) % 83 + 32
+                 + CASE WHEN (i + doc_id) % 29 = 0 THEN doc_id % 6 ELSE 0 END AS v
+        FROM documents, UNNEST(range(0, 256)) t(i)
+    ),
+    blocks AS (
+        SELECT doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2) AS blk,
+               SUM(v) AS bsum
+        FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS tsum FROM px GROUP BY 1),
+    hashes AS (
+        SELECT b.doc_id,
+               STRING_AGG(CASE WHEN b.bsum * 64 > t.tsum THEN '1' ELSE '0' END,
+                          '' ORDER BY b.blk) AS ahash
+        FROM blocks b JOIN tot t USING (doc_id)
+        GROUP BY b.doc_id
+    )
+    SELECT ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM hashes GROUP BY ahash
+    """,
+)
+def ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: synthesize 16x16 grayscale P5
+    payloads JVM-side (base image keyed by doc_id % 60, plus a sparse
+    per-doc pixel perturbation — near-duplicates, not byte-duplicates,
+    so sha256 grouping would NOT collapse them), decode the raster,
+    compute the exact-integer 64-bit aHash (operators/multimodal.py
+    ahash_bits), and GROUP BY the hash. Only the 64-bit fingerprint
+    shuffles — the raster never leaves the map side, which is the whole
+    100 TB design. The oracle replays the hash arithmetic in SQL, so a
+    match proves the decode + blocked-threshold pipeline bit-exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raster = F.expr(
+        "array_join(transform(sequence(0, 255), i -> "
+        "char(((doc_id % 60) * 37 + i * 11) % 83 + 32 "
+        "+ IF((i + doc_id) % 29 = 0, doc_id % 6, 0))), '')"
+    )
+    payload = F.encode(F.concat(F.lit("P5\n16 16\n255\n"), raster), "utf-8")
+    binarized = docs.select("doc_id", payload.alias("payload"))
+    return (
+        MM.perceptual_hashes(binarized)
+        .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS c,
+               8000 + (doc_id % 4) * 4000 AS rate,
+               doc_id % 50 + 20 AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, c, rate, n, j,
+               CASE WHEN doc_id % 3 = 0
+                    THEN (doc_id * 13 + j * 17) % 200 - 100
+                    ELSE (doc_id * 13 + j * 17) % 4001 - 2000 END AS v
+        FROM d, UNNEST(range(0, n * c)) t(j)
+    ),
+    ch0 AS (
+        SELECT doc_id, v,
+               LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+        FROM s WHERE j % c = 0
+    ),
+    cr AS (
+        SELECT doc_id,
+               CAST(COUNT(*) FILTER (
+                   WHERE pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+               ) AS INT) AS crossings
+        FROM ch0 GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(MAX(n) AS INT) AS n_frames,
+               CAST(MAX(c) AS INT) AS channels,
+               CAST(MAX(rate) AS INT) AS rate,
+               CAST((MAX(n) * 1000000) // MAX(rate) AS BIGINT) AS duration_us,
+               CAST(SUM(v) AS BIGINT) AS sum_samples,
+               CAST(SUM(v * v) AS BIGINT) AS energy,
+               CAST(MIN(v) AS INT) AS min_s,
+               CAST(MAX(v) AS INT) AS max_s
+        FROM s GROUP BY doc_id
+    )
+    SELECT stats.*, cr.crossings FROM stats JOIN cr USING (doc_id)
+    """,
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize a valid RIFF/WAVE PCM
+    payload per document — waveform a pure arithmetic function of
+    doc_id, bit width alternating 8-bit biased-unsigned / 16-bit signed
+    so both PCM layouts are exercised — then decode it back
+    (operators/audio.py RIFF chunk walk) and reduce the waveform to
+    exact integer statistics (duration, sum, energy, min/max, channel-0
+    zero crossings). The oracle recomputes everything arithmetically
+    from doc_id, so a hash match proves the decoder recovered every
+    sample from the container bytes. Extends the multimodal surface to
+    audio with the image-raster pattern (multimodal_png_pixel_stats)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.audio_features(MM.synth_wav_payloads(docs))
+
+
+@query(
     "multimodal_real_decode",
     oracle="""
     SELECT doc_id,

@@ -354,6 +354,106 @@ def synth_png_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ animation frames
+
+GIF_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, delay_cs int, "
+    "n_px int, sum_idx long, min_idx int, max_idx int"
+)
+
+
+def gif_frames_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL animated-GIF decode (operators/gif.py —
+    LZW inflate of every frame's palette-index raster) → one row per
+    (doc, frame) with exact integer raster statistics and the frame's
+    graphic-control delay. Undecodable payloads contribute no rows
+    (frame explosion semantics, like sampled_frames); the corrupt-blob
+    policy for scalar features lives in the pixel/audio kernels."""
+    from fluss_iceberg_spark.operators.gif import decode_gif_frames
+
+    import numpy as np
+
+    for pdf in batch_iter:
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "frame_idx", "width", "height", "delay_cs",
+            "n_px", "sum_idx", "min_idx", "max_idx",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = decode_gif_frames(payload) if payload is not None else None
+            if frames is None:
+                continue
+            for f in frames:
+                arr = f["indices"].astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(f["frame_idx"])
+                rows["width"].append(f["width"])
+                rows["height"].append(f["height"])
+                rows["delay_cs"].append(f["delay_cs"])
+                rows["n_px"].append(arr.size)
+                rows["sum_idx"].append(int(arr.sum()))
+                rows["min_idx"].append(int(arr.min()))
+                rows["max_idx"].append(int(arr.max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "delay_cs": pd.Series(rows["delay_cs"], dtype="int32"),
+                "n_px": pd.Series(rows["n_px"], dtype="int32"),
+                "sum_idx": pd.Series(rows["sum_idx"], dtype="int64"),
+                "min_idx": pd.Series(rows["min_idx"], dtype="int32"),
+                "max_idx": pd.Series(rows["max_idx"], dtype="int32"),
+            }
+        )
+
+
+def gif_frame_features(binarized: DataFrame) -> DataFrame:
+    """Per-frame exact statistics over decoded animated-GIF payloads."""
+    return binarized.select("doc_id", "payload").mapInPandas(
+        gif_frames_kernel, GIF_FRAMES_SCHEMA
+    )
+
+
+def synth_gif_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel synthesizing REAL animated GIFs whose frames
+    are a pure arithmetic function of doc_id: n_frames = doc_id%4 + 2,
+    geometry w = doc_id%6 + 6 / h = doc_id%4 + 5, per-frame delay =
+    (doc_id + f) % 50 cs, palette-index pixel i of frame f =
+    (doc_id*7 + f*13 + i*3) % 128. The encoder's flat LZW shares no
+    code with the decoder's dynamic-dictionary LZW, so recovering the
+    indices downstream proves a real inflate."""
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.gif import encode_gif
+
+    palette = np.stack(
+        [np.arange(128, dtype=np.uint8) * 2] * 3, axis=1
+    )  # 128 grays
+    for pdf in batch_iter:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n_frames, w, h = d % 4 + 2, d % 6 + 6, d % 4 + 5
+            i = np.arange(w * h, dtype=np.int64)
+            frames = [
+                ((d * 7 + f * 13 + i * 3) % 128).astype(np.uint8).reshape(h, w)
+                for f in range(n_frames)
+            ]
+            delays = [(d + f) % 50 for f in range(n_frames)]
+            payloads.append(encode_gif(frames, palette, delays))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": pd.Series(payloads, dtype="object")}
+        )
+
+
+def synth_gif_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → deterministic animated-GIF payload (see synth_gif_kernel)."""
+    return docs.select("doc_id").mapInPandas(
+        synth_gif_kernel, "doc_id long, payload binary"
+    )
+
+
 # -------------------------------------------------------- audio features
 
 AUDIO_FEATURES_SCHEMA = (

@@ -231,6 +231,56 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_frames",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               doc_id % 4 + 2 AS n_frames,
+               doc_id % 6 + 6 AS w,
+               doc_id % 4 + 5 AS h
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, w, h, f, (doc_id + f) % 50 AS delay_cs
+        FROM d, UNNEST(range(0, n_frames)) t(f)
+    ),
+    px AS (
+        SELECT doc_id, f, (doc_id * 7 + f * 13 + i * 3) % 128 AS v
+        FROM fr, UNNEST(range(0, w * h)) t(i)
+    ),
+    st AS (
+        SELECT doc_id, f,
+               CAST(SUM(v) AS BIGINT) AS sum_idx,
+               CAST(MIN(v) AS INT) AS min_idx,
+               CAST(MAX(v) AS INT) AS max_idx
+        FROM px GROUP BY doc_id, f
+    )
+    SELECT fr.doc_id,
+           CAST(fr.f AS INT) AS frame_idx,
+           CAST(fr.w AS INT) AS width,
+           CAST(fr.h AS INT) AS height,
+           CAST(fr.delay_cs AS INT) AS delay_cs,
+           CAST(fr.w * fr.h AS INT) AS n_px,
+           st.sum_idx, st.min_idx, st.max_idx
+    FROM fr JOIN st ON fr.doc_id = st.doc_id AND fr.f = st.f
+    """,
+)
+def gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame decode end-to-end: synthesize an animated
+    GIF per document (frames, geometry, delays, and every palette-index
+    pixel are pure arithmetic functions of doc_id), then decode each
+    frame's raster back through the spec LZW inflate (operators/gif.py)
+    and reduce it to one row per (doc, frame) of exact integer
+    statistics. The oracle recomputes everything arithmetically, so a
+    hash match proves the decoder recovered every frame's pixels from
+    the compressed container — the multimodal surface's frame-sampling
+    path (multimodal_frame_sample is the byte-range stand-in; this is
+    the real thing)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.gif_frame_features(MM.synth_gif_payloads(docs))
+
+
+@query(
     "multimodal_real_decode",
     oracle="""
     SELECT doc_id,

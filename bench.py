@@ -175,6 +175,14 @@ HEADLINE = [
     "ann_index_cdc_sync",
     "dedup_substring_spans",
     "text_quality_topq",
+    "text_bigram_coherence",
+    "text_domain_cap",
+    "dedup_substring_rewrite",
+    "multimodal_png_pixel_stats",
+    "multimodal_ahash_dedup",
+    "multimodal_ahash_neardup_pairs",
+    "multimodal_audio_features",
+    "multimodal_gif_frames",
 ]
 
 

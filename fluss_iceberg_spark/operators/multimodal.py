@@ -454,6 +454,90 @@ def synth_gif_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def ahash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """Image near-dup PAIRS within a hamming radius over 64-bit aHashes —
+    the bit-sampling LSH shape: split the hash into ``n_bands`` equal
+    bands, join on (band index, band value), then verify exact hamming
+    distance on the candidates. By pigeonhole the banding is EXACT (not
+    approximate) for ``max_hamming < n_bands``: a pair differing in at
+    most n_bands-1 bits must agree on at least one whole band. At 100 TB
+    the band join is the only shuffle and carries (doc_id, 8-char band)
+    rows; the quadratic blowup is confined to per-band-value candidate
+    groups, and the hamming verify runs inside whole-stage codegen on
+    the candidate stream — no raster, no full cross join, anywhere.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding is exact only for max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands})"
+        )
+    width = 64 // n_bands
+    h = hashes.where(F.col("ahash").isNotNull()).select("doc_id", "ahash")
+    # Band-join over DISTINCT hash VALUES, not documents: a duplicate-heavy
+    # corpus has vastly fewer fingerprints than rows (the whole point of
+    # near-dup detection), and banding documents directly makes every
+    # duplicate cluster a quadratic join bucket carrying 64-char strings —
+    # measured 200x slower at sf0.1. The vocabulary form keeps the
+    # quadratic work at |distinct hashes|² worst case and re-expands to
+    # doc pairs only for qualifying hash pairs, so the output is the only
+    # thing proportional to true duplicate mass (same trick as
+    # operators/dedup.py's PassJoin DISTINCT vocabulary).
+    dh = h.select("ahash").distinct()
+    bands = dh.select(
+        "ahash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"b -> substring(ahash, b * {width} + 1, {width}))"
+            )
+        ).alias("band_idx", "band"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.ahash") < F.col("b.ahash")),
+        )
+        .select(F.col("a.ahash").alias("ha"), F.col("b.ahash").alias("hb"))
+        .distinct()  # a close hash pair shares several bands
+    )
+    qual = cand.withColumn(
+        "hamming",
+        F.expr(
+            "aggregate(sequence(1, 64), 0, (acc, i) -> "
+            "acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"
+        ).cast("int"),
+    ).where(F.col("hamming") <= max_hamming)
+    # expand qualifying hash pairs back to doc pairs (broadcast: the
+    # qualifying set is fingerprint-vocabulary-sized by construction)
+    inter = (
+        h.alias("x")
+        .join(F.broadcast(qual), F.col("x.ahash") == F.col("ha"))
+        .join(h.alias("y"), F.col("y.ahash") == F.col("hb"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        h.alias("x")
+        .join(h.alias("y"), (F.col("x.ahash") == F.col("y.ahash"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
+
+
 # -------------------------------------------------------- audio features
 
 AUDIO_FEATURES_SCHEMA = (

@@ -172,6 +172,65 @@ def ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_ahash_neardup_pairs",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               i,
+               ((doc_id % 60) * 37 + i * 11) % 83 + 32
+                 + CASE WHEN (i + doc_id) % 29 = 0 THEN doc_id % 6 ELSE 0 END AS v
+        FROM documents, UNNEST(range(0, 256)) t(i)
+    ),
+    blocks AS (
+        SELECT doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2) AS blk,
+               SUM(v) AS bsum
+        FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS tsum FROM px GROUP BY 1),
+    hashes AS (
+        SELECT b.doc_id,
+               STRING_AGG(CASE WHEN b.bsum * 64 > t.tsum THEN '1' ELSE '0' END,
+                          '' ORDER BY b.blk) AS ahash
+        FROM blocks b JOIN tot t USING (doc_id)
+        GROUP BY b.doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.ahash AS ha, b.ahash AS hb
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    ),
+    ham AS (
+        SELECT doc_a, doc_b,
+               CAST(SUM(CASE WHEN substr(ha, CAST(i AS INT) + 1, 1)
+                              <> substr(hb, CAST(i AS INT) + 1, 1)
+                         THEN 1 ELSE 0 END) AS INT) AS hamming
+        FROM pairs, UNNEST(range(0, 64)) t(i)
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+    """,
+)
+def ahash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIRS within hamming ≤ 6 over the same synthesized
+    P5 corpus as multimodal_ahash_dedup, via hamming-banded LSH
+    (operators/multimodal.ahash_near_pairs): 8 bands of 8 bits, join on
+    band equality, exact hamming verify on candidates — pigeonhole-EXACT
+    for radius < band count, which the oracle proves by computing the
+    full quadratic ground truth (every pair, no banding) in DuckDB and
+    matching hash-for-hash. The Spark side never builds the cross join:
+    only (doc_id, band) rows shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raster = F.expr(
+        "array_join(transform(sequence(0, 255), i -> "
+        "char(((doc_id % 60) * 37 + i * 11) % 83 + 32 "
+        "+ IF((i + doc_id) % 29 = 0, doc_id % 6, 0))), '')"
+    )
+    payload = F.encode(F.concat(F.lit("P5\n16 16\n255\n"), raster), "utf-8")
+    binarized = docs.select("doc_id", payload.alias("payload"))
+    return MM.ahash_near_pairs(MM.perceptual_hashes(binarized), 6, 8)
+
+
+@query(
     "multimodal_audio_features",
     oracle="""
     WITH d AS (

@@ -243,3 +243,44 @@ def test_ahash_near_dup_invariance():
     d_near = sum(a != b for a, b in zip(h0, h1))
     d_far = sum(a != b for a, b in zip(h0, h2))
     assert d_near <= 8 < d_far
+
+
+def test_ahash_near_pairs_banding_exact(spark):
+    """The hamming-banded LSH must return EXACTLY the brute-force pair
+    set for radius < band count (pigeonhole), including intra-hash
+    (hamming 0) pairs from duplicate clusters."""
+    from itertools import combinations
+
+    from fluss_iceberg_spark.operators.multimodal import ahash_near_pairs
+
+    rng2 = np.random.default_rng(99)
+    base = ["".join(rng2.choice(list("01"), 64)) for _ in range(12)]
+    rows = []
+    doc = 0
+    for h in base:
+        for _ in range(int(rng2.integers(1, 4))):  # duplicate clusters
+            bits = list(h)
+            for flip in rng2.choice(64, int(rng2.integers(0, 5)), replace=False):
+                bits[flip] = "1" if bits[flip] == "0" else "0"
+            rows.append((doc, "".join(bits)))
+            doc += 1
+    rows.append((doc, None))  # undecodable payload -> NULL hash, dropped
+    df = spark.createDataFrame(rows, "doc_id long, ahash string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in ahash_near_pairs(df, max_hamming=6, n_bands=8).collect()
+    }
+    want = set()
+    for (da, ha), (db, hb) in combinations(rows[:-1], 2):
+        d = sum(a != b for a, b in zip(ha, hb))
+        if d <= 6:
+            want.add((min(da, db), max(da, db), d))
+    assert got == want and len(want) > 0
+
+
+def test_ahash_near_pairs_rejects_bad_radius(spark):
+    from fluss_iceberg_spark.operators.multimodal import ahash_near_pairs
+
+    df = spark.createDataFrame([(1, "0" * 64)], "doc_id long, ahash string")
+    with pytest.raises(ValueError):
+        ahash_near_pairs(df, max_hamming=8, n_bands=8)

@@ -184,8 +184,18 @@ def quality_percentile_filter_two_phase(
     cut bound ``grp_rank ≤ cutoff`` still prunes its output, and a
     caller that can drop the exact-rank column could shard such a
     level further by a hash sub-key."""
-    scored = quality_score(df, text_col, keep=(group_col,)).select(
-        "doc_id", group_col, "quality"
+    from pyspark import StorageLevel
+
+    # Persist the SLIM scored projection (3 columns, ~20 B/doc): both
+    # phases read it, and recomputing means running the regex-heavy
+    # quality features twice over the full text — measured 2.5x the
+    # exact form's wall at sf0.1 before this. MEMORY_AND_DISK so a
+    # 100 TB corpus spills instead of evicting mid-job; the suite
+    # harness clears caches between queries.
+    scored = (
+        quality_score(df, text_col, keep=(group_col,))
+        .select("doc_id", group_col, "quality")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hist = scored.groupBy(group_col, "quality").agg(
         F.count(F.lit(1)).alias("lvl_cnt")

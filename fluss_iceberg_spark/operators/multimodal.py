@@ -660,3 +660,198 @@ def resize_features(
         F.greatest(F.lit(1), F.floor(F.col("fake_width") * scale)).cast("int").alias("new_width"),
         F.greatest(F.lit(1), F.floor(F.col("fake_height") * scale)).cast("int").alias("new_height"),
     )
+
+
+# ------------------------------------------------------ video (ISO-BMFF)
+
+MP4_META_SCHEMA = (
+    "doc_id long, brand string, handler string, width int, height int, "
+    "timescale int, duration long, duration_ms long, n_frames int, "
+    "total_bytes long"
+)
+
+MP4_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, dur int, n_bytes int, sum_b long, "
+    "min_b int, max_b int"
+)
+
+
+def synth_mp4_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel synthesizing REAL ISO-BMFF/MP4 payloads whose
+    sample table and frame bytes are pure arithmetic functions of
+    doc_id: n_frames = doc_id%6 + 3, frame i size = 16 + (doc_id+i*3)%9,
+    frame byte k = (doc_id*7 + i*31 + k*13) % 251, duration run-split at
+    n//2 (100 + doc_id%7 then 150 + doc_id%11 — exercises multi-run
+    stts), timescale = 1000 + (doc_id%3)*200, track dims
+    ((doc_id%5+2)*16, (doc_id%4+2)*16 — 16.16 fixed-point in tkhd), two
+    frames per chunk with a short tail chunk (exercises the stsc
+    chunk-run expansion). The writer (video.encode_mp4) shares no
+    parsing code with the parser."""
+    from fluss_iceberg_spark.operators.video import encode_mp4
+
+    for pdf in batch_iter:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = d % 6 + 3
+            frames = [
+                bytes(
+                    (d * 7 + i * 31 + k * 13) % 251
+                    for k in range(16 + (d + i * 3) % 9)
+                )
+                for i in range(n)
+            ]
+            durs = [
+                100 + d % 7 if i < n // 2 else 150 + d % 11 for i in range(n)
+            ]
+            payloads.append(
+                encode_mp4(
+                    frames,
+                    durs,
+                    1000 + (d % 3) * 200,
+                    (d % 5 + 2) * 16,
+                    (d % 4 + 2) * 16,
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": pd.Series(payloads, dtype="object")}
+        )
+
+
+def synth_mp4_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → deterministic MP4 payload (see synth_mp4_kernel)."""
+    return docs.select("doc_id").mapInPandas(
+        synth_mp4_kernel, "doc_id long, payload binary"
+    )
+
+
+def mp4_metadata_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL ISO-BMFF parse (operators/video.py) →
+    container metadata (brand, handler, fixed-point track dims, movie
+    timescale/duration, frame count, total sample bytes). Undecodable
+    payloads yield NULL features. This is the metadata-only path — it
+    reads ftyp + moov and never touches mdat, the 100 TB catalog-scan
+    shape for video corpora."""
+    from fluss_iceberg_spark.operators.video import parse_mp4
+
+    keys = (
+        "brand", "handler", "width", "height", "timescale",
+        "duration", "duration_ms", "n_frames", "total_bytes",
+    )
+    for pdf in batch_iter:
+        cols: dict[str, list] = {k: [] for k in keys}
+        for payload in pdf["payload"]:
+            t = parse_mp4(payload) if payload is not None else None
+            if t is None:
+                for k in keys:
+                    cols[k].append(None)
+                continue
+            cols["brand"].append(t.brand)
+            cols["handler"].append(t.handler)
+            cols["width"].append(t.width)
+            cols["height"].append(t.height)
+            cols["timescale"].append(t.timescale)
+            cols["duration"].append(t.duration)
+            cols["duration_ms"].append(t.duration * 1000 // t.timescale)
+            cols["n_frames"].append(t.n_frames)
+            cols["total_bytes"].append(sum(t.sizes))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "brand": pd.Series(cols["brand"], dtype="object"),
+                "handler": pd.Series(cols["handler"], dtype="object"),
+                "width": pd.Series(cols["width"], dtype="Int32"),
+                "height": pd.Series(cols["height"], dtype="Int32"),
+                "timescale": pd.Series(cols["timescale"], dtype="Int32"),
+                "duration": pd.Series(cols["duration"], dtype="Int64"),
+                "duration_ms": pd.Series(cols["duration_ms"], dtype="Int64"),
+                "n_frames": pd.Series(cols["n_frames"], dtype="Int32"),
+                "total_bytes": pd.Series(cols["total_bytes"], dtype="Int64"),
+            }
+        )
+
+
+def mp4_metadata(binarized: DataFrame) -> DataFrame:
+    """Per-video container metadata via the real ISO-BMFF box walk."""
+    return binarized.select("doc_id", "payload").mapInPandas(
+        mp4_metadata_kernel, MP4_META_SCHEMA
+    )
+
+
+def mp4_frame_stats_kernel(
+    batch_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: parse the sample table, then slice each
+    frame's bytes straight out of mdat via its (offset, size) byte range
+    — the IO-proportional frame-sampling path — and reduce every frame
+    to exact integer statistics (duration, byte count, sum/min/max).
+    One output row per frame; corrupt payloads contribute nothing."""
+    from fluss_iceberg_spark.operators.video import frame_bytes, parse_mp4
+
+    for pdf in batch_iter:
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "frame_idx", "dur", "n_bytes", "sum_b", "min_b", "max_b"
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            t = parse_mp4(payload) if payload is not None else None
+            if t is None:
+                continue
+            for i in range(t.n_frames):
+                fb = frame_bytes(payload, t, i)
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(i)
+                out["dur"].append(t.durations[i])
+                out["n_bytes"].append(len(fb))
+                out["sum_b"].append(sum(fb))
+                out["min_b"].append(min(fb) if fb else None)
+                out["max_b"].append(max(fb) if fb else None)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="Int32"),
+                "dur": pd.Series(out["dur"], dtype="Int32"),
+                "n_bytes": pd.Series(out["n_bytes"], dtype="Int32"),
+                "sum_b": pd.Series(out["sum_b"], dtype="Int64"),
+                "min_b": pd.Series(out["min_b"], dtype="Int32"),
+                "max_b": pd.Series(out["max_b"], dtype="Int32"),
+            }
+        )
+
+
+def mp4_frame_stats(binarized: DataFrame) -> DataFrame:
+    """Per-frame exact byte statistics over parsed MP4 payloads."""
+    return binarized.select("doc_id", "payload").mapInPandas(
+        mp4_frame_stats_kernel, MP4_FRAME_SCHEMA
+    )
+
+
+def video_scene_cuts(frame_stats: DataFrame, threshold_milli: int = 40) -> DataFrame:
+    """Shot-boundary detection over decoded frame statistics: a cut is a
+    jump in mean frame brightness (|mean_i - mean_{i-1}| in 1/1000
+    brightness units > threshold). The per-frame means come from the
+    Arrow decode kernel; the detection itself is pure JVM column
+    arithmetic over a per-video window — no payload bytes move through
+    the shuffle, only (doc_id, frame_idx, mean) rows, which is the
+    100 TB shape (stats are ~24 bytes/frame regardless of frame size)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    # integer div keeps both engines exact (no double-rounding at the cut)
+    mean_milli = F.expr("sum_b * 1000 div n_bytes")
+    scored = frame_stats.select(
+        "doc_id", "frame_idx", mean_milli.alias("mean_milli")
+    ).withColumn("prev_milli", F.lag("mean_milli").over(w))
+    return (
+        scored.where(
+            F.col("prev_milli").isNotNull()
+            & (F.abs(F.col("mean_milli") - F.col("prev_milli")) > threshold_milli)
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("mean_milli") - F.col("prev_milli")).alias("delta_milli"),
+        )
+    )

@@ -378,3 +378,124 @@ def real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("sha256"),
     )
     return MM.decode_real(binarized).select("doc_id", "width", "height", "mode")
+
+
+@query(
+    "multimodal_mp4_metadata",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 6 + 3 AS n FROM documents
+    ),
+    sz AS (
+        SELECT doc_id, CAST(SUM(16 + (doc_id + i * 3) % 9) AS BIGINT) AS total_bytes
+        FROM d, UNNEST(range(0, n)) t(i) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           'isom' AS brand,
+           'vide' AS handler,
+           CAST((d.doc_id % 5 + 2) * 16 AS INT) AS width,
+           CAST((d.doc_id % 4 + 2) * 16 AS INT) AS height,
+           CAST(1000 + (d.doc_id % 3) * 200 AS INT) AS timescale,
+           CAST((n // 2) * (100 + d.doc_id % 7)
+                + (n - n // 2) * (150 + d.doc_id % 11) AS BIGINT) AS duration,
+           CAST(((n // 2) * (100 + d.doc_id % 7)
+                 + (n - n // 2) * (150 + d.doc_id % 11)) * 1000
+                // (1000 + (d.doc_id % 3) * 200) AS BIGINT) AS duration_ms,
+           CAST(n AS INT) AS n_frames,
+           sz.total_bytes
+    FROM d JOIN sz USING (doc_id)
+    """,
+)
+def mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container parse end-to-end, metadata path: synthesize
+    a spec-valid ISO-BMFF/MP4 per document (ftyp + chunked mdat + full
+    moov sample table; every field a pure arithmetic function of
+    doc_id), then walk the boxes back (operators/video.py — mvhd/tkhd
+    16.16 dims, stts run expansion, stsz) WITHOUT touching mdat. The
+    oracle recomputes every field arithmetically from doc_id, so a hash
+    match proves the box walk recovered the container metadata exactly.
+    This is the 100 TB catalog-scan shape for video corpora: moov is
+    KBs; mdat is the terabytes the metadata path never reads.
+    Reference parity: the lakehouse media-ingest column family
+    (reference README.md demo rows carry media attributes)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.mp4_metadata(MM.synth_mp4_payloads(docs))
+
+
+@query(
+    "multimodal_mp4_frame_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 6 + 3 AS n FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n, CAST(i AS INT) AS frame_idx,
+               16 + (doc_id + i * 3) % 9 AS size,
+               CASE WHEN i < n // 2 THEN 100 + doc_id % 7
+                    ELSE 150 + doc_id % 11 END AS dur
+        FROM d, UNNEST(range(0, n)) t(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(MAX(dur) AS INT) AS dur,
+           CAST(MAX(size) AS INT) AS n_bytes,
+           CAST(SUM((doc_id * 7 + frame_idx * 31 + k * 13) % 251) AS BIGINT) AS sum_b,
+           CAST(MIN((doc_id * 7 + frame_idx * 31 + k * 13) % 251) AS INT) AS min_b,
+           CAST(MAX((doc_id * 7 + frame_idx * 31 + k * 13) % 251) AS INT) AS max_b
+    FROM f, UNNEST(range(0, size)) u(k)
+    GROUP BY doc_id, frame_idx
+    """,
+)
+def mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end: parse the MP4 sample table
+    (stsc chunk-run expansion × stco chunk offsets × stsz sizes → one
+    absolute byte range per frame), slice every frame straight out of
+    mdat by its byte range, and reduce each to exact integer statistics.
+    The oracle recomputes per-frame sum/min/max arithmetically from
+    doc_id, so a hash match proves the sample-table walk located every
+    frame byte exactly — the property that makes 100 TB frame-sampling
+    IO-proportional to frames taken, not bytes stored."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.mp4_frame_stats(MM.synth_mp4_payloads(docs))
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 6 + 3 AS n FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n, CAST(i AS INT) AS frame_idx,
+               16 + (doc_id + i * 3) % 9 AS size
+        FROM d, UNNEST(range(0, n)) t(i)
+    ),
+    st AS (
+        SELECT doc_id, frame_idx,
+               SUM((doc_id * 7 + frame_idx * 31 + k * 13) % 251) * 1000
+                   // MAX(size) AS mean_milli
+        FROM f, UNNEST(range(0, size)) u(k)
+        GROUP BY doc_id, frame_idx
+    ),
+    lagged AS (
+        SELECT doc_id, frame_idx, mean_milli,
+               LAG(mean_milli) OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx
+               ) AS prev_milli
+        FROM st
+    )
+    SELECT doc_id, frame_idx,
+           CAST(mean_milli - prev_milli AS BIGINT) AS delta_milli
+    FROM lagged
+    WHERE prev_milli IS NOT NULL AND abs(mean_milli - prev_milli) > 40
+    """,
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection composed over the real frame decode:
+    per-frame mean brightness from the Arrow kernel, then a per-video
+    LAG window flags jumps > 40 milli-units. Payload bytes never
+    shuffle — only (doc_id, frame_idx, mean) stats rows (~24 B/frame)
+    enter the window exchange, so the detection cost at 100 TB is
+    frames×24 bytes, independent of video bitrate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stats = MM.mp4_frame_stats(MM.synth_mp4_payloads(docs))
+    return MM.video_scene_cuts(stats, 40)

@@ -801,3 +801,44 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.domain_frequency_cap(
         load_table(spark, sf_dir, "documents"), cap=15
     )
+
+
+@query(
+    "text_bpe_roundtrip",
+    oracle="SELECT doc_id, text AS rebuilt FROM documents",
+)
+def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tokenizer losslessness, corpus-wide: learn 150 BPE merges
+    from this corpus' word counts (operators/bpe.py — ONE word-count
+    shuffle + bounded-vocab driver merge loop, the subword-nmt /
+    HF-tokenizers shape), encode every document with the learned merges
+    (map-side Arrow kernel, per-distinct-word memo), decode the token
+    stream back, and return (doc_id, rebuilt). The oracle is the raw
+    corpus itself, so the driver's value hash proves
+    decode(encode(text)) == text for EVERY document — any dropped,
+    duplicated, or mis-merged token anywhere in train/encode/decode
+    breaks the gate. Whitespace runs pass through as atomic tokens
+    (delimiter-capturing split), which is what makes exactness possible
+    on arbitrary text."""
+    from fluss_iceberg_spark.operators import bpe as BPE
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = BPE.train_bpe(docs, n_merges=150, vocab_cap=65536)
+    return BPE.bpe_roundtrip(docs, merges)
+
+
+@query("text_bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table itself: 150 ranked merges trained from
+    the corpus word counts. Deterministic — selection is (count desc,
+    pair asc), hash-order independent — so the driver's rows-only record
+    is stable across runs; exact equality with the pure-Python reference
+    trainer (and the Sennrich et al. 2016 worked example) is unit-gated
+    in tests/test_bpe.py. No SQL oracle by nature: the merge loop is
+    iterative (each merge changes the pair statistics the next one
+    sees), which SQL cannot replay without recursion over aggregates."""
+    from fluss_iceberg_spark.operators import bpe as BPE
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = BPE.train_bpe(docs, n_merges=150, vocab_cap=65536)
+    return BPE.merges_df(spark, merges)

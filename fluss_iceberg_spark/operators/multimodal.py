@@ -676,50 +676,65 @@ MP4_FRAME_SCHEMA = (
 )
 
 
-def synth_mp4_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel synthesizing REAL ISO-BMFF/MP4 payloads whose
-    sample table and frame bytes are pure arithmetic functions of
-    doc_id: n_frames = doc_id%6 + 3, frame i size = 16 + (doc_id+i*3)%9,
-    frame byte k = (doc_id*7 + i*31 + k*13) % 251, duration run-split at
-    n//2 (100 + doc_id%7 then 150 + doc_id%11 — exercises multi-run
-    stts), timescale = 1000 + (doc_id%3)*200, track dims
-    ((doc_id%5+2)*16, (doc_id%4+2)*16 — 16.16 fixed-point in tkhd), two
-    frames per chunk with a short tail chunk (exercises the stsc
-    chunk-run expansion). The writer (video.encode_mp4) shares no
-    parsing code with the parser."""
+def _synth_mp4_batch(pdf: pd.DataFrame, with_sync: bool) -> pd.DataFrame:
+    """Synthesize REAL ISO-BMFF/MP4 payloads whose sample table and
+    frame bytes are pure arithmetic functions of doc_id: n_frames =
+    doc_id%6 + 3, frame i size = 16 + (doc_id+i*3)%9, frame byte k =
+    (doc_id*7 + i*31 + k*13) % 251, duration run-split at n//2
+    (100 + doc_id%7 then 150 + doc_id%11 — exercises multi-run stts),
+    timescale = 1000 + (doc_id%3)*200, track dims ((doc_id%5+2)*16,
+    (doc_id%4+2)*16 — 16.16 fixed-point in tkhd), two frames per chunk
+    with a short tail chunk (exercises the stsc chunk-run expansion).
+    With ``with_sync``, an stss box marks every (doc_id%3 + 2)-th frame
+    as a keyframe. The writer (video.encode_mp4) shares no parsing code
+    with the parser."""
     from fluss_iceberg_spark.operators.video import encode_mp4
 
-    for pdf in batch_iter:
-        payloads = []
-        for doc_id in pdf["doc_id"]:
-            d = int(doc_id)
-            n = d % 6 + 3
-            frames = [
-                bytes(
-                    (d * 7 + i * 31 + k * 13) % 251
-                    for k in range(16 + (d + i * 3) % 9)
-                )
-                for i in range(n)
-            ]
-            durs = [
-                100 + d % 7 if i < n // 2 else 150 + d % 11 for i in range(n)
-            ]
-            payloads.append(
-                encode_mp4(
-                    frames,
-                    durs,
-                    1000 + (d % 3) * 200,
-                    (d % 5 + 2) * 16,
-                    (d % 4 + 2) * 16,
-                )
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        d = int(doc_id)
+        n = d % 6 + 3
+        frames = [
+            bytes(
+                (d * 7 + i * 31 + k * 13) % 251
+                for k in range(16 + (d + i * 3) % 9)
             )
-        yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"], "payload": pd.Series(payloads, dtype="object")}
+            for i in range(n)
+        ]
+        durs = [
+            100 + d % 7 if i < n // 2 else 150 + d % 11 for i in range(n)
+        ]
+        payloads.append(
+            encode_mp4(
+                frames,
+                durs,
+                1000 + (d % 3) * 200,
+                (d % 5 + 2) * 16,
+                (d % 4 + 2) * 16,
+                sync_every=(d % 3 + 2) if with_sync else 0,
+            )
         )
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "payload": pd.Series(payloads, dtype="object")}
+    )
 
 
-def synth_mp4_payloads(docs: DataFrame) -> DataFrame:
-    """doc_id → deterministic MP4 payload (see synth_mp4_kernel)."""
+def synth_mp4_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batch_iter:
+        yield _synth_mp4_batch(pdf, with_sync=False)
+
+
+def synth_mp4_payloads(docs: DataFrame, with_sync: bool = False) -> DataFrame:
+    """doc_id → deterministic MP4 payload (see _synth_mp4_batch)."""
+    if with_sync:
+
+        def kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batch_iter:
+                yield _synth_mp4_batch(pdf, with_sync=True)
+
+        return docs.select("doc_id").mapInPandas(
+            kernel, "doc_id long, payload binary"
+        )
     return docs.select("doc_id").mapInPandas(
         synth_mp4_kernel, "doc_id long, payload binary"
     )
@@ -779,13 +794,16 @@ def mp4_metadata(binarized: DataFrame) -> DataFrame:
 
 
 def mp4_frame_stats_kernel(
-    batch_iter: Iterator[pd.DataFrame],
+    batch_iter: Iterator[pd.DataFrame], sync_only: bool = False
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: parse the sample table, then slice each
     frame's bytes straight out of mdat via its (offset, size) byte range
     — the IO-proportional frame-sampling path — and reduce every frame
     to exact integer statistics (duration, byte count, sum/min/max).
-    One output row per frame; corrupt payloads contribute nothing."""
+    One output row per frame; corrupt payloads contribute nothing. With
+    ``sync_only``, only stss keyframes are sliced and decoded — the
+    practical video-ingest pattern (keyframes decode standalone; delta
+    frames need their GOP), so kernel cost is ∝ keyframes taken."""
     from fluss_iceberg_spark.operators.video import frame_bytes, parse_mp4
 
     for pdf in batch_iter:
@@ -800,6 +818,8 @@ def mp4_frame_stats_kernel(
             if t is None:
                 continue
             for i in range(t.n_frames):
+                if sync_only and not t.sync[i]:
+                    continue  # decode keyframes only (stss table)
                 fb = frame_bytes(payload, t, i)
                 out["doc_id"].append(int(doc_id))
                 out["frame_idx"].append(i)
@@ -821,8 +841,17 @@ def mp4_frame_stats_kernel(
         )
 
 
-def mp4_frame_stats(binarized: DataFrame) -> DataFrame:
-    """Per-frame exact byte statistics over parsed MP4 payloads."""
+def mp4_frame_stats(binarized: DataFrame, sync_only: bool = False) -> DataFrame:
+    """Per-frame exact byte statistics over parsed MP4 payloads; with
+    ``sync_only``, keyframes only (see mp4_frame_stats_kernel)."""
+    if sync_only:
+
+        def kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            yield from mp4_frame_stats_kernel(batch_iter, sync_only=True)
+
+        return binarized.select("doc_id", "payload").mapInPandas(
+            kernel, MP4_FRAME_SCHEMA
+        )
     return binarized.select("doc_id", "payload").mapInPandas(
         mp4_frame_stats_kernel, MP4_FRAME_SCHEMA
     )

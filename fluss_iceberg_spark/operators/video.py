@@ -91,6 +91,7 @@ class VideoTrack:
     durations: list  # [int] timescale units (from stts run expansion)
     offsets: list  # [int] absolute file offsets (stsc x stco x stsz)
     sizes: list  # [int] bytes
+    sync: list  # [bool] keyframe flags (stss; ALL sync when absent, per spec)
 
     @property
     def n_frames(self) -> int:
@@ -154,6 +155,18 @@ def _parse_stsz(b: bytes, s: int, e: int):
     if e - s < 12 + sample_count * 4:
         return None
     return list(struct.unpack_from(f">{sample_count}I", b, s + 12))
+
+
+def _parse_stss(b: bytes, s: int, e: int):
+    """Sync-sample numbers (1-based). Returns the set, or None on a
+    malformed table. A MISSING stss box means every sample is sync —
+    that case is handled by the caller, not here."""
+    if e - s < 8:
+        return None
+    (n_entries,) = struct.unpack_from(">I", b, s + 4)
+    if n_entries > 1_000_000 or e - s < 8 + n_entries * 4:
+        return None
+    return set(struct.unpack_from(f">{n_entries}I", b, s + 8))
 
 
 def _parse_stsc(b: bytes, s: int, e: int):
@@ -250,6 +263,7 @@ def parse_mp4(payload):
     stts = _find_box(b, *stbl, b"stts")
     stsz = _find_box(b, *stbl, b"stsz")
     stsc = _find_box(b, *stbl, b"stsc")
+    stss = _find_box(b, *stbl, b"stss")
     stco = _find_box(b, *stbl, b"stco")
     wide = False
     if stco is None:
@@ -268,6 +282,13 @@ def parse_mp4(payload):
     offsets = _expand_chunks(chunk_entries, chunk_offsets, sizes)
     if offsets is None:
         return None
+    if stss is None:
+        sync = [True] * len(sizes)  # no stss box: every sample is sync
+    else:
+        sync_set = _parse_stss(b, *stss)
+        if sync_set is None:
+            return None
+        sync = [(i + 1) in sync_set for i in range(len(sizes))]
     for off, size in zip(offsets, sizes):
         if off + size > n:
             return None  # sample table points outside the file
@@ -284,6 +305,7 @@ def parse_mp4(payload):
         durations=durations,
         offsets=offsets,
         sizes=sizes,
+        sync=sync,
     )
 
 
@@ -310,6 +332,7 @@ def encode_mp4(
     track_id: int = 1,
     frames_per_chunk: int = 2,
     brand: bytes = b"isom",
+    sync_every: int = 0,
 ) -> bytes:
     """Minimal ISO-BMFF writer: ftyp + mdat (frames packed in chunks of
     ``frames_per_chunk``) + moov with a full sample table. Chunking is
@@ -418,7 +441,16 @@ def encode_mp4(
         struct.pack(">I", len(chunks))
         + b"".join(struct.pack(">I", c) for c in chunks),
     )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stss = b""
+    if sync_every > 0:  # omit the box entirely when every frame is sync
+        sync_samples = list(range(1, n + 1, sync_every))
+        stss = full(
+            b"stss",
+            0,
+            struct.pack(">I", len(sync_samples))
+            + b"".join(struct.pack(">I", sn) for sn in sync_samples),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
     minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)

@@ -45,6 +45,7 @@ _WORKLOAD_MODULES = (
     "fluss_iceberg_spark.workloads.multimodal",
     "fluss_iceberg_spark.workloads.engine_sql",
     "fluss_iceberg_spark.workloads.analytics",
+    "fluss_iceberg_spark.workloads.graph",
 )
 
 

@@ -499,3 +499,45 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     stats = MM.mp4_frame_stats(MM.synth_mp4_payloads(docs))
     return MM.video_scene_cuts(stats, 40)
+
+
+@query(
+    "multimodal_mp4_keyframe_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 6 + 3 AS n, doc_id % 3 + 2 AS s
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n, CAST(i AS INT) AS frame_idx,
+               16 + (doc_id + i * 3) % 9 AS size,
+               CASE WHEN i < n // 2 THEN 100 + doc_id % 7
+                    ELSE 150 + doc_id % 11 END AS dur
+        FROM d, UNNEST(range(0, n)) t(i)
+        WHERE i % s = 0
+    )
+    SELECT doc_id, frame_idx,
+           CAST(MAX(dur) AS INT) AS dur,
+           CAST(MAX(size) AS INT) AS n_bytes,
+           CAST(SUM((doc_id * 7 + frame_idx * 31 + k * 13) % 251) AS BIGINT) AS sum_b,
+           CAST(MIN((doc_id * 7 + frame_idx * 31 + k * 13) % 251) AS INT) AS min_b,
+           CAST(MAX((doc_id * 7 + frame_idx * 31 + k * 13) % 251) AS INT) AS max_b
+    FROM f, UNNEST(range(0, size)) u(k)
+    GROUP BY doc_id, frame_idx
+    """,
+)
+def mp4_keyframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-only sampling via the stss sync-sample table: the
+    synthesized MP4s mark every (doc_id%3 + 2)-th frame as sync, and the
+    kernel slices ONLY those frames' byte ranges out of mdat — the
+    practical video-ingest pattern (keyframes decode standalone, so at
+    100 TB the decode cost is ∝ keyframes sampled, a small fraction of
+    frames stored, and the IO is the keyframes' byte ranges only). The
+    oracle replays the sync arithmetic (0-based frame i is sync iff
+    i % s == 0) plus the per-frame byte stats, proving the stss walk
+    selected exactly the right frames and the sample-table ranges
+    located every keyframe byte."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.mp4_frame_stats(
+        MM.synth_mp4_payloads(docs, with_sync=True), sync_only=True
+    )

@@ -1,0 +1,78 @@
+"""Fixed-point PageRank: Spark == pure-Python reference == unrolled SQL
+oracle, mass conservation, dangling-node convention, graph synthesis."""
+
+from __future__ import annotations
+
+import duckdb
+
+from fluss_iceberg_spark.operators.graph import (
+    SCALE,
+    pagerank,
+    pagerank_local,
+    pagerank_oracle_sql,
+    synth_link_graph,
+)
+
+
+def test_local_reference_mass_and_base():
+    # a 3-cycle: every node ends with exactly equal rank
+    edges = [(0, 1), (1, 2), (2, 0)]
+    r = pagerank_local(edges, 3, iterations=8)
+    assert len(set(r.values())) == 1
+    # mass conserved up to integer-truncation dust
+    assert abs(sum(r.values()) - SCALE) < 100
+
+
+def test_dangling_share_is_dropped():
+    # node 1 has no out-edges: its damped share vanishes (documented
+    # remove-dangling-mass convention), so total mass shrinks
+    edges = [(0, 1)]
+    r = pagerank_local(edges, 2, iterations=1)
+    base = SCALE * 15 // 100 // 2
+    share = (SCALE // 2) * 85 // 100 // 1
+    assert r[0] == base
+    assert r[1] == base + share
+
+
+def test_star_graph_hub_wins():
+    # 0..4 all link to 5; 5 links back to 0 — the hub and its sole
+    # target trade the mass, so BOTH dominate the leaf nodes 1..4
+    edges = [(i, 5) for i in range(5)] + [(5, 0)]
+    r = pagerank_local(edges, 6, iterations=10)
+    assert min(r[5], r[0]) > 2 * r[1]
+    assert r[1] == r[2] == r[3] == r[4]
+
+
+def test_spark_equals_local_and_oracle(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(97)], "doc_id long"
+    )
+    edges_df = synth_link_graph(docs)
+    got = {
+        r["id"]: r["rank"] for r in pagerank(edges_df, 97, 5, 85).collect()
+    }
+    edges = {
+        (d, (d * k) % 97) for d in range(97) for k in range(1, d % 4 + 2)
+    }
+    assert got == pagerank_local(sorted(edges), 97, 5, 85)
+
+
+def test_oracle_sql_equals_local_reference():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT UNNEST(range(0, 61)) AS doc_id"
+    )
+    rows = con.execute(pagerank_oracle_sql(5, 85)).fetchall()
+    edges = {(d, (d * k) % 61) for d in range(61) for k in range(1, d % 4 + 2)}
+    ref = pagerank_local(sorted(edges), 61, 5, 85)
+    assert {i: r for i, r in rows} == ref
+
+
+def test_synth_graph_is_distinct_and_bounded(spark):
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    rows = synth_link_graph(docs).collect()
+    pairs = [(r["src"], r["dst"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(0 <= d < 40 for _, d in pairs)
+    # every node has at least one out-edge (k starts at 1)
+    assert {s for s, _ in pairs} == set(range(40))

@@ -139,6 +139,23 @@ def test_co64_and_constant_stsz():
     assert frame_bytes(bytes(out2), t, 2) == b"\x01\x02\x03\x04"
 
 
+def test_stss_sync_samples():
+    frames, durs = _mk_frames(5, 7)
+    # no stss box: EVERY sample is sync, per the spec
+    t = parse_mp4(encode_mp4(frames, durs, 1000, 16, 16))
+    assert t.sync == [True] * 7
+    # sync_every=3 marks 1-based samples 1,4,7 -> 0-based 0,3,6
+    p = encode_mp4(frames, durs, 1000, 16, 16, sync_every=3)
+    t = parse_mp4(p)
+    assert t.sync == [i % 3 == 0 for i in range(7)]
+    assert [frame_bytes(p, t, i) for i in range(7)] == frames
+    # truncated stss table -> reject
+    bad = bytearray(p)
+    idx = p.rindex(b"stss")
+    struct.pack_into(">I", bad, idx + 8, 2_000_000)
+    assert parse_mp4(bytes(bad)) is None
+
+
 def test_writer_rejects_misaligned_inputs():
     with pytest.raises(ValueError):
         encode_mp4([b"x"], [1, 2], 1000, 16, 16)
@@ -153,6 +170,7 @@ def test_frame_bytes_is_byte_range_only():
     t = VideoTrack(
         brand="isom", timescale=1, duration=1, track_id=1, width=1, height=1,
         handler="vide", durations=[1, 1], offsets=[10, 50], sizes=[5, 3],
+        sync=[True, True],
     )
     assert frame_bytes(buf, t, 0) == bytes([10, 11, 12, 13, 14])
     assert frame_bytes(buf, t, 1) == bytes([50, 51, 52])

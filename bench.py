@@ -183,6 +183,19 @@ HEADLINE = [
     "multimodal_ahash_neardup_pairs",
     "multimodal_audio_features",
     "multimodal_gif_frames",
+    # round 9: video container modality (ISO-BMFF), BPE tokenizer,
+    # graph centrality, model-based quality filtering
+    "multimodal_mp4_metadata",
+    "multimodal_mp4_frame_stats",
+    "multimodal_mp4_keyframe_stats",
+    "multimodal_video_scene_cuts",
+    "text_bpe_roundtrip",
+    "text_bpe_train_merges",
+    "text_classifier_score",
+    "text_classifier_train",
+    "graph_pagerank",
+    "graph_top_authorities",
+    "graph_hits_scores",
 ]
 
 
@@ -216,7 +229,15 @@ def main() -> None:
     # positions 17%, SCALE.md r8). Default ON so every query is measured
     # in a comparably-fresh session; the restart time is NOT attributed
     # to any query (the headline is the sum of per-query times). 0 = off.
-    recycle = int(os.environ.get("SPARK_GRAFT_SESSION_RECYCLE", "60"))
+    # r9 re-adjudication: at 60 the embedding-kernel queries sitting
+    # 40+ positions into a block (ann_pq/ivfpq at 106/107) still read
+    # 2-4x their fresh-session times on today's environment (standalone
+    # warm runs: pq 1.8-2.4 s vs 5.3 s in-suite best-of-2), while a
+    # surgical kmeans->semdedup->pq session shows no inflation — the
+    # pressure accumulates with block length. 45 puts every query
+    # within ~45 queries of a fresh JVM for one extra restart (~10 s,
+    # unattributed).
+    recycle = int(os.environ.get("SPARK_GRAFT_SESSION_RECYCLE", "45"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for qi, name in enumerate(names):

@@ -164,3 +164,136 @@ def pagerank_local(edges: list, n_nodes: int, iterations: int = 5,
                 inflow[t] += share
         rank = {v: base + inflow.get(v, 0) for v in range(n_nodes)}
     return rank
+
+
+HITS_SCALE = 10**6  # auth/hub live in [0, 1e6]: raw*HITS_SCALE stays
+# inside int64 for N < ~9.2e6 nodes (past that, promote to DECIMAL(38))
+
+
+def hits(
+    edges: DataFrame,
+    n_nodes: int,
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg): per iteration,
+    auth'(v) = Σ hub(u) over u→v then auth = auth' * SCALE // max(auth');
+    hub'(u) = Σ auth(v) over u→v then hub = hub' * SCALE // max(hub').
+    Max-normalization by integer division keeps every value exact, so
+    the unrolled SQL oracle replays it bit-for-bit. The per-iteration
+    scalar max stays IN-PLAN as a broadcast 1-row cross join — no
+    driver collect inside the loop. Returns (id, auth, hub); nodes with
+    no in/out edges hold 0 (max-normalized HITS convention here —
+    documented and replayed identically by the oracle)."""
+    spark = edges.sparkSession
+    e = edges.repartition("src").persist()
+    nodes = spark.range(n_nodes).select(F.col("id"))
+    auth = nodes.select("id", F.lit(HITS_SCALE).cast("long").alias("auth"))
+    hub = nodes.select("id", F.lit(HITS_SCALE).cast("long").alias("hub"))
+    for _ in range(iterations):
+        # eager localCheckpoint per iteration (the repo's standard move
+        # for iterative DataFrame loops, cf. neardup admission): each
+        # raw frame feeds BOTH its max agg and the normalization join,
+        # and without truncation the final action re-derives the whole
+        # iteration prefix once per consumer — measured 190+ stages for
+        # 3 iterations at sf0.01 vs ~20 with checkpoints
+        a_raw = (
+            e.join(hub, e.src == hub.id)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        a_max = a_raw.agg(F.max("raw").alias("mx"))
+        auth = (
+            nodes.join(a_raw, nodes.id == a_raw.dst, "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "id",
+                F.coalesce(
+                    F.expr(f"raw * CAST({HITS_SCALE} AS BIGINT) div mx"), F.lit(0)
+                ).cast("long").alias("auth"),
+            )
+        )
+        h_raw = (
+            e.join(auth, e.dst == auth.id)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        h_max = h_raw.agg(F.max("raw").alias("mx"))
+        hub = (
+            nodes.join(h_raw, nodes.id == h_raw.src, "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "id",
+                F.coalesce(
+                    F.expr(f"raw * CAST({HITS_SCALE} AS BIGINT) div mx"), F.lit(0)
+                ).cast("long").alias("hub"),
+            )
+        )
+    out = auth.join(hub, "id").select("id", "auth", "hub")
+    e.unpersist()
+    return out
+
+
+def hits_oracle_sql(iterations: int = 3) -> str:
+    """DuckDB replay: identical integer recurrence, unrolled."""
+    sql = [
+        "WITH n AS (SELECT COUNT(1) AS n FROM documents),",
+        """edges AS (
+        SELECT DISTINCT doc_id AS src, (doc_id * k) % (SELECT n FROM n) AS dst
+        FROM documents, UNNEST(range(1, doc_id % 4 + 2)) t(k)
+    ),""",
+        f"a0 AS (SELECT doc_id AS id, {HITS_SCALE} AS auth FROM documents),",
+        f"h0 AS (SELECT doc_id AS id, {HITS_SCALE} AS hub FROM documents)",
+    ]
+    pa, ph = "a0", "h0"
+    for i in range(1, iterations + 1):
+        sql.append(
+            f""", ar{i} AS (
+        SELECT e.dst AS id, SUM(h.hub) AS raw
+        FROM edges e JOIN {ph} h ON e.src = h.id GROUP BY e.dst
+    ), a{i} AS (
+        SELECT d.doc_id AS id,
+               COALESCE(ar{i}.raw * {HITS_SCALE} // (SELECT MAX(raw) FROM ar{i}), 0) AS auth
+        FROM documents d LEFT JOIN ar{i} ON d.doc_id = ar{i}.id
+    ), hr{i} AS (
+        SELECT e.src AS id, SUM(a.auth) AS raw
+        FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
+    ), h{i} AS (
+        SELECT d.doc_id AS id,
+               COALESCE(hr{i}.raw * {HITS_SCALE} // (SELECT MAX(raw) FROM hr{i}), 0) AS hub
+        FROM documents d LEFT JOIN hr{i} ON d.doc_id = hr{i}.id
+    )"""
+        )
+        pa, ph = f"a{i}", f"h{i}"
+    sql.append(
+        f"SELECT a.id, CAST(a.auth AS BIGINT) AS auth, "
+        f"CAST(h.hub AS BIGINT) AS hub FROM {pa} a JOIN {ph} h ON a.id = h.id"
+    )
+    return "\n".join(sql)
+
+
+def hits_local(edges: list, n_nodes: int, iterations: int = 3) -> dict:
+    """Pure-Python reference of the same integer recurrence."""
+    from collections import Counter
+
+    auth = {v: HITS_SCALE for v in range(n_nodes)}
+    hub = {v: HITS_SCALE for v in range(n_nodes)}
+    for _ in range(iterations):
+        a_raw: Counter = Counter()
+        for s, t in edges:
+            a_raw[t] += hub[s]
+        mx = max(a_raw.values())
+        auth = {
+            v: (a_raw[v] * HITS_SCALE // mx if v in a_raw else 0)
+            for v in range(n_nodes)
+        }
+        h_raw: Counter = Counter()
+        for s, t in edges:
+            h_raw[s] += auth[t]
+        mx = max(h_raw.values())
+        hub = {
+            v: (h_raw[v] * HITS_SCALE // mx if v in h_raw else 0)
+            for v in range(n_nodes)
+        }
+    return {v: (auth[v], hub[v]) for v in range(n_nodes)}

@@ -53,3 +53,18 @@ def graph_top_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(top), F.col("doc_id") == top.id)
         .select("id", "rank", "source")
     )
+
+
+@query("graph_hits_scores", oracle=G.hits_oracle_sql(3))
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg hubs/authorities — the
+    seed-site curation signal complementing PageRank's global rank),
+    3 iterations over the same deterministic link graph. Per-iteration
+    max-normalization is integer division at HITS_SCALE=1e6 so every
+    value is exact; the per-iteration scalar max stays in-plan as a
+    broadcast single-row cross join (no driver collect inside the
+    loop). The oracle unrolls the full auth/hub recurrence in SQL and
+    the driver hash-matches every score."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    return G.hits(G.synth_link_graph(docs), n, iterations=3)

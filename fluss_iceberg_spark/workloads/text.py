@@ -109,11 +109,13 @@ def quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC, doc_id tie-break) — relative thresholds per stratum so
     low-resource languages are not wiped out by a global cutoff.
 
-    Runs the TWO-PHASE scale form (histogram cut + level-bounded rank
-    refinement) so the driver gate hash-checks the 100 TB plan against
-    the exact-window SQL oracle; equality with the exact Spark form is
-    separately unit-gated."""
-    return TX.quality_percentile_filter_two_phase(
+    ADAPTIVE dispatch (the dispatch is part of the operator): exact
+    per-group sort below the 4M-doc bound — it wins outright at test
+    scale — and the two-phase histogram-cut form above it, where the
+    whole-stratum sort becomes the skew axis. Both forms select the
+    identical set (equality unit-gated), and the driver gate
+    hash-checks whichever ran against the exact-window SQL oracle."""
+    return TX.quality_percentile_filter_adaptive(
         load_table(spark, sf_dir, "documents"), frac=0.25
     )
 
@@ -842,3 +844,65 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = BPE.train_bpe(docs, n_merges=150, vocab_cap=65536)
     return BPE.merges_df(spark, merges)
+
+
+@query(
+    "text_classifier_score",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS f_tokens,
+               CAST(length(text) AS BIGINT) AS f_chars,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS f_digits,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS f_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(-40 + 8 * f_tokens - 1 * f_chars + 2 * f_digits + 4 * f_punct
+                AS BIGINT) AS logit,
+           CAST(CASE WHEN -40 + 8 * f_tokens - 1 * f_chars + 2 * f_digits
+                          + 4 * f_punct > 0
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM f
+    """,
+)
+def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, scoring path: integer linear
+    classifier over JVM-codegen text features (token count, length,
+    digit count, punctuation count — regexp counts, zero UDFs). The
+    weights are fixed integers so the logit is exact 64-bit arithmetic
+    and the DuckDB oracle replays keep/logit bit-for-bit — gating the
+    FEATURIZATION (the part that touches 100 TB) while training is
+    gated by its own units (operators/classifier.py)."""
+    from fluss_iceberg_spark.operators import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return CL.score_fixed(CL.featurize(docs), [-40, 8, -1, 2, 4])
+
+
+@query("text_classifier_train")
+def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, training path: logistic regression
+    by full-batch gradient descent where EACH EPOCH'S GRADIENT IS ONE
+    CATALYST AGGREGATE over the persisted feature projection
+    (sigmoid(X·w) as a column expression with current weights as
+    literals; map-side partial sums; zero Python workers). Labels come
+    from a deterministic separable teacher, so convergence is checkable:
+    the returned rows are the learned weights plus the training-set
+    accuracy (1.0 at convergence — asserted in tests/test_classifier.py
+    alongside equality-within-tolerance vs a pure-Python reference).
+    Rows-only by nature: float gradient sums are partition-order
+    dependent, so cross-engine value hashing would flake."""
+    from fluss_iceberg_spark.operators import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = CL.teacher_labels(CL.featurize(docs))
+    cols = [name for name, _ in CL.FEATURES]
+    w = CL.train_logreg(labeled, cols, epochs=30, lr=4.0)
+    acc = CL.accuracy(
+        CL.score(labeled, w, cols).join(labeled.select("doc_id", "y"), "doc_id")
+    )
+    rows = [("bias", float(w[0]))] + [
+        (cols[j], float(w[j + 1])) for j in range(len(cols))
+    ] + [("train_accuracy", acc)]
+    return spark.createDataFrame(rows, "term string, value double")

@@ -273,3 +273,30 @@ def test_domain_cap_equals_naive_window(spark):
             ).filter(F.col("dom_rank") <= cap).collect()
         }
         assert got == want and want, f"cap={cap}"
+
+
+def test_quality_percentile_adaptive_dispatch(spark):
+    """Adaptive = exact below the doc bound, two-phase above it; both
+    paths return the identical set, so the dispatch is caller-invisible."""
+    from fluss_iceberg_spark.operators.text import (
+        quality_percentile_filter_adaptive,
+    )
+
+    rows = [
+        (i, ["en", "de"][i % 2], "the and of to is pad " * (1 + i % 5))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    via_exact = {
+        (r.doc_id, r.grp_rank)
+        for r in quality_percentile_filter_adaptive(
+            docs, frac=0.5, two_phase_min_docs=10**9
+        ).collect()
+    }
+    via_two_phase = {
+        (r.doc_id, r.grp_rank)
+        for r in quality_percentile_filter_adaptive(
+            docs, frac=0.5, two_phase_min_docs=0
+        ).collect()
+    }
+    assert via_exact == via_two_phase and via_exact

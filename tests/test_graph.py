@@ -76,3 +76,46 @@ def test_synth_graph_is_distinct_and_bounded(spark):
     assert all(0 <= d < 40 for _, d in pairs)
     # every node has at least one out-edge (k starts at 1)
     assert {s for s, _ in pairs} == set(range(40))
+
+
+def test_hits_local_star():
+    from fluss_iceberg_spark.operators.graph import HITS_SCALE, hits_local
+
+    # 0..4 -> 5 and 5 -> 0: node 5 is the sole authority (max score),
+    # nodes 0..4 are the best hubs
+    edges = [(i, 5) for i in range(5)] + [(5, 0)]
+    r = hits_local(edges, 6, iterations=4)
+    auth = {v: a for v, (a, h) in r.items()}
+    hub = {v: h for v, (a, h) in r.items()}
+    assert auth[5] == HITS_SCALE  # max-normalized winner
+    assert hub[1] == hub[2] == hub[3] == hub[4] == HITS_SCALE
+    assert auth[1] == 0  # no in-links
+    assert hub[5] < hub[1]  # 5 points at a weaker authority
+
+
+def test_hits_oracle_equals_local():
+    from fluss_iceberg_spark.operators.graph import hits_local, hits_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT UNNEST(range(0, 83)) AS doc_id"
+    )
+    rows = con.execute(hits_oracle_sql(3)).fetchall()
+    edges = sorted(
+        {(d, (d * k) % 83) for d in range(83) for k in range(1, d % 4 + 2)}
+    )
+    assert {i: (a, h) for i, a, h in rows} == hits_local(edges, 83, 3)
+
+
+def test_hits_spark_equals_local(spark):
+    from fluss_iceberg_spark.operators.graph import hits, hits_local
+
+    docs = spark.createDataFrame([(i,) for i in range(53)], "doc_id long")
+    got = {
+        r["id"]: (r["auth"], r["hub"])
+        for r in hits(synth_link_graph(docs), 53, 3).collect()
+    }
+    edges = sorted(
+        {(d, (d * k) % 53) for d in range(53) for k in range(1, d % 4 + 2)}
+    )
+    assert got == hits_local(edges, 53, 3)

@@ -235,19 +235,22 @@ def quality_percentile_filter_adaptive(
     frac: float = 0.25,
     group_col: str = "lang",
     text_col: str = "text",
-    two_phase_min_docs: int = 4_000_000,
+    two_phase_min_docs: int = 30_000,
 ) -> DataFrame:
     """Dispatch between the exact and two-phase percentile forms on
     corpus size — the dispatch IS part of the operator (same contract
-    as the CDC adaptive delete, operators/ann_index.py): below
-    ``two_phase_min_docs`` the exact per-group sort wins outright
-    (measured 0.47 s vs the two-phase's 1.4-1.6 s at sf0.1 — histogram
-    + broadcast + persist overhead is a fixed cost the small corpus
-    never amortizes); above it the level-decomposed two-phase form
-    avoids the whole-stratum sort that becomes the skew axis. The two
-    forms select the IDENTICAL set (equality unit-gated), so the switch
-    is invisible to callers. The count() probe is a parquet
-    metadata-count scan, far cheaper than either form."""
+    as the CDC adaptive delete, operators/ann_index.py). Measured
+    crossover (r9 spots, one session, best-of-2): at 5k docs the exact
+    per-group sort wins outright (0.47 s vs 1.4-1.6 s — the two-phase
+    histogram/broadcast/persist overhead is a fixed cost a small corpus
+    never amortizes); by 50k docs the two-phase form is already ahead
+    (2.55 s vs 3.01 s) and the gap widens with scale (5.57 s vs 7.08 s
+    at 150k) — so the bound sits at 30k, and far above it the
+    level-decomposed form also removes the whole-stratum sort that
+    becomes the skew axis. The two forms select the IDENTICAL set
+    (equality unit-gated), so the switch is invisible to callers. The
+    count() probe is a parquet metadata-count scan, far cheaper than
+    either form."""
     n = df.count()
     if n < two_phase_min_docs:
         return quality_percentile_filter(df, frac, group_col, text_col)

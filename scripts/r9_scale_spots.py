@@ -24,6 +24,14 @@ QUERIES = [
     "multimodal_ahash_dedup",
     "multimodal_audio_features",
     "multimodal_gif_frames",
+    # second r9 wave: video container, BPE tokenizer, classifier, graph
+    "multimodal_mp4_frame_stats",
+    "multimodal_video_scene_cuts",
+    "text_bpe_roundtrip",
+    "text_classifier_score",
+    "text_classifier_train",
+    "graph_pagerank",
+    "graph_hits_scores",
 ]
 
 SFS = {

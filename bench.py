@@ -196,6 +196,7 @@ HEADLINE = [
     "graph_pagerank",
     "graph_top_authorities",
     "graph_hits_scores",
+    "stream_classifier_gate",
 ]
 
 

@@ -1053,3 +1053,55 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         docs.unpersist()
     return admitted.read().select("doc_id", "batch")
+
+
+@query(
+    "stream_classifier_gate",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS f_tokens,
+               CAST(length(text) AS BIGINT) AS f_chars,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS f_digits,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS f_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(-40 + 8 * f_tokens - 1 * f_chars + 2 * f_digits + 4 * f_punct
+                AS BIGINT) AS logit
+    FROM f
+    WHERE -40 + 8 * f_tokens - 1 * f_chars + 2 * f_digits + 4 * f_punct > 0
+    """,
+)
+def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference IN the ingest stream — the realtime quality gate
+    a training-data pipeline runs before anything lands in the lake:
+    documents arrive as a file-source stream, the (fixed-integer-weight)
+    classifier scores every micro-batch, and only keep==1 rows pass to
+    the sink. The model is pure column arithmetic
+    (operators/classifier.score_fixed), so inference is stateless
+    whole-stage-codegen inside the stream — no foreachBatch, no Python
+    workers, no state store; at 100 TB/day the gate costs exactly the
+    scan. The oracle is the batch semantics of the same gate, proving
+    stream == batch for deterministic inference."""
+    from fluss_iceberg_spark.operators import classifier as CL
+
+    src_dir = _scratch(sf_dir, "classifier_gate_src")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    scored = CL.score_fixed(
+        CL.featurize(stream.select("doc_id", "text")), [-40, 8, -1, 2, 4]
+    )
+    gated = scored.where(F.col("keep") == 1).select("doc_id", "logit")
+    sink = f"stream_classifier_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -83,6 +83,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
+    # ---- round-10 rotation TODO (for the next round's builder): the 17
+    # queries born in round 9 have zero driver evidence by construction
+    # (registered after the r9 window was pinned): multimodal_mp4_metadata,
+    # multimodal_mp4_frame_stats, multimodal_mp4_keyframe_stats,
+    # multimodal_video_scene_cuts, multimodal_png_pixel_stats,
+    # multimodal_ahash_dedup, multimodal_ahash_neardup_pairs,
+    # multimodal_audio_features, multimodal_gif_frames, text_bpe_roundtrip,
+    # text_bpe_train_merges, text_classifier_score, text_classifier_train,
+    # graph_pagerank, graph_top_authorities, graph_hits_scores,
+    # stream_classifier_gate (+ dedup_substring_rewrite from the r9 first
+    # wave). All but the two rows-only (bpe_train_merges, classifier_train)
+    # are oracle-backed and local-green. Rotate as many as fit by swapping
+    # out multi-green incumbents whose operator family keeps another
+    # in-window gate; keep _PRIORITY at exactly 50
+    # (tests/test_registry_order.py).
     # ---- round-9 rotation: the 2 queries registered in round 8 — the only
     # registered queries with zero driver evidence — rotate IN:
     # dedup_substring_spans (Lee-et-al substring-duplication census,

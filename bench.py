@@ -197,6 +197,7 @@ HEADLINE = [
     "graph_top_authorities",
     "graph_hits_scores",
     "stream_classifier_gate",
+    "text_gopher_rules",
 ]
 
 

@@ -906,3 +906,68 @@ def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cols[j], float(w[j + 1])) for j in range(len(cols))
     ] + [("train_accuracy", acc)]
     return spark.createDataFrame(rows, "term string, value double")
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) AS n_word_chars,
+               length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS hash_diff,
+               length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g')) AS ell_diff,
+               len(regexp_split_to_array(text, '\\n')) AS n_lines,
+               len(list_filter(regexp_split_to_array(text, '\\n'),
+                               ln -> regexp_matches(ln, '^\\s*[-*•]'))) AS n_bullet,
+               len(list_filter(regexp_split_to_array(text, '\\n'),
+                               ln -> regexp_matches(ln, '(\\.\\.\\.|…)\\s*$'))) AS n_ellipsis,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+               (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END
+               ) AS n_stop
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+               CASE WHEN n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END AS r_mean_word_len,
+               CASE WHEN (hash_diff * 3 + ell_diff) * 10 <= n_words * 3 THEN 1 ELSE 0 END AS r_symbol_ratio,
+               CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS r_bullet_lines,
+               CASE WHEN n_ellipsis * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS r_ellipsis_lines,
+               CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS r_alpha_words,
+               CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords
+        FROM f
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(r_word_count AS INT) AS r_word_count,
+           CAST(r_mean_word_len AS INT) AS r_mean_word_len,
+           CAST(r_symbol_ratio AS INT) AS r_symbol_ratio,
+           CAST(r_bullet_lines AS INT) AS r_bullet_lines,
+           CAST(r_ellipsis_lines AS INT) AS r_ellipsis_lines,
+           CAST(r_alpha_words AS INT) AS r_alpha_words,
+           CAST(r_stopwords AS INT) AS r_stopwords,
+           CAST(r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+                * r_ellipsis_lines * r_alpha_words * r_stopwords AS INT) AS keep
+    FROM r
+    """,
+)
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A) as exact integer flags — word-count bounds, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, stopword presence — every ratio threshold cross-multiplied
+    so both engines compare integers. The Spark side runs entirely in
+    whole-stage codegen (higher-order array functions, zero UDFs); the
+    oracle replays each rule verbatim, so the driver hash-gates all 7
+    flags plus the composite keep bit for every document."""
+    return TX.gopher_rules(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )

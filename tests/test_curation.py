@@ -300,3 +300,31 @@ def test_quality_percentile_adaptive_dispatch(spark):
         ).collect()
     }
     assert via_exact == via_two_phase and via_exact
+
+
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule trips on its canonical violation and the clean
+    document passes all seven."""
+    from fluss_iceberg_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the hat. have fun with that"),   # clean
+            (1, "- b one\n- b two\n- b three\nthe of"),        # bullets > 90%? no: 3/4
+            (2, "wait...\nmore...\nthe of"),                   # ellipsis 2/3 > 30%
+            (3, "## # ## the of # yes ##"),                    # symbol-heavy
+            (4, "aaaaaaaaaaaaaaaaaaaaaaaaaaa the of"),         # mean word len > 10
+            (5, "1 2 3 4 5 6 7 8 9 10 the of"),                # < 80% alpha words
+            (6, "no stop words here maybe"),                   # stopwords < 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+    assert got[0]["keep"] == 1
+    assert got[2]["r_ellipsis_lines"] == 0 and got[2]["keep"] == 0
+    assert got[3]["r_symbol_ratio"] == 0
+    assert got[4]["r_mean_word_len"] == 0
+    assert got[5]["r_alpha_words"] == 0
+    assert got[6]["r_stopwords"] == 0
+    # bullet rule: 3 of 4 lines bulleted = 75% <= 90% -> passes
+    assert got[1]["r_bullet_lines"] == 1

@@ -126,3 +126,24 @@ def test_eow_never_collides_with_corpus():
     # private-use codepoint: absent from any real text the corpus holds
     assert EOW not in "plain ascii corpus text"
     assert EOW not in "naïve café — ünïcödé"
+
+
+def test_roundtrip_property_hypothesis():
+    """Property: decode(encode(text)) == text for ARBITRARY unicode text
+    (minus the private-use EOW sentinel, which no real corpus contains)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ranks = {p: i for i, p in enumerate(train_bpe_local(SENNRICH, 8))}
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(blacklist_characters=EOW),
+            max_size=300,
+        )
+    )
+    def check(text):
+        assert decode_tokens(encode_text(text, ranks, {})) == text
+
+    check()

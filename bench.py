@@ -240,33 +240,48 @@ def main() -> None:
     # within ~45 queries of a fresh JVM for one extra restart (~10 s,
     # unattributed).
     recycle = int(os.environ.get("SPARK_GRAFT_SESSION_RECYCLE", "45"))
+    # Suite passes (r9): host contention arrives in minutes-long windows
+    # that clobber whatever queries run inside them — adjacent best-of-2
+    # cannot escape a window that outlasts both attempts (observed: the
+    # same suite produced 2-7x spikes on DIFFERENT position clusters in
+    # three same-day runs). A second full pass ~25 min later is
+    # temporally decorrelated; per-query min across passes removes the
+    # window without touching any query's plan. Self-describing via
+    # "suite_passes" in the record.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for qi, name in enumerate(names):
-        if recycle and qi and qi % recycle == 0:
+    for pass_i in range(passes):
+        if pass_i:
             spark.stop()
             spark = get_spark(app_name="fluss-iceberg-spark-bench")
             spark.read.parquet(f"{sf_dir}/nation.parquet").count()
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            try:
-                _execute(registry.QUERIES[name](spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            except Exception as ex:  # one broken query must not zero the bench
-                errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
-                print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
-                break
-            # evict caches a query persisted for its own multi-branch plan —
-            # stale blocks otherwise pile up across the run and push later
-            # queries into eviction/recompute churn
-            spark.catalog.clearCache()
-        # a query that errored on ANY run is an error, full stop — a
-        # green first run must not mask a non-idempotent failure by
-        # counting its time in the headline total
-        if best is not None and name not in errors:
-            timings[name] = round(best, 3)
+        for qi, name in enumerate(names):
+            if recycle and qi and qi % recycle == 0:
+                spark.stop()
+                spark = get_spark(app_name="fluss-iceberg-spark-bench")
+                spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                try:
+                    _execute(registry.QUERIES[name](spark, sf_dir))
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                except Exception as ex:  # one broken query must not zero the bench
+                    errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+                    print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+                    break
+                # evict caches a query persisted for its own multi-branch plan —
+                # stale blocks otherwise pile up across the run and push later
+                # queries into eviction/recompute churn
+                spark.catalog.clearCache()
+            # a query that errored on ANY run is an error, full stop — a
+            # green first run must not mask a non-idempotent failure by
+            # counting its time in the headline total
+            if best is not None and name not in errors:
+                prev = timings.get(name)
+                timings[name] = round(best if prev is None else min(prev, best), 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -279,6 +294,7 @@ def main() -> None:
         # harness mode matters for cross-record comparisons (~8% of
         # total wall at sf0.1) — records must be self-describing
         "session_recycle": recycle,
+        "suite_passes": passes,
     }
     if errors:
         result["errors"] = errors

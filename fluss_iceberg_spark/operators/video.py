@@ -241,22 +241,39 @@ def parse_mp4(payload):
     if brand is None or moov is None:
         return None
     mvhd = _find_box(b, *moov, b"mvhd")
-    trak = _find_box(b, *moov, b"trak")
-    if mvhd is None or trak is None:
+    if mvhd is None:
         return None
     movie = _parse_mvhd(b, *mvhd)
-    tkhd = _find_box(b, *trak, b"tkhd")
-    mdia = _find_box(b, *trak, b"mdia")
-    if movie is None or tkhd is None or mdia is None:
+    if movie is None:
         return None
-    track = _parse_tkhd(b, *tkhd)
-    hdlr = _find_box(b, *mdia, b"hdlr")
+    # real files carry several traks (commonly audio first): prefer the
+    # track whose hdlr is 'vide', falling back to the first parseable one
+    chosen = None  # (is_video, track, handler, mdia)
+    for btype, ts, te in _iter_boxes(b, *moov):
+        if btype != b"trak":
+            continue
+        tkhd = _find_box(b, ts, te, b"tkhd")
+        mdia = _find_box(b, ts, te, b"mdia")
+        if tkhd is None or mdia is None:
+            continue
+        track = _parse_tkhd(b, *tkhd)
+        if track is None:
+            continue
+        hdlr = _find_box(b, *mdia, b"hdlr")
+        handler = ""
+        if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
+            handler = b[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii", "replace")
+        is_video = handler == "vide"
+        if chosen is None or (is_video and not chosen[0]):
+            chosen = (is_video, track, handler, mdia)
+        if is_video:
+            break
+    if chosen is None:
+        return None
+    _, track, handler, mdia = chosen
     minf = _find_box(b, *mdia, b"minf")
-    if track is None or minf is None:
+    if minf is None:
         return None
-    handler = ""
-    if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
-        handler = b[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii", "replace")
     stbl = _find_box(b, *minf, b"stbl")
     if stbl is None:
         return None

@@ -174,3 +174,30 @@ def test_frame_bytes_is_byte_range_only():
     )
     assert frame_bytes(buf, t, 0) == bytes([10, 11, 12, 13, 14])
     assert frame_bytes(buf, t, 1) == bytes([50, 51, 52])
+
+
+def test_multi_trak_prefers_video_handler():
+    """Real files put the audio trak first; the parser must pick the
+    'vide' trak, not positionally the first one."""
+    frames, durs = _mk_frames(7, 4)
+    p = encode_mp4(frames, durs, 1000, 48, 32)
+    # build a fake audio trak: clone the video trak, flip its hdlr to
+    # 'soun', and splice it BEFORE the real one inside moov
+    moov_at = p.rindex(b"moov") - 4
+    (moov_len,) = struct.unpack_from(">I", p, moov_at)
+    moov_body = p[moov_at + 8 : moov_at + moov_len]
+    trak_at = moov_body.index(b"trak") - 4
+    (trak_len,) = struct.unpack_from(">I", moov_body, trak_at)
+    trak = bytearray(moov_body[trak_at : trak_at + trak_len])
+    h = bytes(trak).index(b"hdlr")
+    assert trak[h + 12 : h + 16] == b"vide"
+    trak[h + 12 : h + 16] = b"soun"
+    new_body = (
+        moov_body[:trak_at] + bytes(trak) + moov_body[trak_at:]
+    )
+    new_moov = struct.pack(">I", 8 + len(new_body)) + b"moov" + new_body
+    p2 = p[:moov_at] + new_moov
+    t = parse_mp4(p2)
+    assert t is not None and t.handler == "vide"
+    assert (t.width, t.height) == (48, 32)
+    assert [frame_bytes(p2, t, i) for i in range(4)] == frames

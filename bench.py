@@ -198,6 +198,7 @@ HEADLINE = [
     "graph_hits_scores",
     "stream_classifier_gate",
     "text_gopher_rules",
+    "text_compression_ratio",
 ]
 
 

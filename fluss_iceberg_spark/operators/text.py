@@ -1070,3 +1070,54 @@ def gopher_rules(
         *[fl.cast("int").alias(nm) for fl, nm in zip(flags, names)],
         keep.cast("int").alias("keep"),
     )
+
+
+def compression_ratio_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_milli: int = 300,
+    max_milli: int = 1100,
+) -> DataFrame:
+    """Compression-ratio quality signal (the RefinedWeb/MassiveText-
+    adjacent boilerplate detector): highly repetitive machine text
+    compresses far below prose, random noise barely compresses at all —
+    both ends are filtered. ratio_milli = 1000 * deflate(utf8(text)) /
+    len(utf8(text)), computed in an Arrow ``mapInPandas`` kernel with
+    stdlib zlib level 6 (deflate is the one genuinely non-SQL step, so
+    the gate is rows-only; the kernel is unit-pinned against direct
+    zlib calls). Map-side only — no shuffle; at 100 TB the cost is one
+    deflate pass over the corpus, embarrassingly partition-parallel.
+    Output: (doc_id, n_bytes, z_bytes, ratio_milli, keep)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    def kernel(batch_iter: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import zlib
+
+        for pdf in batch_iter:
+            n_b, z_b, ratio, keep = [], [], [], []
+            for t in pdf[text_col]:
+                if t is None or t == "":
+                    n_b.append(None), z_b.append(None)
+                    ratio.append(None), keep.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                z = len(zlib.compress(raw, 6))
+                r = z * 1000 // len(raw)
+                n_b.append(len(raw)), z_b.append(z), ratio.append(r)
+                keep.append(1 if min_milli <= r <= max_milli else 0)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": _pd.Series(n_b, dtype="Int32"),
+                    "z_bytes": _pd.Series(z_b, dtype="Int32"),
+                    "ratio_milli": _pd.Series(ratio, dtype="Int32"),
+                    "keep": _pd.Series(keep, dtype="Int32"),
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kernel,
+        "doc_id long, n_bytes int, z_bytes int, ratio_milli int, keep int",
+    )

@@ -971,3 +971,16 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.gopher_rules(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+@query("text_compression_ratio")
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter (boilerplate detector): per-doc
+    deflate ratio in integer milli-units, keep = 300..1100. Deflate is
+    the one genuinely non-SQL step in the curation stack, so the gate
+    is rows-only; the kernel is unit-pinned against direct zlib calls
+    and the integer arithmetic (z*1000 // n) is deterministic. The pass
+    is map-side Arrow with zero shuffles."""
+    return TX.compression_ratio_filter(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )

@@ -328,3 +328,40 @@ def test_gopher_rules_flags(spark):
     assert got[6]["r_stopwords"] == 0
     # bullet rule: 3 of 4 lines bulleted = 75% <= 90% -> passes
     assert got[1]["r_bullet_lines"] == 1
+
+
+def test_compression_ratio_pins_zlib(spark):
+    """Kernel output == direct zlib arithmetic; repetitive text filters
+    low, noise-like text filters high, prose passes."""
+    import zlib
+
+    from fluss_iceberg_spark.operators.text import compression_ratio_filter
+
+    import hashlib
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog. it was a bright "
+           "cold day in april and the clocks were striking thirteen.",
+        1: "spam " * 400,  # hyper-repetitive -> ratio ~14, filters low
+        2: "".join(  # 32 high-entropy chars: zlib EXPANDS it (ratio 1250)
+            chr(33 + (b % 90)) for b in hashlib.sha256(b"y").digest()
+        ),
+        3: None,
+        4: "",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in compression_ratio_filter(docs).collect()}
+    for k, t in texts.items():
+        if not t:
+            assert got[k]["ratio_milli"] is None and got[k]["keep"] is None
+            continue
+        raw = t.encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        assert got[k]["n_bytes"] == len(raw)
+        assert got[k]["z_bytes"] == z
+        assert got[k]["ratio_milli"] == z * 1000 // len(raw)
+    assert got[1]["keep"] == 0 and got[1]["ratio_milli"] < 300
+    assert got[2]["keep"] == 0 and got[2]["ratio_milli"] > 1100
+    assert got[0]["keep"] == 1

@@ -284,6 +284,11 @@ def main() -> None:
                 prev = timings.get(name)
                 timings[name] = round(best if prev is None else min(prev, best), 3)
 
+    # a query that errored on ANY pass is an error, full stop — with
+    # passes>1 a green pass-1 timing must not survive a pass-2 failure
+    # into the headline total
+    for name in errors:
+        timings.pop(name, None)
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_wall",

@@ -160,7 +160,9 @@ def score_fixed(feats: DataFrame, int_weights: list) -> DataFrame:
     return feats.select(
         "doc_id",
         z.alias("logit"),
-        (z > 0).cast("int").alias("keep"),
+        # NULL text ⇒ NULL features ⇒ NULL logit; a filter must REJECT
+        # such docs, and SQL CASE WHEN ... ELSE 0 oracles agree on 0
+        F.coalesce((z > 0).cast("int"), F.lit(0)).alias("keep"),
     )
 
 

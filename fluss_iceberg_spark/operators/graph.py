@@ -38,7 +38,17 @@ from pyspark.sql import functions as F
 SCALE = 10**12
 
 
-def synth_link_graph(docs: DataFrame, n_nodes_expr: str | None = None) -> DataFrame:
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's RDD blocks (best-effort — the same
+    internal seam as ann_index.release_route_cache; on any drift the
+    ContextCleaner still reclaims them eventually)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def synth_link_graph(docs: DataFrame) -> DataFrame:
     """Deterministic link graph over the documents table: doc d links to
     (d * k) % N for k = 1..(d % 4 + 1), distinct targets (self-loops
     kept — they are legal PageRank edges). Pure column arithmetic; the
@@ -106,7 +116,12 @@ def pagerank(
             )
         )
     out = ranks
+    # free BOTH cached frames — without the ed.unpersist a long-lived
+    # session iterating graphs accumulates edge-sized cache blocks (the
+    # r9 ADVICE leak). The caller's action recomputes the edges⋈deg join
+    # once per iteration reference, which is cheap next to the exchange.
     e.unpersist()
+    ed.unpersist()
     return out
 
 
@@ -189,6 +204,9 @@ def hits(
     nodes = spark.range(n_nodes).select(F.col("id"))
     auth = nodes.select("id", F.lit(HITS_SCALE).cast("long").alias("auth"))
     hub = nodes.select("id", F.lit(HITS_SCALE).cast("long").alias("hub"))
+    prev_cps: list[DataFrame] = []  # last iteration's checkpoints, dead
+    # once the current iteration's are materialized (r9 ADVICE: release
+    # them, mirroring ann_index.release_route_cache)
     for _ in range(iterations):
         # eager localCheckpoint per iteration (the repo's standard move
         # for iterative DataFrame loops, cf. neardup admission): each
@@ -230,7 +248,20 @@ def hits(
                 ).cast("long").alias("hub"),
             )
         )
-    out = auth.join(hub, "id").select("id", "auth", "hub")
+        # h_raw (eager) sealed this iteration: the previous iteration's
+        # two checkpoints can no longer be referenced by anything live
+        for cp in prev_cps:
+            _release_checkpoint(cp)
+        prev_cps = [a_raw, h_raw]
+    # seal the result as ONE eager node-sized checkpoint, then free the
+    # final iteration's raw frames too — a 3-iteration run now leaves a
+    # single result-sized block (ContextCleaner reclaims it when the
+    # caller drops the frame; tests release it explicitly)
+    out = auth.join(hub, "id").select("id", "auth", "hub").localCheckpoint(
+        eager=True
+    )
+    for cp in prev_cps:
+        _release_checkpoint(cp)
     e.unpersist()
     return out
 

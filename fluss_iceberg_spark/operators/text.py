@@ -1067,8 +1067,11 @@ def gopher_rules(
     return df.select(
         "doc_id",
         n_words.cast("int").alias("n_words"),
-        *[fl.cast("int").alias(nm) for fl, nm in zip(flags, names)],
-        keep.cast("int").alias("keep"),
+        # NULL text ⇒ NULL comparisons; a quality filter must REJECT such
+        # docs (flag 0), which is also what CASE WHEN ... ELSE 0 oracles say
+        *[F.coalesce(fl.cast("int"), F.lit(0)).alias(nm)
+          for fl, nm in zip(flags, names)],
+        F.coalesce(keep.cast("int"), F.lit(0)).alias("keep"),
     )
 
 

@@ -310,6 +310,9 @@ def parse_mp4(payload):
         if off + size > n:
             return None  # sample table points outside the file
     timescale, duration = movie
+    if timescale <= 0:
+        return None  # corrupt mvhd: a zero/negative timescale would make
+        # every duration-derived feature divide by zero downstream
     track_id, width, height = track
     return VideoTrack(
         brand=brand,

@@ -110,8 +110,9 @@ def quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-resource languages are not wiped out by a global cutoff.
 
     ADAPTIVE dispatch (the dispatch is part of the operator): exact
-    per-group sort below the 4M-doc bound — it wins outright at test
-    scale — and the two-phase histogram-cut form above it, where the
+    per-group sort below the measured 30k-doc crossover
+    (two_phase_min_docs, operators/text.py) — it wins outright below
+    it — and the two-phase histogram-cut form above it, where the
     whole-stratum sort becomes the skew axis. Both forms select the
     identical set (equality unit-gated), and the driver gate
     hash-checks whichever ran against the exact-window SQL oracle."""

@@ -119,3 +119,35 @@ def test_hits_spark_equals_local(spark):
         {(d, (d * k) % 53) for d in range(53) for k in range(1, d % 4 + 2)}
     )
     assert got == hits_local(edges, 53, 3)
+
+
+def _persistent_ids(spark) -> set:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {k for k in m.keySet().toArray()}
+
+
+def test_graph_operators_leave_no_cached_blocks(spark):
+    """Cache hygiene (r9 ADVICE): pagerank must unpersist BOTH its edge
+    frames and hits must release every loop localCheckpoint — a driver
+    session sweeping ~170 queries must not accumulate graph-sized cache
+    blocks. hits leaves exactly its one result-sized checkpoint, freed
+    by the documented release seam. Delta-based on RDD ids: other tests'
+    leftovers and async ContextCleaner removals must not flake this."""
+    from fluss_iceberg_spark.operators.graph import (
+        _release_checkpoint,
+        hits,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(41)], "doc_id long")
+
+    before = _persistent_ids(spark)
+    pagerank(synth_link_graph(docs), 41, 3, 85).count()
+    assert _persistent_ids(spark) - before == set()
+
+    before = _persistent_ids(spark)
+    out = hits(synth_link_graph(docs), 41, 3)
+    out.count()
+    # only the sealed result checkpoint may remain
+    assert len(_persistent_ids(spark) - before) <= 1
+    _release_checkpoint(out)
+    assert _persistent_ids(spark) - before == set()

@@ -83,174 +83,127 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
-    # ---- round-10 rotation TODO (for the next round's builder): the 17
-    # queries born in round 9 have zero driver evidence by construction
-    # (registered after the r9 window was pinned): multimodal_mp4_metadata,
-    # multimodal_mp4_frame_stats, multimodal_mp4_keyframe_stats,
-    # multimodal_video_scene_cuts, multimodal_png_pixel_stats,
-    # multimodal_ahash_dedup, multimodal_ahash_neardup_pairs,
-    # multimodal_audio_features, multimodal_gif_frames, text_bpe_roundtrip,
-    # text_bpe_train_merges, text_classifier_score, text_classifier_train,
-    # graph_pagerank, graph_top_authorities, graph_hits_scores,
-    # stream_classifier_gate (+ dedup_substring_rewrite from the r9 first
-    # wave). All but the two rows-only (bpe_train_merges, classifier_train)
-    # are oracle-backed and local-green. Rotate as many as fit by swapping
-    # out multi-green incumbents whose operator family keeps another
-    # in-window gate; keep _PRIORITY at exactly 50
-    # (tests/test_registry_order.py).
-    # ---- round-9 rotation: the 2 queries registered in round 8 — the only
-    # registered queries with zero driver evidence — rotate IN:
-    # dedup_substring_spans (Lee-et-al substring-duplication census,
-    # oracle-backed) and text_quality_topq (per-language percentile
-    # pruning, oracle-backed). Rotated OUT, each 4× driver hash-green
-    # (r5-r8) with its family still gated in-window: events_gap_fill
-    # (events family keeps retention_cohorts + session_window_builtin +
-    # anomaly_zscore + value_percentiles + value_histogram) and
-    # lake_clustered_scan (lake scan-pruning family keeps
-    # partition_pruning + value_set_skipping + runtime_filter_join +
-    # spj_bucket_join).
-    # ---- round-8 rotation: the 5 queries registered in round 7 (the only
-    # ones with zero driver evidence) rotate IN — multimodal_real_decode,
-    # lake_spj_bucket_join, text_weighted_sample (oracle-backed) and
-    # ann_ivf_index_incremental, ann_index_cdc_sync (rows-only, unit-gated).
-    # Rotated OUT, each with >=4 driver hash-green rounds and its family
-    # still gated in-window: lake_pk_union_read (6 greens r2-r7; tiering +
-    # hot-cold semantics hold exactly-once units + plan tests),
-    # lake_pk_changelog (4 greens; changelog class stays via
-    # lake_scd2_changes + lake_cdc_mirror + lake_matview_changelog),
-    # pipeline_curation_end2end (4 greens; pure composition of the text ops
-    # gated individually), ann_embedding_hygiene (4 greens; the embedding
-    # kernel class keeps five in-window gates incl. the two new index ops),
-    # multimodal_resize_features (4 greens; the Arrow-kernel multimodal
-    # class stays gated via multimodal_real_decode).
-    # ---- round-7 rotation: the final 5 queries with ZERO driver evidence
-    # (rows-only-by-nature: stream_neardup_admission, dedup_semdedup,
-    # ann_kmeans_clusters, ann_pq_topk, ann_ivfpq_topk) rotate IN; the 5
-    # rotated OUT (agg_cube_status_priority, events_sliding_rollup,
-    # lake_matview_refresh, text_budget_mixing,
-    # dedup_semantic_representatives) each hold >=2 driver hash-green
-    # rounds and every operator family keeps at least one in-window gate
-    # (grouping: sets+id+unpivot; events: gap_fill/retention/session/
-    # zscore/percentiles/histogram; matview: lake_matview_changelog +
-    # stream_matview_refresh; budget: two_phase + temperature; dedup:
-    # passage_level + source_overlap).
-    # ---- round-6 rotation (prior): every oracle-backed
-    # query that had never held a driver CORRECTNESS row rotated IN; the 15
-    # rotated OUT are all multi-round hash-green (round counts noted) and
-    # every operator family keeps at least one gate in the window.
-    # reference pipeline core (S9-S16, P*, J*, A*; top5_nations rotates out
-    # five-times-green r1-r5 — the T1 top-k class stays gated via
-    # text_ngram_stats' TakeOrderedAndProject and tpch_q2's ordered LIMIT)
+    # ---- round-10 rotation: the 18 queries born in round 9 — the only
+    # registered queries with zero driver evidence (registered after the
+    # r9 window was pinned) — rotate IN for first CORRECTNESS rows: the
+    # four MP4 container queries, PNG pixel stats, aHash dedup pair, audio
+    # features, GIF frames, BPE roundtrip+train, classifier score+train,
+    # the three graph-centrality queries, the streaming classifier gate,
+    # and the substring-removal rewrite. Rotated OUT, each with >=2 driver
+    # evidence rounds and its operator family still gated in-window:
+    #   tpch_q11_important_stock (4x green r6-r9; J3/A class keeps
+    #     tpch_q2's correlated-subquery join),
+    #   agg_grouping_id + agg_unpivot_measures (5x green r5-r9; grouping
+    #     class keeps agg_grouping_sets),
+    #   events_anomaly_zscore + events_value_percentiles +
+    #     events_value_histogram (multi-green r5-r9; events class keeps
+    #     retention_cohorts + session_window_builtin),
+    #   lake_matview_changelog (multi-green; changelog class keeps
+    #     lake_scd2_changes + lake_cdc_mirror, matview class keeps
+    #     stream_matview_refresh, M1 metadata keeps engine_merge_into),
+    #   lake_value_set_skipping + lake_runtime_filter_join (multi-green;
+    #     scan-pruning class keeps lake_partition_pruning +
+    #     lake_spj_bucket_join),
+    #   lake_scd2_dimension (4x green r6-r9; SCD2 keeps lake_scd2_changes,
+    #     which reads the dimension it maintains),
+    #   stream_full_interval_join (4x green; interval class keeps
+    #     stream_left_interval_join),
+    #   stream_watermarked_dedup (multi-green r2-r9; stream-dedup
+    #     admission keeps stream_neardup_admission, watermark state keeps
+    #     stream_left_interval_join),
+    #   text_temperature_mixing (multi-green; budget/mixing class keeps
+    #     text_budget_two_phase),
+    #   dedup_semdedup (3x rows r7-r9; the kmeans+greedy composition is
+    #     exact-reference unit-gated, embedding-kernel class keeps four
+    #     ANN gates, dedup family keeps passage/overlap/substring gates),
+    #   ann_kmeans_clusters + ann_pq_topk (3x rows r7-r9; k-means stays
+    #     exercised inside ann_ivf_index_incremental's build, PQ class
+    #     keeps ann_ivfpq_topk's superset composition),
+    #   multimodal_real_decode (2x green r8-r9; the Arrow-kernel
+    #     multimodal class is now gated by NINE real-codec queries),
+    #   engine_time_travel_sql (4x green r6-r9; time-travel/metadata
+    #     class keeps engine_merge_into's snapshot-committed MERGE + the
+    #     SQL facade, plus unit coverage of VERSION AS OF).
+    # Keep _PRIORITY at exactly 50 (tests/test_registry_order.py).
+    # reference pipeline core
     "ref_enriched_orders",
-    # TPC-H (q1 rotates out five-times-green r1-r5; the join/agg class gets
-    # its FIRST driver gates on the two never-gated shapes: q2's correlated
-    # min-cost subquery join, q11's group-vs-global HAVING threshold)
+    # TPC-H join/agg gate (q2: correlated min-cost subquery join)
     "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
     # corpus n-gram census (first gate r5, holds)
     "text_ngram_stats",
-    # window / aggregation families (running_revenue rotates out r1+r5
-    # green — window-frame class stays via events_anomaly_zscore's
-    # windowed z-score; GROUPING_ID gates first beside CUBE/SETS/UNPIVOT)
+    # grouping-sets family gate (CUBE/SETS/GROUPING_ID class)
     "agg_grouping_sets",
-    "agg_grouping_id",
-    "agg_unpivot_measures",
     "set_ops_customers",
-    # event-log operators (funnel rotates out multi-round green r1-r5 —
-    # the ordered-step class stays via retention_cohorts; the two
-    # never-gated event shapes — built-in session_window TVF and
-    # windowed anomaly z-score — gate first)
+    # event-log operators
     "events_retention_cohorts",
     "events_session_window_builtin",
-    "events_anomaly_zscore",
-    # lake layer (union_read rotates out 4x-green r2-r5 — hot∪cold + tiering
-    # stay gated via lake_pk_union_read; row_level_ops rotates out r4+r5
-    # green — row-level class stays via lake_mor_delete + engine_merge_into)
+    # lake layer
     "lake_mor_delete",
     "lake_partition_pruning",
-    "lake_matview_changelog",
-    "lake_value_set_skipping",
-    # storage-partitioned join over co-bucketed PK tables (zero probe-side
-    # exchange, plan-tested) — first driver gate r8
     "lake_spj_bucket_join",
-    # SCD Type 2 maintenance + the CDC-consumer composition over its
-    # changelog (TABLE_CHANGES SQL), and full CDC mirror replication —
-    # all first gates r6
-    "lake_scd2_dimension",
     "lake_scd2_changes",
     "lake_cdc_mirror",
-    # runtime-filtered star join (DPP at the manifest layer) — first
-    # gate r6, new this round
-    "lake_runtime_filter_join",
-    # streaming (nation_revenue rotates out five-times-green r1-r5; the A1
-    # upsert shape stays gated via stream_matview_refresh's incremental
-    # MERGE-delta and stream_txn_two_sinks' transactional twin;
-    # pk_changelog rotates out r4+r5 green — changelog class stays via
-    # lake_pk_changelog + lake_scd2_changes)
+    # streaming
     "stream_wap_gated",
     "stream_left_interval_join",
-    "stream_full_interval_join",
     "stream_log_appends",
     "stream_matview_refresh",
-    "stream_watermarked_dedup",
     "stream_txn_two_sinks",
-    # streaming near-dup admission control (rows-only: greedy first-seen
-    # stream semantics; replay-parity + flat-scanned-state unit gates) —
-    # first driver evidence r7
     "stream_neardup_admission",
-    # text analysis / curation (repetition_filter rotates out 4x-green
-    # r2-r5 — scoring class stays via text_token_stats' first gate and the
-    # budget/mixing family; passage chunking gates first)
+    # streaming classifier admission gate (stateless map-side inference
+    # in the ingest stream; oracle-backed) — first driver gate r10
+    "stream_classifier_gate",
+    # text analysis / curation
     "export_training_shards",
     "fuzzy_part_names",
     "text_budget_two_phase",
-    "text_temperature_mixing",
     "text_token_stats",
     "text_chunk_passages",
-    # exact-k weighted reservoir sampling (Efraimidis-Spirakis A-ES;
-    # oracle-backed) — first driver gate r8
     "text_weighted_sample",
-    # per-language percentile quality pruning (top-quartile by stratum;
-    # oracle-backed) — first driver gate r9
     "text_quality_topq",
-    # deduplication (minhash_lsh + connected_components rotate out 4x-green
-    # r2-r5; the banded-candidate shape stays via dedup_passage_level's
-    # fp-shuffle + semantic_representatives' composition; the cross-source
-    # overlap matrix gates first)
+    # distributed BPE: corpus-wide lossless roundtrip gate (oracle-backed
+    # identity) + the trained merge table (rows-only: iterative pair
+    # statistics) — first driver gates r10
+    "text_bpe_roundtrip",
+    "text_bpe_train_merges",
+    # model-based quality filtering: integer-exact scoring (oracle-backed)
+    # + full-batch GD training (rows-only: float gradient sums) — first
+    # driver gates r10
+    "text_classifier_score",
+    "text_classifier_train",
+    # deduplication
     "dedup_passage_level",
     "dedup_source_overlap",
-    # exact substring-duplication census (Lee et al. 2021 windowed
-    # fingerprints; oracle-backed) — first driver gate r9
     "dedup_substring_spans",
-    # SemDeDup semantic pruning (rows-only: k-means float iteration order;
-    # greedy == exact-reference unit gate) — first driver evidence r7
-    "dedup_semdedup",
-    # similarity search (cosine_topk rotates out 4x-green r2-r5; the
-    # embedding-kernel class stays via hygiene + the dedup semantic ops;
-    # the three rows-only ANN shapes — k-means census, PQ ADC, IVF-PQ —
-    # get their first driver evidence r7, recall unit-gated)
-    "ann_kmeans_clusters",
-    "ann_pq_topk",
+    # substring-removal rewrite (Lee et al. pipeline completion; collision-
+    # sized rewrite cost; oracle-backed) — first driver gate r10
+    "dedup_substring_rewrite",
+    # similarity search / ANN index lifecycle
     "ann_ivfpq_topk",
-    # persistent incremental IVF index + CDC maintenance via the changelog
-    # (rows-only: float iteration order; build+append==one-shot, recall,
-    # and postings==frozen-model-assignment unit gates) — first driver
-    # evidence r8
     "ann_ivf_index_incremental",
     "ann_index_cdc_sync",
-    # multimodal (resize_features rotates out 4x-green r4-r7; the Arrow
-    # kernel class stays gated via the real-decode path, which EXECUTES
-    # pure-Python header parsing in this codec-less container)
-    "multimodal_real_decode",
-    # SQL facade / DDL time travel (source_formats_roundtrip rotates out
-    # 4x-green r2-r5; timestamp_travel rotates out r4+r5 green — the
-    # facade stays gated via engine_merge_into + VERSION AS OF SQL)
-    "engine_time_travel_sql",
+    # multimodal real decode: the four codec families (raster pixels,
+    # animated GIF LZW, WAV PCM, ISO-BMFF sample tables) + the aHash
+    # near-dup pair — all oracle-backed arithmetic replays — first driver
+    # gates r10
+    "multimodal_png_pixel_stats",
+    "multimodal_gif_frames",
+    "multimodal_audio_features",
+    "multimodal_mp4_metadata",
+    "multimodal_mp4_frame_stats",
+    "multimodal_mp4_keyframe_stats",
+    "multimodal_video_scene_cuts",
+    "multimodal_ahash_dedup",
+    "multimodal_ahash_neardup_pairs",
+    # web-graph centrality (integer fixed-point, unrolled-CTE oracles) —
+    # first driver gates r10
+    "graph_pagerank",
+    "graph_top_authorities",
+    "graph_hits_scores",
+    # SQL facade / MERGE INTO ($snapshots-committed, first-arm-wins)
     "engine_merge_into",
-    # exact PERCENTILE_DISC + histogram binning (first gates r5, hold)
-    "events_value_percentiles",
-    "events_value_histogram",
 ]
+
 
 
 def load_all() -> None:

@@ -34,18 +34,32 @@ exactly this case: a ``schema.name-mapping.default`` property (the
 mechanism Iceberg's own ``add_files``/migrate procedures use), so
 spec-compliant readers resolve columns by name.
 
+Partitioned tables (r10): the stand-in's hidden partition spec exports
+as a REAL Iceberg partition spec (spec-id 1; spec-id 0 stays the
+unpartitioned spec that delete manifests bind to, since the stand-in's
+delete files are table-global). Transforms map 1:1 — identity/year/
+month/day/hour — with values converted into Iceberg's since-epoch
+domains (year(2024)=54, month("2024-03")=650, day/hour as epoch
+days/hours), each manifest entry carrying its typed ``partition``
+record (field-ids 1000+) and the manifest list carrying per-field
+``partitions`` summaries (contains_null + single-value-serialized
+bounds), so a spec reader prunes both manifests and files.
+
+Equality deletes (r10): active equality deletes are CONVERTED to
+spec-schema position deletes at export — for each delete (seq s, key
+set K), current data files with write-seq < s in the touched buckets
+are scanned over their key columns only and key-matching rows become
+explicit (file_path, pos) tombstones; the engine's sequence rule made
+concrete. Cost is bounded to the touched buckets, once per delete.
+
 Deliberate simplifications, stated:
-- The exported spec is UNPARTITIONED (spec-id 0, no fields) even for
-  partitioned stand-in tables: reads stay correct — Iceberg-side
-  partition pruning is simply absent (the stand-in's own manifest
-  pruning is the serving path; the export is the interchange path).
 - Each export covers the CURRENT snapshot (one snapshot entry, full
   manifest rewrite — O(live files)); older exports remain readable and
   are chained through metadata-log. Real Iceberg reuses manifests
   across snapshots; an interchange export does not need to.
-- Equality deletes are not exportable (their bucket-scoped semantics
-  have no spec twin here) — ``export_iceberg_metadata`` raises with
-  the offending table state named.
+- Delete manifests carry no partition summaries (spec-id 0): readers
+  scan every delete file — correct, just unpruned (position-delete
+  volume is collision-sized next to data).
 
 Validation: tests/test_iceberg_meta.py round-trips every Avro file
 through the stdlib decoder below, asserts the spec invariants, scans
@@ -444,38 +458,52 @@ def _req(name, typ, fid):
     return {"name": name, "type": typ, "field-id": fid}
 
 
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        _req("content", "int", 134),
-        _req("file_path", "string", 100),
-        _req("file_format", "string", 101),
-        _req(
-            "partition",
-            {"type": "record", "name": "r102", "fields": []},
-            102,
-        ),
-        _req("record_count", "long", 103),
-        _req("file_size_in_bytes", "long", 104),
-        _opt("key_metadata", "bytes", 131),
-        _opt("split_offsets", {"type": "array", "items": "long"}, 132),
-        _opt("equality_ids", {"type": "array", "items": "int"}, 135),
-        _opt("sort_order_id", "int", 140),
-    ],
-}
+def _data_file_schema(part_fields: list[dict] | None = None) -> dict:
+    """The manifest-entry ``data_file`` record; ``part_fields`` are the
+    avro fields of the (spec-typed) ``partition`` record — empty for the
+    unpartitioned spec, one optional typed field per partition field
+    (field-ids 1000+) for a real spec."""
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            _req("content", "int", 134),
+            _req("file_path", "string", 100),
+            _req("file_format", "string", 101),
+            _req(
+                "partition",
+                {"type": "record", "name": "r102", "fields": part_fields or []},
+                102,
+            ),
+            _req("record_count", "long", 103),
+            _req("file_size_in_bytes", "long", 104),
+            _opt("key_metadata", "bytes", 131),
+            _opt("split_offsets", {"type": "array", "items": "long"}, 132),
+            _opt("equality_ids", {"type": "array", "items": "int"}, 135),
+            _opt("sort_order_id", "int", 140),
+        ],
+    }
 
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        _req("status", "int", 0),
-        _opt("snapshot_id", "long", 1),
-        _opt("sequence_number", "long", 3),
-        _opt("file_sequence_number", "long", 4),
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+
+def manifest_entry_schema(part_fields: list[dict] | None = None) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _req("status", "int", 0),
+            _opt("snapshot_id", "long", 1),
+            _opt("sequence_number", "long", 3),
+            _opt("file_sequence_number", "long", 4),
+            {
+                "name": "data_file",
+                "type": _data_file_schema(part_fields),
+                "field-id": 2,
+            },
+        ],
+    }
+
+
+MANIFEST_ENTRY_SCHEMA = manifest_entry_schema()
 
 MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -518,6 +546,125 @@ MANIFEST_FILE_SCHEMA = {
 # Iceberg reserved field ids for position-delete file columns
 _POS_DELETE_PATH_ID = 2147483546
 _POS_DELETE_POS_ID = 2147483545
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec export: the stand-in's hidden-partitioning spec entries
+# ({"name","col","transform"} with identity|years|months|days|hours, values
+# recorded per file from the __p_<name>=<value> directory layout) map 1:1
+# onto Iceberg partition specs — only the VALUE DOMAIN differs: Iceberg's
+# time transforms count units since epoch (year(2024-…)=54) while the
+# stand-in stores human-readable forms (2024, "2024-03", ISO dates). The
+# converters below translate per-file manifest values into the spec domain
+# so third-party readers prune on them.
+# ---------------------------------------------------------------------------
+
+def _days_since_epoch(iso: str) -> int:
+    import datetime
+
+    return (datetime.date.fromisoformat(iso) - datetime.date(1970, 1, 1)).days
+
+
+def _spec_value(transform: str, src_type: str, v):
+    """Stand-in manifest partition value → Iceberg spec-domain value."""
+    if v is None:
+        return None
+    if transform == "identity":
+        if src_type == "date":
+            return _days_since_epoch(str(v))
+        if src_type in ("int", "long"):
+            return int(v)
+        return str(v)
+    if transform == "years":
+        return int(v) - 1970
+    if transform == "months":
+        y, m = str(v).split("-")
+        return (int(y) - 1970) * 12 + (int(m) - 1)
+    if transform == "days":
+        return _days_since_epoch(str(v))
+    # hours: "yyyy-MM-dd-HH"
+    iso, hh = str(v).rsplit("-", 1)
+    return _days_since_epoch(iso) * 24 + int(hh)
+
+
+def _single_value_bytes(avro_type, v) -> bytes:
+    """Iceberg binary single-value serialization (spec §Appendix D) for
+    the bound types the exporter emits: int/date → 4-byte LE, long →
+    8-byte LE, string → UTF-8."""
+    t = avro_type["type"] if isinstance(avro_type, dict) else avro_type
+    if t == "int":
+        return struct.pack("<i", int(v))
+    if t == "long":
+        return struct.pack("<q", int(v))
+    return str(v).encode("utf-8")
+
+
+def spec_info(part_spec: list[dict], ice_schema: dict) -> tuple[list, list]:
+    """(iceberg spec fields, avro partition-record fields) for the
+    stand-in's partition spec. Spec field-ids follow Iceberg's 1000+
+    convention; source-id resolves the top-level schema field id of the
+    source column (partition columns are top-level by construction)."""
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    tmap = {
+        "identity": "identity", "years": "year", "months": "month",
+        "days": "day", "hours": "hour",
+    }
+    spec_fields, avro_fields = [], []
+    for i, p in enumerate(part_spec):
+        src = by_name[p["col"]]
+        fid = 1000 + i
+        spec_fields.append(
+            {
+                "name": p["name"],
+                "transform": tmap[p["transform"]],
+                "source-id": src["id"],
+                "field-id": fid,
+            }
+        )
+        if p["transform"] == "identity":
+            st = src["type"]
+            avro_t = (
+                {"type": "int", "logicalType": "date"}
+                if st == "date"
+                else ("long" if st == "long" else
+                      "int" if st == "int" else "string")
+            )
+        elif p["transform"] in ("days",):
+            avro_t = {"type": "int", "logicalType": "date"}
+        else:
+            avro_t = "int"
+        avro_fields.append(_opt(p["name"], avro_t, fid))
+    return spec_fields, avro_fields
+
+
+def _partition_values_of(rel: str, file_meta: dict, part_spec: list[dict],
+                         ice_schema: dict) -> dict:
+    """Typed Iceberg partition record for one data file: the manifest's
+    recorded values when present, else parsed from the __p_ path
+    components (both are the writer's directory layout)."""
+    raw = (file_meta.get(rel) or {}).get("partition")
+    if raw is None:
+        raw = {}
+        for comp in rel.split(os.sep)[:-1]:
+            if comp.startswith("__p_") and "=" in comp:
+                k, _, rv = comp[4:].partition("=")
+                import urllib.parse
+
+                rv = urllib.parse.unquote(rv)
+                if rv == "__HIVE_DEFAULT_PARTITION__":
+                    raw[k] = None
+                else:
+                    try:
+                        raw[k] = int(rv)
+                    except ValueError:
+                        raw[k] = rv
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    out = {}
+    for p in part_spec:
+        out[p["name"]] = _spec_value(
+            p["transform"], by_name[p["col"]]["type"], raw.get(p["name"])
+        )
+    return out
 
 
 def _equality_delete_active(rel_files: list[str], meta: dict) -> bool:
@@ -579,21 +726,24 @@ def export_iceberg_metadata(table) -> str:
         raise ValueError(f"{tpath}: no committed snapshot to export")
     with open(os.path.join(tpath, "meta", f"v{version}.json")) as f:
         snap = json.load(f)
-    for d in snap.get("delete_files") or []:
-        meta = (snap.get("delete_meta") or {}).get(d) or {}
-        if meta.get("kind") == "equality" and _equality_delete_active(
-            snap.get("files") or [], meta
-        ):
-            raise ValueError(
-                f"{tpath}: snapshot v{version} carries active equality "
-                f"delete {d} — not exportable as Iceberg v2 (position "
-                "deletes and data files are; inert equality deletes are "
-                "skipped)"
-            )
+    # active equality deletes have no spec twin — convert them to
+    # spec-schema position deletes at export time (read the affected
+    # buckets' key columns once, emit (path, pos) for key matches); the
+    # engine's sequence rule "file seq < delete seq hides on key match"
+    # becomes explicit row positions a spec reader applies exactly
+    active_eq = [
+        (d, meta)
+        for d in snap.get("delete_files") or []
+        for meta in [(snap.get("delete_meta") or {}).get(d) or {}]
+        if meta.get("kind") == "equality"
+        and _equality_delete_active(snap.get("files") or [], meta)
+    ]
 
     schema_json = snap.get("schema_json") or table.schema.jsonValue()
     field_ids = snap.get("field_ids") or table.field_ids
     ice_schema, last_col_id = _iceberg_schema(schema_json, field_ids)
+    part_spec = list(getattr(table, "partition_spec", None) or [])
+    spec_fields, part_avro_fields = spec_info(part_spec, ice_schema)
 
     meta_dir = os.path.join(tpath, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -611,7 +761,8 @@ def export_iceberg_metadata(table) -> str:
 
         return pq.ParquetFile(os.path.join(tpath, rel)).metadata.num_rows
 
-    def _entry(abs_path: str, rows: int, content: int = 0) -> dict:
+    def _entry(abs_path: str, rows: int, content: int = 0,
+               partition: dict | None = None) -> dict:
         return {
             "status": 1,  # ADDED (full rewrite per export)
             "snapshot_id": sid,
@@ -621,7 +772,7 @@ def export_iceberg_metadata(table) -> str:
                 "content": content,
                 "file_path": abs_path,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": partition or {},
                 "record_count": rows,
                 "file_size_in_bytes": os.path.getsize(abs_path),
                 "key_metadata": None,
@@ -631,32 +782,62 @@ def export_iceberg_metadata(table) -> str:
             },
         }
 
-    avro_meta = {
-        "schema": json.dumps(
-            {k: v for k, v in ice_schema.items() if k != "schema-id"}
-        ),
-        "schema-id": "0",
-        "partition-spec": "[]",
-        "partition-spec-id": "0",
-        "format-version": "2",
-    }
+    def _avro_meta(fields: list, spec_id: int) -> dict:
+        return {
+            "schema": json.dumps(
+                {k: v for k, v in ice_schema.items() if k != "schema-id"}
+            ),
+            "schema-id": "0",
+            "partition-spec": json.dumps(fields),
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
+        }
+
+    # spec ids: 0 is always the unpartitioned spec (delete files are
+    # table-global in the stand-in, so delete manifests bind to it);
+    # a partitioned table's real spec is id 1 and the default
+    data_spec_id = 1 if spec_fields else 0
     manifests = []
     data_entries = [
-        _entry(os.path.join(tpath, rel), _rows_of(rel))
+        _entry(
+            os.path.join(tpath, rel),
+            _rows_of(rel),
+            partition=_partition_values_of(
+                rel, file_meta, part_spec, ice_schema
+            ) if spec_fields else None,
+        )
         for rel in snap.get("files") or []
     ]
+    # per-spec-field summaries so readers prune MANIFESTS before opening
+    # them (contains_null + single-value-serialized bounds)
+    part_summaries = []
+    for sf, af in zip(spec_fields, part_avro_fields):
+        vals = [
+            e["data_file"]["partition"].get(sf["name"])
+            for e in data_entries
+        ]
+        nn = [v for v in vals if v is not None]
+        typ = af["type"][1]  # the non-null branch of the union
+        part_summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": _single_value_bytes(typ, min(nn)) if nn else None,
+                "upper_bound": _single_value_bytes(typ, max(nn)) if nn else None,
+            }
+        )
     m0 = os.path.join(meta_dir, f"manifest-{sid}-m0.avro")
     write_avro(
         m0,
-        MANIFEST_ENTRY_SCHEMA,
+        manifest_entry_schema(part_avro_fields),
         data_entries,
-        metadata={**avro_meta, "content": "data"},
+        metadata={**_avro_meta(spec_fields, data_spec_id), "content": "data"},
     )
     manifests.append(
         {
             "manifest_path": m0,
             "manifest_length": os.path.getsize(m0),
-            "partition_spec_id": 0,
+            "partition_spec_id": data_spec_id,
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -669,7 +850,7 @@ def export_iceberg_metadata(table) -> str:
             ),
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
-            "partitions": [],
+            "partitions": part_summaries,
             "key_metadata": None,
         }
     )
@@ -685,62 +866,105 @@ def export_iceberg_metadata(table) -> str:
             )
         )
     ]
-    if active_deletes:
+    if active_deletes or active_eq:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        del_entries = []
-        for i, rel in enumerate(active_deletes):
-            t = pq.read_table(os.path.join(tpath, rel))
-            out = pa.table(
-                {
-                    "file_path": [
-                        os.path.join(tpath, p)
-                        for p in t.column("__file").to_pylist()
-                    ],
-                    "pos": t.column("__pos"),
-                },
-                schema=pa.schema(
-                    [
-                        pa.field(
-                            "file_path",
-                            pa.string(),
-                            nullable=False,
-                            metadata={
-                                "PARQUET:field_id": str(_POS_DELETE_PATH_ID)
-                            },
-                        ),
-                        pa.field(
-                            "pos",
-                            pa.int64(),
-                            nullable=False,
-                            metadata={
-                                "PARQUET:field_id": str(_POS_DELETE_POS_ID)
-                            },
-                        ),
-                    ]
+        del_schema = pa.schema(
+            [
+                pa.field(
+                    "file_path",
+                    pa.string(),
+                    nullable=False,
+                    metadata={"PARQUET:field_id": str(_POS_DELETE_PATH_ID)},
                 ),
-            )
-            dpath = os.path.join(meta_dir, f"delete-{sid}-d{i}.parquet")
+                pa.field(
+                    "pos",
+                    pa.int64(),
+                    nullable=False,
+                    metadata={"PARQUET:field_id": str(_POS_DELETE_POS_ID)},
+                ),
+            ]
+        )
+        del_entries = []
+
+        def _write_delete(paths: list, poss: list, fname: str) -> None:
+            out = pa.table({"file_path": paths, "pos": poss},
+                           schema=del_schema)
+            dpath = os.path.join(meta_dir, fname)
             pq.write_table(out, dpath)
             del_entries.append(_entry(dpath, out.num_rows, content=1))
+
+        for i, rel in enumerate(active_deletes):
+            t = pq.read_table(os.path.join(tpath, rel))
+            _write_delete(
+                [os.path.join(tpath, p) for p in t.column("__file").to_pylist()],
+                t.column("__pos").to_pylist(),
+                f"delete-{sid}-d{i}.parquet",
+            )
+
+        # equality → position conversion: for each active equality delete
+        # (seq s, key set K, touched buckets B), every CURRENT data file
+        # with write-seq < s in a bucket of B is scanned over its KEY
+        # COLUMNS ONLY and rows whose key ∈ K become (path, pos) —
+        # exactly the engine's hide rule, made explicit. Null-safe: a
+        # NULL key component matches NULL (tuple equality), mirroring
+        # the engine's eqNullSafe anti-join. Cost is bounded to the
+        # touched buckets' key columns, read once per delete.
+        for j, (rel, meta) in enumerate(active_eq):
+            kt = pq.read_table(os.path.join(tpath, rel))
+            key_cols = meta.get("key") or kt.column_names
+            keyset = set(
+                zip(*[kt.column(c).to_pylist() for c in key_cols])
+            )
+            dseq = meta.get("seq", -1)
+            buckets = set((meta.get("hides") or {}).keys())
+            paths, poss = [], []
+            for f in snap.get("files") or []:
+                m = re.match(r"data/s(\d+)/", f)
+                if m is None or int(m.group(1)) >= dseq:
+                    continue
+                if not any(
+                    part.startswith("__bucket=") and part[9:] in buckets
+                    for part in f.split(os.sep)
+                ):
+                    continue
+                ft = pq.read_table(
+                    os.path.join(tpath, f), columns=list(key_cols)
+                )
+                rows = zip(*[ft.column(c).to_pylist() for c in key_cols])
+                ap = os.path.join(tpath, f)
+                for pos, key in enumerate(rows):
+                    if key in keyset:
+                        paths.append(ap)
+                        poss.append(pos)
+            if paths:
+                _write_delete(paths, poss, f"delete-{sid}-eq{j}.parquet")
+
+        if not del_entries:
+            raise AssertionError(
+                "active deletes resolved to zero tombstones — the "
+                "active-check and the conversion disagree"
+            )
         m1 = os.path.join(meta_dir, f"manifest-{sid}-m1.avro")
         write_avro(
             m1,
             MANIFEST_ENTRY_SCHEMA,
             del_entries,
-            metadata={**avro_meta, "content": "deletes"},
+            metadata={**_avro_meta([], 0), "content": "deletes"},
         )
         manifests.append(
             {
                 **manifests[0],
                 "manifest_path": m1,
                 "manifest_length": os.path.getsize(m1),
+                "partition_spec_id": 0,
                 "content": 1,
                 "added_files_count": len(del_entries),
                 "added_rows_count": sum(
                     e["data_file"]["record_count"] for e in del_entries
                 ),
+                "partitions": [],
             }
         )
 
@@ -798,9 +1022,14 @@ def export_iceberg_metadata(table) -> str:
         "last-column-id": last_col_id,
         "current-schema-id": 0,
         "schemas": [ice_schema],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "default-spec-id": data_spec_id,
+        "partition-specs": (
+            [{"spec-id": 0, "fields": []},
+             {"spec-id": 1, "fields": spec_fields}]
+            if spec_fields
+            else [{"spec-id": 0, "fields": []}]
+        ),
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {

@@ -246,17 +246,156 @@ def test_export_position_deletes(spark):
         assert sorted(live) == sorted(r.k for r in t.read().collect())
 
 
-def test_export_equality_delete_gate(spark):
+def test_export_converts_equality_deletes(spark):
+    """Active equality deletes export as spec-schema POSITION deletes
+    (r10): the spec-chain read must reproduce the engine's post-delete
+    row set exactly, with no equality-delete entries anywhere."""
+    import pyarrow.parquet as pq
+
     with tempfile.TemporaryDirectory() as d:
         t = _mk(spark, d, pk=["k"])
         t.merge(spark.createDataFrame(_rows(0, 50), SCHEMA))
-        t.delete_by_key(spark.createDataFrame([(7,), (8,)], "k int"))
-        with pytest.raises(ValueError, match="active equality delete"):
-            t.export_iceberg_metadata()
-        # a full-bucket rewrite materializes the delete → export works
-        t.merge(spark.createDataFrame(_rows(0, 50), SCHEMA))
+        t.delete_by_key(spark.createDataFrame([(7,), (8,), (31,)], "k int"))
         _, doc, manifests = _export_doc(t)
-        assert [m["content"] for m in manifests] == [0]
+        assert [m["content"] for m in manifests] == [0, 1]
+        _, dentries, _ = read_avro(manifests[1]["manifest_path"])
+        # every exported delete is a position delete (content=1 data_file
+        # with the reserved-id spec schema), never an equality delete
+        dead = set()
+        for e in dentries:
+            assert e["data_file"]["content"] == 1
+            assert e["data_file"]["equality_ids"] is None
+            pf = pq.read_table(e["data_file"]["file_path"])
+            assert pf.column_names == ["file_path", "pos"]
+            dead |= set(
+                zip(pf.column("file_path").to_pylist(),
+                    pf.column("pos").to_pylist())
+            )
+        assert len(dead) == 3
+        _, entries, _ = read_avro(manifests[0]["manifest_path"])
+        live = []
+        for e in entries:
+            p = e["data_file"]["file_path"]
+            for i, k in enumerate(pq.read_table(p).column("k").to_pylist()):
+                if (p, i) not in dead:
+                    live.append(k)
+        assert sorted(live) == sorted(r.k for r in t.read().collect())
+        assert set(live) & {7, 8, 31} == set()
+
+
+def test_export_equality_then_reinsert_survives(spark):
+    """The sequence rule: a key re-inserted AFTER the equality delete
+    lives in a newer file (seq >= delete seq) — the conversion must not
+    tombstone it."""
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d, pk=["k"])
+        t.merge(spark.createDataFrame(_rows(0, 30), SCHEMA))
+        t.delete_by_key(spark.createDataFrame([(5,)], "k int"))
+        t.merge(spark.createDataFrame(_rows(5, 6), SCHEMA))  # re-insert 5
+        engine = sorted(r.k for r in t.read().collect())
+        assert 5 in engine
+        _, doc, manifests = _export_doc(t)
+        dead = set()
+        for m in manifests:
+            if m["content"] != 1:
+                continue
+            _, dentries, _ = read_avro(m["manifest_path"])
+            for e in dentries:
+                pf = pq.read_table(e["data_file"]["file_path"])
+                dead |= set(
+                    zip(pf.column("file_path").to_pylist(),
+                        pf.column("pos").to_pylist())
+                )
+        _, entries, _ = read_avro(
+            [m for m in manifests if m["content"] == 0][0]["manifest_path"]
+        )
+        live = []
+        for e in entries:
+            p = e["data_file"]["file_path"]
+            for i, k in enumerate(pq.read_table(p).column("k").to_pylist()):
+                if (p, i) not in dead:
+                    live.append(k)
+        assert sorted(live) == engine
+
+
+# ---------- partition-spec export ----------
+
+
+def test_export_partition_spec(spark):
+    """Partitioned stand-in tables export a REAL Iceberg partition spec
+    (r10): spec fields with epoch-domain transforms, typed per-file
+    partition records, and manifest-list field summaries."""
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table(
+            "ice", SCHEMA, partition_by=["months(d)"]
+        )
+        t.append(spark.createDataFrame(_rows(0, 100), SCHEMA))
+        _, doc, manifests = _export_doc(t)
+        assert doc["default-spec-id"] == 1
+        specs = {s["spec-id"]: s["fields"] for s in doc["partition-specs"]}
+        assert specs[0] == []
+        assert specs[1] == [
+            {
+                "name": "d_month",
+                "transform": "month",
+                "source-id": 2,  # field id of `d`
+                "field-id": 1000,
+            }
+        ]
+        assert doc["last-partition-id"] == 1000
+        dm = [m for m in manifests if m["content"] == 0][0]
+        assert dm["partition_spec_id"] == 1
+        mschema, entries, mmeta = read_avro(dm["manifest_path"])
+        assert json.loads(mmeta["partition-spec"]) == specs[1]
+        assert mmeta["partition-spec-id"] == "1"
+        # every entry carries the epoch-month value of its own rows
+        import pyarrow.parquet as pq
+
+        for e in entries:
+            pv = e["data_file"]["partition"]["d_month"]
+            months = {
+                (dd.year - 1970) * 12 + (dd.month - 1)
+                for dd in pq.read_table(
+                    e["data_file"]["file_path"]
+                ).column("d").to_pylist()
+            }
+            assert months == {pv}
+        # manifest-list summaries bound the value domain (4-byte LE ints)
+        lo, hi = (
+            int.from_bytes(dm["partitions"][0][b], "little", signed=True)
+            for b in ("lower_bound", "upper_bound")
+        )
+        vals = [e["data_file"]["partition"]["d_month"] for e in entries]
+        assert (lo, hi) == (min(vals), max(vals))
+        assert dm["partitions"][0]["contains_null"] is False
+
+
+def test_export_identity_partition_values(spark):
+    """Identity partitions keep the source domain (date → epoch days in
+    the spec record)."""
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table(
+            "ice", SCHEMA, partition_by=["d"]
+        )
+        t.append(spark.createDataFrame(_rows(0, 8), SCHEMA))
+        _, doc, manifests = _export_doc(t)
+        spec = [s for s in doc["partition-specs"] if s["spec-id"] == 1][0]
+        assert spec["fields"][0]["transform"] == "identity"
+        _, entries, _ = read_avro(manifests[0]["manifest_path"])
+        import datetime as _dt
+
+        import pyarrow.parquet as pq
+
+        for e in entries:
+            days = {
+                (dd - _dt.date(1970, 1, 1)).days
+                for dd in pq.read_table(
+                    e["data_file"]["file_path"]
+                ).column("d").to_pylist()
+            }
+            assert days == {e["data_file"]["partition"]["d"]}
 
 
 # ---------- engine-free consumer + facade + SQL surface ----------
@@ -312,6 +451,89 @@ def test_engine_free_spec_reader(spark):
         )
         got = json.loads(out.stdout.strip().splitlines()[-1])
         assert got == {"rows": 90, "sum": sum(range(10, 100))}
+
+
+PRUNING_READER = textwrap.dedent(
+    """
+    import importlib.util, json, os, sys
+    import duckdb
+    spec = importlib.util.spec_from_file_location("ice_meta", sys.argv[2])
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert "pyspark" not in sys.modules
+    tpath, target_month = sys.argv[1], int(sys.argv[3])
+    with open(os.path.join(tpath, "metadata", "version-hint.text")) as f:
+        k = int(f.read().strip())
+    with open(os.path.join(tpath, "metadata", f"v{k}.metadata.json")) as f:
+        doc = json.load(f)
+    # resolve the default spec purely from metadata
+    spec_fields = [s["fields"] for s in doc["partition-specs"]
+                   if s["spec-id"] == doc["default-spec-id"]][0]
+    assert [f["transform"] for f in spec_fields] == ["month"]
+    pname = spec_fields[0]["name"]
+    snap = [s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]][0]
+    _, manifests, _ = mod.read_avro(snap["manifest-list"])
+    scanned, pruned = [], 0
+    for m in manifests:
+        if m["content"] != 0:
+            continue
+        # manifest-level pruning from the field summaries
+        s = m["partitions"][0]
+        lo = int.from_bytes(s["lower_bound"], "little", signed=True)
+        hi = int.from_bytes(s["upper_bound"], "little", signed=True)
+        if target_month < lo or target_month > hi:
+            pruned += 1
+            continue
+        _, entries, _ = mod.read_avro(m["manifest_path"])
+        for e in entries:
+            if e["data_file"]["partition"][pname] == target_month:
+                scanned.append(e["data_file"]["file_path"])
+            else:
+                pruned += 1
+    row = duckdb.sql(
+        "SELECT COUNT(*) c, COALESCE(SUM(k), 0) s FROM read_parquet($d)",
+        params={"d": scanned or ["-"]},
+    ).fetchone() if scanned else (0, 0)
+    print(json.dumps({"files": len(scanned), "pruned": pruned,
+                      "rows": int(row[0]), "sum": int(row[1])}))
+    """
+)
+
+
+def test_spec_reader_partition_pruning(spark):
+    """A spec reader plans a partition-filtered scan from the exported
+    metadata alone: only files whose partition record matches are
+    opened, and the result equals the engine's filtered read."""
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeCatalog(spark, d).create_table(
+            "ice", SCHEMA, partition_by=["months(d)"]
+        )
+        t.append(spark.createDataFrame(_rows(0, 100), SCHEMA))
+        t.export_iceberg_metadata()
+        # target = the month of d(0) = 1995-01 → (1995-1970)*12 + 0
+        target = (1995 - 1970) * 12
+        mod_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fluss_iceberg_spark", "lake", "iceberg_meta.py",
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", PRUNING_READER, t.path, mod_path,
+             str(target)],
+            capture_output=True, text=True, timeout=120, check=True,
+        )
+        got = json.loads(out.stdout.strip().splitlines()[-1])
+        import datetime
+
+        want = [
+            r.k
+            for r in t.read().collect()
+            if (r.d.year, r.d.month) == (1995, 1)
+        ]
+        assert got["rows"] == len(want) and got["sum"] == sum(want)
+        assert got["pruned"] > 0  # other months' files were never opened
+        # and the reader opened strictly fewer files than exist
+        assert got["files"] < len(t.snapshot().files)
 
 
 def test_facade_surfaces_metadata_location(spark):

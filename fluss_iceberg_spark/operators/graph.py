@@ -328,3 +328,114 @@ def hits_local(edges: list, n_nodes: int, iterations: int = 3) -> dict:
             for v in range(n_nodes)
         }
     return {v: (auth[v], hub[v]) for v in range(n_nodes)}
+
+
+# ---------------------------------------------------------------------------
+# Weakly-connected components — min-label propagation. Completes the graph
+# suite (pagerank = global rank, HITS = hubs/authorities, components =
+# mirror/site-cluster detection for crawl dedup). The dedup module's
+# connected_components (operators/dedup.py:329) is pair-list-shaped for
+# near-dup candidate pairs; this is the graph-shaped variant over a link
+# graph, with the same gateability property as pagerank/HITS: every step
+# is exact integer MIN, so the unrolled SQL oracle replays it
+# bit-for-bit at ANY iteration count — converged or not, both engines
+# compute the same labels.
+# ---------------------------------------------------------------------------
+
+
+def components(edges: DataFrame, n_nodes: int, iterations: int = 6) -> DataFrame:
+    """(id, component) after ``iterations`` rounds of min-label
+    propagation over the UNDIRECTED closure of ``edges`` (src,dst).
+    Labels start as node ids; each round every node takes the min of
+    its own label and its neighbors' labels. With iterations >= the
+    graph diameter the labels are the exact weakly-connected
+    components; below it they are the k-hop prefix — identical in any
+    engine either way.
+
+    100 TB shape: mirrors pagerank — the undirected edge set is built
+    once (one distinct), repartitioned by src, and persisted; each
+    round pays exactly one groupBy(dst) MIN exchange (the irreducible
+    label-propagation shuffle). Label state is one (id, long) row per
+    node. Pure integer MIN has no float drift, so no per-iteration
+    checkpoint pressure builds (join diamond depth = 1 per round, same
+    as pagerank's measured-safe 5-deep chain)."""
+    spark = edges.sparkSession
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e = und.repartition("src").persist()
+    e.count()
+    nodes = spark.range(n_nodes).select(F.col("id"))
+    lab = nodes.select("id", F.col("id").cast("long").alias("label"))
+    for _ in range(iterations):
+        nb = (
+            e.join(lab, e.src == lab.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlab"))
+        )
+        lab = (
+            lab.join(nb, lab.id == nb.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlab"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    out = lab.select("id", F.col("label").alias("component"))
+    e.unpersist()
+    return out
+
+
+def components_oracle_sql(iterations: int = 6) -> str:
+    """DuckDB replay over the synthetic link graph: same undirected
+    closure, same unrolled MIN recurrence."""
+    sql = [
+        "WITH n AS (SELECT COUNT(1) AS n FROM documents),",
+        """edges0 AS (
+        SELECT DISTINCT doc_id AS src, (doc_id * k) % (SELECT n FROM n) AS dst
+        FROM documents, UNNEST(range(1, doc_id % 4 + 2)) t(k)
+    ),""",
+        """edges AS (
+        SELECT src, dst FROM edges0
+        UNION
+        SELECT dst AS src, src AS dst FROM edges0
+    ),""",
+        "l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents)",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        sql.append(
+            f""", nb{i} AS (
+        SELECT e.dst AS id, MIN(l.label) AS nlab
+        FROM edges e JOIN {prev} l ON e.src = l.id
+        GROUP BY e.dst
+    ), l{i} AS (
+        SELECT p.id, LEAST(p.label, COALESCE(nb{i}.nlab, p.label)) AS label
+        FROM {prev} p LEFT JOIN nb{i} ON p.id = nb{i}.id
+    )"""
+        )
+        prev = f"l{i}"
+    sql.append(
+        f"SELECT id, CAST(label AS BIGINT) AS component FROM {prev}"
+    )
+    return "\n".join(sql)
+
+
+def components_local(edges: list, n_nodes: int, iterations: int = 6) -> dict:
+    """Pure-Python reference of the same min-label rounds (unit gate)."""
+    und = set()
+    for s, t in edges:
+        und.add((s, t))
+        und.add((t, s))
+    lab = {v: v for v in range(n_nodes)}
+    for _ in range(iterations):
+        from collections import defaultdict
+
+        inc = defaultdict(list)
+        for s, t in und:
+            inc[t].append(lab[s])
+        lab = {
+            v: min([lab[v]] + inc.get(v, [])) for v in range(n_nodes)
+        }
+    return lab

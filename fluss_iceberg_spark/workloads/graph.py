@@ -68,3 +68,18 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     return G.hits(G.synth_link_graph(docs), n, iterations=3)
+
+
+@query("graph_components", oracle=G.components_oracle_sql(6))
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components by 6 rounds of min-label propagation
+    over the undirected closure of the deterministic link graph —
+    mirror/site-cluster detection, the third leg of the graph suite
+    beside pagerank and HITS. Every step is exact integer MIN, so the
+    unrolled-CTE oracle matches hash-for-hash at any round count (both
+    engines compute the same k-hop label prefix; >= diameter rounds
+    give the exact components). One groupBy MIN exchange per round over
+    once-partitioned persisted edges (operators/graph.components)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    return G.components(G.synth_link_graph(docs), n, iterations=6)

@@ -151,3 +151,56 @@ def test_graph_operators_leave_no_cached_blocks(spark):
     assert len(_persistent_ids(spark) - before) <= 1
     _release_checkpoint(out)
     assert _persistent_ids(spark) - before == set()
+
+
+def test_components_local_two_islands():
+    from fluss_iceberg_spark.operators.graph import components_local
+
+    # 0-1-2 chain and 3-4 pair: two components, min labels 0 and 3
+    edges = [(0, 1), (1, 2), (3, 4)]
+    lab = components_local(edges, 5, iterations=4)
+    assert lab == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_components_kprefix_below_diameter():
+    from fluss_iceberg_spark.operators.graph import components_local
+
+    # a 5-chain: after ONE round node 4 only sees label 3 — the k-hop
+    # prefix is still a well-defined deterministic labeling
+    edges = [(i, i + 1) for i in range(4)]
+    lab = components_local(edges, 5, iterations=1)
+    assert lab == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_components_oracle_equals_local():
+    from fluss_iceberg_spark.operators.graph import (
+        components_local,
+        components_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT UNNEST(range(0, 71)) AS doc_id"
+    )
+    rows = con.execute(components_oracle_sql(6)).fetchall()
+    edges = sorted(
+        {(d, (d * k) % 71) for d in range(71) for k in range(1, d % 4 + 2)}
+    )
+    assert {i: c for i, c in rows} == components_local(edges, 71, 6)
+
+
+def test_components_spark_equals_local(spark):
+    from fluss_iceberg_spark.operators.graph import (
+        components,
+        components_local,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(47)], "doc_id long")
+    got = {
+        r["id"]: r["component"]
+        for r in components(synth_link_graph(docs), 47, 6).collect()
+    }
+    edges = sorted(
+        {(d, (d * k) % 47) for d in range(47) for k in range(1, d % 4 + 2)}
+    )
+    assert got == components_local(edges, 47, 6)

@@ -1124,3 +1124,284 @@ def compression_ratio_filter(
         kernel,
         "doc_id long, n_bytes int, z_bytes int, ratio_milli int, keep int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filtering (CCNet/Gopher endgame): interpolated bigram LM
+# negative-log-likelihood per document, INTEGER-EXACT so the driver can
+# hash-gate an LM score across engines. The blocker for gating any
+# perplexity is log(): libm rounding differs between engines. Solved by a
+# fixed-point binary logarithm computed ONLY with integer multiply /
+# integer divide / compare — the classic shift-and-square algorithm
+# (16-bit mantissa, 16 fraction bits), which any engine replays
+# bit-for-bit because every step is floor arithmetic:
+#
+#   ilog2(c) = e * 2^16 + frac,   e = floor(log2 c)  (comparison ladder)
+#   m0 = floor(c * 2^15 / 2^e)  in [2^15, 2^16)
+#   16x: t = (m*m) div 2^15;  bit = t >= 2^16;  m = t div 2^bit
+#
+# ilog2 is monotone in c and |ilog2(c)/2^16 - log2 c| < ~2^-11 (mantissa
+# truncation) — not IEEE log2, but the SAME deterministic function in
+# Spark, DuckDB, and Python, which is what a cross-engine value gate
+# needs. Probabilities stay RATIONAL: with Jelinek-Mercer interpolation
+# lam/100 * c(w1w2)/c(w1.) + (100-lam)/100 * (c(.w2)+1)/(C+V),
+#
+#   p = num/den,  num = lam*c_bg*(C+V) + (100-lam)*(c_pw2+1)*c_w1
+#                 den = 100*c_w1*(C+V)
+#
+# so -log2 p = ilog2(den) - ilog2(num), an exact integer in 2^-16 units
+# (>= 0 because num <= den and ilog2 is monotone). int64 bounds: num
+# tops out near 100*c_bg*(C+V) — fine through ~1e9 bigram instances; a
+# 100 TB corpus rescales counts (divide all model counts by 2^k before
+# the ilog — the LM ratio is scale-free) or promotes to DECIMAL(38).
+# ---------------------------------------------------------------------------
+
+_ILOG_FRAC_BITS = 16
+_ILOG_MANT = 15  # mantissa bits: m*m <= 2^32, safely inside int64
+
+
+def ilog2_steps(c_expr: str, prefix: str, idiv) -> list:
+    """The shared step list (name, sql) computing ilog2(``c_expr``) into
+    column ``{prefix}`` — identical semantics rendered for any engine
+    via ``idiv(a, b)`` (integer division formatter). Every intermediate
+    is a named column so the expression DAG stays linear (the
+    shift-and-square recurrence references m twice per step)."""
+    one = 1 << _ILOG_MANT  # 32768
+    two = 1 << (_ILOG_MANT + 1)  # 65536
+    steps = [
+        (
+            f"{prefix}_e",
+            " + ".join(
+                f"(CASE WHEN {c_expr} >= {1 << k} THEN 1 ELSE 0 END)"
+                for k in range(1, 63)
+            ),
+        ),
+        (
+            f"{prefix}_p2",
+            "CASE "
+            + " ".join(
+                f"WHEN {c_expr} >= {1 << k} THEN {1 << k}"
+                for k in range(62, 0, -1)
+            )
+            + " ELSE 1 END",
+        ),
+        (
+            f"{prefix}_m0",
+            f"CASE WHEN {prefix}_p2 >= {one} "
+            f"THEN {idiv(c_expr, idiv(f'{prefix}_p2', one))} "
+            f"ELSE {c_expr} * {idiv(one, f'{prefix}_p2')} END",
+        ),
+        (f"{prefix}_f0", "CAST(0 AS BIGINT)"),
+    ]
+    for i in range(1, _ILOG_FRAC_BITS + 1):
+        m, t = f"{prefix}_m{i - 1}", f"{prefix}_t{i}"
+        steps.append((t, idiv(f"({m} * {m})", one)))
+        steps.append(
+            (
+                f"{prefix}_f{i}",
+                f"{prefix}_f{i - 1} * 2 + "
+                f"(CASE WHEN {t} >= {two} THEN 1 ELSE 0 END)",
+            )
+        )
+        steps.append(
+            (
+                f"{prefix}_m{i}",
+                f"CASE WHEN {t} >= {two} THEN {idiv(t, 2)} ELSE {t} END",
+            )
+        )
+    steps.append(
+        (
+            prefix,
+            f"CAST({prefix}_e AS BIGINT) * {1 << _ILOG_FRAC_BITS} "
+            f"+ {prefix}_f{_ILOG_FRAC_BITS}",
+        )
+    )
+    return steps
+
+
+def ilog2_local(c: int) -> int:
+    """Pure-Python reference of the same recurrence (unit gate)."""
+    assert c >= 1
+    e = c.bit_length() - 1
+    m = (c << _ILOG_MANT) >> e
+    frac = 0
+    for _ in range(_ILOG_FRAC_BITS):
+        m = (m * m) >> _ILOG_MANT
+        bit = 1 if m >= 1 << (_ILOG_MANT + 1) else 0
+        frac = frac * 2 + bit
+        m >>= bit
+    return e * (1 << _ILOG_FRAC_BITS) + frac
+
+
+def _spark_idiv(a, b) -> str:
+    return f"({a} div {b})"
+
+
+def perplexity_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    lam: int = 90,
+    # ~4.908 bits/bigram (perplexity ~30) — the p75 of the synthetic
+    # corpus's 4.7-5.2 band, so the flag genuinely splits it; real
+    # corpora calibrate this against a held-out reference LM (CCNet)
+    thr_q16: int = 321_700,
+) -> DataFrame:
+    """Per-document bigram negative log-likelihood under the corpus's
+    own interpolated LM, in exact 2^-16-bit units, plus the perplexity
+    keep flag (avg bits/bigram <= ``thr_q16``): the model-based twin of
+    the heuristic quality rules, the CCNet wikipedia-LM filter shape
+    with the corpus itself as the model. Docs with < 2 tokens have no
+    bigrams and drop out (same convention as bigram_scores).
+
+    Self-trained-LM convention, stated: a hapax context's only observed
+    continuation is itself, so c_bg = c_w1 and p ≈ lam/100 — novel-word
+    salad scores LOW on tiny corpora. At corpus scale contexts are
+    shared and novel TRANSITIONS dominate the score (the CCNet setup
+    trains the model on a clean reference corpus instead; swap ``df``
+    for that corpus in the model branch to get exactly that).
+
+    Scale shape (inherits bigram_scores' single-pass design): ONE
+    corpus scan+explode into per-(doc,bigram) counts; bigram/context/
+    unigram tables all derive from that reduced table (no second corpus
+    pass); the interpolation scalars (C, V) ride along as a broadcast
+    1-row cross join onto the Zipf-small MODEL table, where the ~52-step
+    ilog chain runs — model-sized work, never corpus-sized. Scoring is
+    one model join back on (doc,bigram) + one per-doc aggregate."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    grams = (
+        spread(df)
+        .select("doc_id", tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "doc_id", F.explode(F.expr(_ngram_array("toks", 2))).alias("bg")
+        )
+    )
+    dc = (
+        grams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    freq = dc.groupBy("bg").agg(F.sum("cnt").alias("c_bg"))
+    pref = (
+        freq.groupBy(F.substring_index("bg", " ", 1).alias("w"))
+        .agg(F.sum("c_bg").alias("c_w"))
+    )
+    scal = pref.agg(
+        F.sum("c_w").alias("big_c"), F.count(F.lit(1)).alias("big_v")
+    )
+    uni = pref.select(F.col("w").alias("w2u"), F.col("c_w").alias("c_pw2"))
+    model = (
+        freq.withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(pref.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1"), on="w1")
+        .join(uni, F.col("w2") == F.col("w2u"), "left")
+        .withColumn("c_pw2", F.coalesce(F.col("c_pw2"), F.lit(0)))
+        .crossJoin(F.broadcast(scal))
+        .withColumn(
+            "num",
+            F.expr(
+                f"CAST({lam} AS BIGINT) * c_bg * (big_c + big_v) "
+                f"+ CAST({100 - lam} AS BIGINT) * (c_pw2 + 1) * c_w1"
+            ),
+        )
+        .withColumn(
+            "den",
+            F.expr("CAST(100 AS BIGINT) * c_w1 * (big_c + big_v)"),
+        )
+    )
+    for name, ex in ilog2_steps("num", "iln", _spark_idiv) + ilog2_steps(
+        "den", "ild", _spark_idiv
+    ):
+        model = model.withColumn(name, F.expr(ex))
+    model_bits = model.select(
+        "bg", (F.col("ild") - F.col("iln")).alias("bits")
+    )
+    per_doc = (
+        dc.join(model_bits, on="bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("bits")).alias("total_q16"),
+        )
+    )
+    out = per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        F.col("total_q16").cast("long").alias("nll_q16"),
+        F.expr("total_q16 div n_bigrams").cast("long").alias("avg_nll_q16"),
+        F.expr(
+            f"CASE WHEN total_q16 div n_bigrams <= {int(thr_q16)} "
+            "THEN 1 ELSE 0 END"
+        ).cast("int").alias("keep"),
+    )
+    return out
+
+
+def _duck_idiv(a, b) -> str:
+    return f"({a} // {b})"
+
+
+def perplexity_oracle_sql(lam: int = 90, thr_q16: int = 321_700) -> str:
+    """DuckDB replay of ``perplexity_scores``: same bigram model, same
+    rational interpolation, same shift-and-square ilog2 — rendered as a
+    chained-CTE pipeline (one CTE per recurrence step, num and den
+    advancing in lockstep) because the steps reference their own
+    previous columns."""
+    base = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ), dc AS (
+        SELECT doc_id, bg, COUNT(1) AS cnt FROM grams GROUP BY 1, 2
+    ), freq AS (
+        SELECT bg, SUM(cnt) AS c_bg FROM dc GROUP BY 1
+    ), pref AS (
+        SELECT split_part(bg, ' ', 1) AS w, SUM(c_bg) AS c_w
+        FROM freq GROUP BY 1
+    ), scal AS (
+        SELECT SUM(c_w) AS big_c, COUNT(1) AS big_v FROM pref
+    ), s0 AS (
+        SELECT f.bg,
+               CAST({lam} AS BIGINT) * f.c_bg * (s.big_c + s.big_v)
+                   + CAST({mu} AS BIGINT) * (COALESCE(p2.c_w, 0) + 1) * p1.c_w
+                   AS num,
+               CAST(100 AS BIGINT) * p1.c_w * (s.big_c + s.big_v) AS den
+        FROM freq f
+        JOIN pref p1 ON split_part(f.bg, ' ', 1) = p1.w
+        LEFT JOIN pref p2 ON split_part(f.bg, ' ', 2) = p2.w
+        CROSS JOIN scal s
+    )""".format(lam=lam, mu=100 - lam)
+    parts = [base]
+    num_steps = ilog2_steps("num", "iln", _duck_idiv)
+    den_steps = ilog2_steps("den", "ild", _duck_idiv)
+    prev = "s0"
+    for i, ((n1, e1), (n2, e2)) in enumerate(
+        zip(num_steps, den_steps), start=1
+    ):
+        parts.append(
+            f", s{i} AS (SELECT *, {e1} AS {n1}, {e2} AS {n2} FROM {prev})"
+        )
+        prev = f"s{i}"
+    parts.append(
+        f""", model AS (
+        SELECT bg, ild - iln AS bits FROM {prev}
+    ), per_doc AS (
+        SELECT dc.doc_id,
+               SUM(dc.cnt) AS n_bigrams,
+               SUM(dc.cnt * m.bits) AS total_q16
+        FROM dc JOIN model m ON dc.bg = m.bg
+        GROUP BY dc.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS INT) AS n_bigrams,
+           CAST(total_q16 AS BIGINT) AS nll_q16,
+           CAST(total_q16 // n_bigrams AS BIGINT) AS avg_nll_q16,
+           CAST(CASE WHEN total_q16 // n_bigrams <= {int(thr_q16)}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM per_doc"""
+    )
+    return "".join(parts)

@@ -83,6 +83,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
+    # ---- round-11 rotation TODO (for the next round's builder): the
+    # queries born in round 10 have zero driver evidence by construction
+    # (registered after the r10 window was pinned): graph_components
+    # (oracle-backed WCC) and text_perplexity_filter (oracle-backed
+    # fixed-point LM filter). Rotate them IN next round by displacing
+    # multi-green incumbents whose family keeps another in-window gate.
     # ---- round-10 rotation: the 18 queries born in round 9 — the only
     # registered queries with zero driver evidence (registered after the
     # r9 window was pinned) — rotate IN for first CORRECTNESS rows: the

@@ -985,3 +985,20 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.compression_ratio_filter(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+@query("text_perplexity_filter", oracle=TX.perplexity_oracle_sql(90, 321_700))
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering under a full cross-engine value gate — the
+    CCNet/Gopher LM-filter endgame bigram_scores points at: per-doc
+    negative log-likelihood under an interpolated (Jelinek-Mercer,
+    lam=90/100) bigram model of the corpus itself, in EXACT 2^-16-bit
+    units via the integer shift-and-square ilog2
+    (operators/text.perplexity_scores — probabilities stay rational,
+    only their logs are fixed-point, so Spark, DuckDB and Python compute
+    byte-identical scores). keep = avg bits/bigram <= ~4.908. One corpus
+    explode; all model tables Zipf-small; the ~52-step ilog chain runs
+    on the MODEL table only."""
+    return TX.perplexity_scores(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )

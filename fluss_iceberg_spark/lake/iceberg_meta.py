@@ -52,11 +52,16 @@ are scanned over their key columns only and key-matching rows become
 explicit (file_path, pos) tombstones; the engine's sequence rule made
 concrete. Cost is bounded to the touched buckets, once per delete.
 
+Fast-append manifest reuse (r10): when the table evolved append-only
+since the previous export (prior exported data files ⊆ current
+snapshot), the new manifest list references the prior export's data
+manifests AS-IS and writes one manifest for the delta only — export
+cost O(delta), the Iceberg fast-append shape. Rewrites, compaction, or
+expiry fall back to the full manifest rewrite.
+
 Deliberate simplifications, stated:
-- Each export covers the CURRENT snapshot (one snapshot entry, full
-  manifest rewrite — O(live files)); older exports remain readable and
-  are chained through metadata-log. Real Iceberg reuses manifests
-  across snapshots; an interchange export does not need to.
+- Each export covers the CURRENT snapshot (one snapshot entry); older
+  exports remain readable and are chained through metadata-log.
 - Delete manifests carry no partition summaries (spec-id 0): readers
   scan every delete file — correct, just unpruned (position-delete
   volume is collision-sized next to data).
@@ -798,6 +803,44 @@ def export_iceberg_metadata(table) -> str:
     # a partitioned table's real spec is id 1 and the default
     data_spec_id = 1 if spec_fields else 0
     manifests = []
+    # fast-append manifest reuse (r10): when the table evolved append-only
+    # since the previous export (prior exported data files ⊆ current
+    # snapshot), the prior export's data manifests are referenced AS-IS
+    # in the new manifest list — their entries keep their original
+    # snapshot/sequence numbers, which Iceberg's rules make exactly
+    # right (new position deletes at a higher sequence still apply) —
+    # and only the DELTA files get a manifest. Export cost drops from
+    # O(live files) to O(delta) on the append path; any rewrite,
+    # compaction, or expiry falls back to the full manifest rewrite.
+    cur_rels = list(snap.get("files") or [])
+    cur_abs = {os.path.join(tpath, r) for r in cur_rels}
+    delta_rels, reused = cur_rels, []
+    prev_doc = _prev_metadata(tpath)
+    if prev_doc is not None:
+        try:
+            prev_snap = [
+                s
+                for s in prev_doc["snapshots"]
+                if s["snapshot-id"] == prev_doc["current-snapshot-id"]
+            ][0]
+            _, prev_manifests, _ = read_avro(prev_snap["manifest-list"])
+            prev_paths: set = set()
+            cand = [m for m in prev_manifests if m["content"] == 0]
+            for m in cand:
+                _, prev_entries, _ = read_avro(m["manifest_path"])
+                prev_paths |= {
+                    e["data_file"]["file_path"] for e in prev_entries
+                }
+            if prev_paths and prev_paths <= cur_abs:
+                reused = cand
+                delta_rels = [
+                    r
+                    for r in cur_rels
+                    if os.path.join(tpath, r) not in prev_paths
+                ]
+        except (OSError, KeyError, IndexError, ValueError):
+            pass  # unreadable prior export → full rewrite
+    manifests.extend(reused)
     data_entries = [
         _entry(
             os.path.join(tpath, rel),
@@ -806,7 +849,7 @@ def export_iceberg_metadata(table) -> str:
                 rel, file_meta, part_spec, ice_schema
             ) if spec_fields else None,
         )
-        for rel in snap.get("files") or []
+        for rel in delta_rels
     ]
     # per-spec-field summaries so readers prune MANIFESTS before opening
     # them (contains_null + single-value-serialized bounds)
@@ -826,34 +869,39 @@ def export_iceberg_metadata(table) -> str:
                 "upper_bound": _single_value_bytes(typ, max(nn)) if nn else None,
             }
         )
-    m0 = os.path.join(meta_dir, f"manifest-{sid}-m0.avro")
-    write_avro(
-        m0,
-        manifest_entry_schema(part_avro_fields),
-        data_entries,
-        metadata={**_avro_meta(spec_fields, data_spec_id), "content": "data"},
-    )
-    manifests.append(
-        {
-            "manifest_path": m0,
-            "manifest_length": os.path.getsize(m0),
-            "partition_spec_id": data_spec_id,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": sid,
-            "added_files_count": len(data_entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": sum(
-                e["data_file"]["record_count"] for e in data_entries
-            ),
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": part_summaries,
-            "key_metadata": None,
-        }
-    )
+    if data_entries or not manifests:
+        # the delta manifest (everything, on the full-rewrite path); an
+        # empty-delta re-export with reused manifests writes none
+        m0 = os.path.join(meta_dir, f"manifest-{sid}-m0.avro")
+        write_avro(
+            m0,
+            manifest_entry_schema(part_avro_fields),
+            data_entries,
+            metadata={
+                **_avro_meta(spec_fields, data_spec_id), "content": "data"
+            },
+        )
+        manifests.append(
+            {
+                "manifest_path": m0,
+                "manifest_length": os.path.getsize(m0),
+                "partition_spec_id": data_spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": sid,
+                "added_files_count": len(data_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in data_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": part_summaries,
+                "key_metadata": None,
+            }
+        )
 
     # ---- position-delete manifest (spec-schema parquet rewrite) --------
     active_deletes = [
@@ -955,7 +1003,16 @@ def export_iceberg_metadata(table) -> str:
         )
         manifests.append(
             {
-                **manifests[0],
+                # explicit record — manifests[0] may be a REUSED data
+                # manifest carrying the OLD snapshot/sequence numbers
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": sid,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "key_metadata": None,
                 "manifest_path": m1,
                 "manifest_length": os.path.getsize(m1),
                 "partition_spec_id": 0,

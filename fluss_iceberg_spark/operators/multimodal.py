@@ -884,3 +884,102 @@ def video_scene_cuts(frame_stats: DataFrame, threshold_milli: int = 40) -> DataF
             (F.col("mean_milli") - F.col("prev_milli")).alias("delta_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pHash — DCT-based perceptual hash, the frequency-domain step up from
+# aHash (robust to brightness/contrast shifts because bits compare DCT
+# coefficients to their own median, not raw blocks to the global mean).
+# EXACT integer semantics end-to-end so the driver hash-gates it across
+# engines: luminance = channel sum // 3; 8x8 average pooling with block
+# assignment i = x*8 // w and value sum // count; unnormalized 2-D
+# DCT-II with a FIXED-POINT cosine table (round(cos((2t+1)u*pi/16) *
+# 2^14) — the 64 integers are generated once in Python and embedded
+# verbatim in both the kernel and the SQL oracle, so no engine ever
+# evaluates a transcendental); median = the 32nd-smallest of the 63 AC
+# coefficients (lower median, an order statistic — integer); bit_k =
+# coef_k > median, serialized as a 64-char '0'/'1' string (the aHash
+# convention — no int64 sign games). int64 bounds: |coef| <= 765 * 2^28
+# * 64 ≈ 1.3e13.
+# ---------------------------------------------------------------------------
+
+_DCT_SHIFT = 14
+
+
+def dct_cos_table() -> list:
+    """C[u][t] = round(cos((2t+1)·u·π/16) · 2^14) — 64 integers shared
+    by the numpy kernel and the DuckDB oracle (generated here, embedded
+    as literals there; Python's IEEE cos+round is the single source)."""
+    import math
+
+    return [
+        [
+            int(round(math.cos((2 * t + 1) * u * math.pi / 16) * (1 << _DCT_SHIFT)))
+            for t in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+def phash_bits(arr) -> str | None:
+    """64-bit pHash of a decoded raster (HxW or HxWx3 uint8) — see the
+    section comment for the exact integer pipeline. < 8x8 → None."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    if h < 8 or w < 8:
+        return None
+    gray = (
+        arr.astype(np.int64).sum(axis=2) // 3
+        if arr.ndim == 3
+        else arr.astype(np.int64)
+    )
+    bx = (np.arange(w) * 8) // w
+    by = (np.arange(h) * 8) // h
+    blk = (by[:, None] * 8 + bx[None, :]).ravel()
+    sums = np.zeros(64, dtype=np.int64)
+    np.add.at(sums, blk, gray.ravel())
+    counts = np.bincount(blk, minlength=64)
+    g = (sums // counts).reshape(8, 8)  # every block occupied when >=8x8
+    c = np.array(dct_cos_table(), dtype=np.int64)
+    d = c @ g @ c.T
+    flat = d.ravel()
+    med = int(np.sort(flat[1:])[31])  # lower median of the 63 AC coefs
+    return "".join("1" if v > med else "0" for v in flat)
+
+
+PHASH_SCHEMA = "doc_id long, width int, height int, phash string"
+
+
+def phash_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: raster decode → 64-bit DCT perceptual hash."""
+    from fluss_iceberg_spark.operators.rasters import decode_pixels
+
+    for pdf in batch_iter:
+        widths, heights, hashes = [], [], []
+        for payload in pdf["payload"]:
+            got = decode_pixels(payload) if payload is not None else None
+            if got is None:
+                widths.append(None)
+                heights.append(None)
+                hashes.append(None)
+                continue
+            arr, _mode = got
+            widths.append(arr.shape[1])
+            heights.append(arr.shape[0])
+            hashes.append(phash_bits(arr))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(widths, dtype="Int32"),
+                "height": pd.Series(heights, dtype="Int32"),
+                "phash": pd.Series(hashes, dtype="object"),
+            }
+        )
+
+
+def dct_hashes(binarized: DataFrame) -> DataFrame:
+    """Per-image 64-bit pHash over decoded rasters. Same 100 TB shape as
+    perceptual_hashes: per-payload kernel work, only (doc_id, 8-byte
+    fingerprint) ever leaves the scan."""
+    return binarized.mapInPandas(phash_kernel, schema=PHASH_SCHEMA)

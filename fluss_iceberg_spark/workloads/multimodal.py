@@ -541,3 +541,81 @@ def mp4_keyframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mp4_frame_stats(
         MM.synth_mp4_payloads(docs, with_sync=True), sync_only=True
     )
+
+
+def _phash_oracle_sql() -> str:
+    """DuckDB replay of the full pHash pipeline from doc_id arithmetic:
+    regenerate every pixel, pool, run the SAME fixed-point DCT (cos
+    table embedded as the SAME 64 integers the kernel uses), take the
+    order-statistic median, build the bit string. A hash match proves
+    the kernel decoded every pixel AND the frequency transform is
+    bit-identical."""
+    from fluss_iceberg_spark.operators.multimodal import dct_cos_table
+
+    cos_values = ", ".join(
+        f"({u}, {t}, {cv})"
+        for u, row in enumerate(dct_cos_table())
+        for t, cv in enumerate(row)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id % 9 + 8 AS w, doc_id % 5 + 8 AS h FROM documents
+    ),
+    lum AS (
+        SELECT doc_id, w, h, (p % w) AS x, (p // w) AS y,
+               (((doc_id * 31 + (p * 3) * 7) % 251)
+                + ((doc_id * 31 + (p * 3 + 1) * 7) % 251)
+                + ((doc_id * 31 + (p * 3 + 2) * 7) % 251)) // 3 AS lum
+        FROM d, UNNEST(range(0, w * h)) t(p)
+    ),
+    pool AS (
+        SELECT doc_id, (y * 8) // h AS bj, (x * 8) // w AS bi,
+               SUM(lum) // COUNT(1) AS g
+        FROM lum GROUP BY 1, 2, 3
+    ),
+    cost(u, t, cv) AS (VALUES {cos_values}),
+    dct AS (
+        SELECT p.doc_id, cu.u AS u, cv.u AS v,
+               SUM(p.g * cu.cv * cv.cv) AS coef
+        FROM pool p
+        JOIN cost cu ON cu.t = p.bj
+        JOIN cost cv ON cv.t = p.bi
+        GROUP BY 1, 2, 3
+    ),
+    med AS (
+        SELECT doc_id, coef AS med FROM (
+            SELECT doc_id, coef,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY coef
+                   ) AS rk
+            FROM dct WHERE u + v > 0
+        ) WHERE rk = 32
+    ),
+    hash AS (
+        SELECT dct.doc_id,
+               STRING_AGG(CASE WHEN dct.coef > med.med THEN '1' ELSE '0' END,
+                          '' ORDER BY dct.u * 8 + dct.v) AS phash
+        FROM dct JOIN med ON dct.doc_id = med.doc_id
+        GROUP BY dct.doc_id
+    )
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           hash.phash
+    FROM d JOIN hash ON d.doc_id = hash.doc_id
+    """
+
+
+@query("multimodal_phash", oracle=_phash_oracle_sql())
+def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (pHash) over real decoded PNG rasters — the
+    frequency-domain image fingerprint beside aHash's spatial one
+    (robust to global brightness/contrast because bits compare each DCT
+    coefficient to their own median). The kernel runs the whole
+    pipeline in exact integer arithmetic (operators/multimodal.
+    phash_bits: fixed-point cos table, order-statistic median), and the
+    oracle replays every pixel, the pooling, the transform, and the bit
+    string arithmetically from doc_id — a full value gate over a DCT.
+    100 TB: per-payload kernel work; 8 bytes/image leave the scan."""
+    from fluss_iceberg_spark.operators import multimodal as MM2
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM2.dct_hashes(MM2.synth_png_payloads(docs))

@@ -583,3 +583,59 @@ def test_pyiceberg_static_table_plans_same_files(spark):
         want = sorted(os.path.join(t.path, f) for f in t.snapshot().files)
         assert planned == want
         assert st.schema().column_names == ["k", "d", "price", "tags"]
+
+
+# ---------- fast-append manifest reuse ----------
+
+
+def test_reexport_reuses_manifests_on_append(spark):
+    """Append-only evolution: the second export must reference the first
+    export's data manifest AS-IS and write only a delta manifest; the
+    combined chain still resolves the exact current file set."""
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d)
+        t.append(spark.createDataFrame(_rows(0, 30), SCHEMA).coalesce(1))
+        _, _, m1st = _export_doc(t)
+        assert len(m1st) == 1
+        first_manifest = m1st[0]["manifest_path"]
+        t.append(spark.createDataFrame(_rows(30, 50), SCHEMA).coalesce(1))
+        _, doc2, m2nd = _export_doc(t)
+        paths = [m["manifest_path"] for m in m2nd]
+        assert first_manifest in paths  # reused verbatim
+        delta = [m for m in m2nd if m["manifest_path"] != first_manifest]
+        assert len(delta) == 1
+        # delta manifest holds ONLY the new files, at the new sequence
+        _, dentries, _ = read_avro(delta[0]["manifest_path"])
+        assert sum(e["data_file"]["record_count"] for e in dentries) == 20
+        assert all(
+            e["sequence_number"] == doc2["last-sequence-number"]
+            for e in dentries
+        )
+        # reused manifest keeps its ORIGINAL snapshot/sequence numbers
+        reused = [m for m in m2nd if m["manifest_path"] == first_manifest][0]
+        assert reused["sequence_number"] < doc2["last-sequence-number"]
+        # the full chain still resolves the exact live file set
+        got = set()
+        for m in m2nd:
+            _, entries, _ = read_avro(m["manifest_path"])
+            got |= {e["data_file"]["file_path"] for e in entries}
+        assert got == {os.path.join(t.path, f) for f in t.snapshot().files}
+
+
+def test_reexport_full_rewrite_after_compaction(spark):
+    """A rewrite (compaction) invalidates prior manifests — the export
+    must fall back to a full rewrite, never referencing dead files."""
+    with tempfile.TemporaryDirectory() as d:
+        t = _mk(spark, d)
+        t.append(spark.createDataFrame(_rows(0, 30), SCHEMA).coalesce(2))
+        _, _, m1st = _export_doc(t)
+        old_manifest = m1st[0]["manifest_path"]
+        t.compact()
+        _, _, m2nd = _export_doc(t)
+        assert old_manifest not in [m["manifest_path"] for m in m2nd]
+        live = set()
+        for m in m2nd:
+            _, entries, _ = read_avro(m["manifest_path"])
+            live |= {e["data_file"]["file_path"] for e in entries}
+        assert live == {os.path.join(t.path, f) for f in t.snapshot().files}
+        assert all(os.path.exists(p) for p in live)

@@ -284,3 +284,49 @@ def test_ahash_near_pairs_rejects_bad_radius(spark):
     df = spark.createDataFrame([(1, "0" * 64)], "doc_id long, ahash string")
     with pytest.raises(ValueError):
         ahash_near_pairs(df, max_hamming=8, n_bands=8)
+
+
+def test_phash_kernel_matches_oracle_arithmetic():
+    """phash_bits over the synthetic pixel model == the DuckDB oracle's
+    arithmetic replay (no Spark: the PNG decode path itself is gated by
+    png_pixel_stats; this pins the DCT/median/bit pipeline)."""
+    import duckdb
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.multimodal import phash_bits
+    from fluss_iceberg_spark.workloads.multimodal import _phash_oracle_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT UNNEST(range(0, 45)) AS doc_id")
+    rows = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_phash_oracle_sql()).fetchall()
+    }
+    for doc in range(45):
+        w, h = doc % 9 + 8, doc % 5 + 8
+        i = np.arange(w * h * 3, dtype=np.int64)
+        arr = ((doc * 31 + i * 7) % 251).reshape(h, w, 3).astype(np.uint8)
+        assert rows[doc] == (w, h, phash_bits(arr)), doc
+
+
+def test_phash_robust_to_brightness_not_structure():
+    """The property aHash lacks: a global brightness shift leaves the
+    pHash unchanged (DC absorbs it; AC coefficients and their median
+    shift-invariant), while transposing the image changes it."""
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.multimodal import phash_bits
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 200, size=(16, 16), dtype=np.int64)
+    base = phash_bits(arr)
+    assert phash_bits(arr + 40) == base  # brightness shift
+    assert phash_bits(arr.T) != base  # structural change
+
+
+def test_phash_small_image_none():
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.multimodal import phash_bits
+
+    assert phash_bits(np.zeros((7, 12), dtype=np.uint8)) is None

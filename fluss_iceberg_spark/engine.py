@@ -368,9 +368,11 @@ class Engine:
         if re.match(r"REFRESH\s+MATERIALIZED\s+VIEW\b", u):
             name = q.split()[-1].strip("`")
             res = self.views.refresh_matview(name)
+            # string-typed versions: join matviews track (a, b) pairs
             return self.spark.createDataFrame(
-                [(name, bool(res["refreshed"]), res["from"], res["to"])],
-                "name string, refreshed boolean, from_version long, to_version long",
+                [(name, bool(res["refreshed"]), str(res["from"]), str(res["to"]))],
+                "name string, refreshed boolean, from_version string, "
+                "to_version string",
             )
         if re.match(r"DROP\s+MATERIALIZED\s+VIEW\b", u):
             name = q.split()[-1].strip("`")

@@ -23,6 +23,12 @@ the only way COUNT(DISTINCT) can be maintained incrementally without
 re-scanning the base, and the standard trade at 100 TB (exact distinct
 state would be O(#distincts) per key).
 
+Join materialized views (r10): ``SELECT <cols> FROM a JOIN b ON <cond>
+[WHERE ...]`` over two append-only log bases — refresh appends exactly
+ΔA⋈B_new ∪ A_old⋈ΔB (inner join distributes over bag union, so the
+state is the precise bag join at every refresh; any deterministic ON
+predicate). The state itself is an append-only log table.
+
 The base must be an append-only log table: PK-table bases
 produce retractions (row replacements), which SUM/COUNT cannot undo
 without full recomputation — the same restriction Iceberg/Delta place on
@@ -52,6 +58,13 @@ _MV_SELECT_RE = re.compile(
     r"^SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?"
     r"(?:\s+WHERE\s+(.*?))?"
     r"(?:\s+GROUP\s+BY\s+(.*?))?$",
+    re.I | re.S,
+)
+
+# join materialized view: SELECT <proj> FROM a JOIN b ON <cond> [WHERE ...]
+_JMV_SELECT_RE = re.compile(
+    r"^SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s+JOIN\s+`?(\w+)`?"
+    r"\s+ON\s+(.*?)(?:\s+WHERE\s+(.*?))?$",
     re.I | re.S,
 )
 
@@ -171,6 +184,8 @@ class ViewManager:
     def create_matview(self, name: str, select: str) -> None:
         if name in self.matviews:
             raise ValueError(f"materialized view {name} already exists")
+        if re.search(r"\bJOIN\b", select, re.I):
+            return self._create_join_matview(name, select)
         m = _MV_SELECT_RE.match(select.strip())
         if not m:
             raise ValueError(f"cannot parse materialized-view SELECT: {select!r}")
@@ -225,6 +240,104 @@ class ViewManager:
         self._save()
         self.refresh_matview(name)
 
+    # ---- join materialized views (incremental view maintenance) ----
+
+    def _create_join_matview(self, name: str, select: str) -> None:
+        """V = A ⋈ B maintained incrementally (classic IVM): inner join
+        distributes over bag union, so with append-only bases
+
+            V_new = V_old  ∪  ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+        exactly (ΔA⋈ΔB lands once, inside the first term). The state is
+        an append-only log table — a join of append-only inputs is
+        append-only, which is why PK (upserting) bases are rejected: an
+        upsert retracts rows, and retraction needs delta-with-sign
+        (z-sets), a different operator. Any deterministic ON predicate
+        is supported (the algebra is predicate-agnostic).
+
+        100 TB refresh shape: ΔA⋈B_new scans B through its own
+        stats/bucket pruning with a small delta side Catalyst/AQE will
+        broadcast; A_old⋈ΔB is symmetric; refresh work is
+        O(|ΔA| + |ΔB| + matched rows), independent of |V|."""
+        m = _JMV_SELECT_RE.match(select.strip())
+        if not m:
+            raise ValueError(
+                f"cannot parse join materialized-view SELECT: {select!r}"
+            )
+        proj, a_name, b_name, cond, where = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        )
+        for bn in (a_name, b_name):
+            if self.engine.catalog.load(bn).primary_key:
+                raise ValueError(
+                    f"join materialized view base {bn} is a PK table; "
+                    "incremental join maintenance needs append-only log "
+                    "bases (PK upserts retract rows — that needs signed "
+                    "deltas, not this operator)"
+                )
+        defn = {
+            "kind": "join",
+            "a": a_name,
+            "b": b_name,
+            "on": cond.strip(),
+            "where": (where or "").strip() or None,
+            "proj": [p.strip() for p in _split_top_level(proj)],
+            "last_a": -1,
+            "last_b": -1,
+        }
+        a = self.engine.catalog.load(a_name)
+        b = self.engine.catalog.load(b_name)
+        schema = self._join_frame(
+            a.read().limit(0), b.read().limit(0), defn
+        ).schema
+        self.engine.catalog.create_table(
+            self._state_name(name), schema, n_buckets=a.n_buckets
+        )
+        self.matviews[name] = defn
+        self._save()
+        self.refresh_matview(name)
+
+    def _join_frame(self, da: DataFrame, db: DataFrame, defn: dict) -> DataFrame:
+        j = da.alias(defn["a"]).join(
+            db.alias(defn["b"]), F.expr(defn["on"]), "inner"
+        )
+        if defn["where"]:
+            j = j.filter(F.expr(defn["where"]))
+        return j.selectExpr(*defn["proj"])
+
+    def _refresh_join_matview(self, name: str) -> dict:
+        defn = self.matviews[name]
+        a = self.engine.catalog.load(defn["a"])
+        b = self.engine.catalog.load(defn["b"])
+        state = self.engine.catalog.load(self._state_name(name))
+        cur_a = a.current_version() if a.snapshot() is not None else -1
+        cur_b = b.current_version() if b.snapshot() is not None else -1
+        last_a, last_b = defn["last_a"], defn["last_b"]
+        if cur_a <= last_a and cur_b <= last_b:
+            return {"refreshed": False, "from": (last_a, last_b),
+                    "to": (cur_a, cur_b)}
+        deltas = []
+        if cur_a > last_a:
+            da = a.incremental_read(last_a, cur_a)
+            b_new = b.read() if cur_b >= 0 else b.read().limit(0)
+            deltas.append(self._join_frame(da, b_new, defn))
+        if cur_b > last_b:
+            a_old = (
+                a.read(version=last_a) if last_a >= 0 else a.read().limit(0)
+            )
+            db = b.incremental_read(last_b, cur_b)
+            deltas.append(self._join_frame(a_old, db, defn))
+        delta = deltas[0]
+        for d in deltas[1:]:
+            delta = delta.unionByName(d)
+        state.append(delta)
+        state.maybe_auto_compact()
+        state.maybe_auto_expire()
+        defn["last_a"], defn["last_b"] = cur_a, cur_b
+        self._save()
+        return {"refreshed": True, "from": (last_a, last_b),
+                "to": (cur_a, cur_b)}
+
     def drop_matview(self, name: str) -> None:
         if name not in self.matviews:
             raise ValueError(f"materialized view {name} does not exist")
@@ -269,6 +382,8 @@ class ViewManager:
         and upserts just those keys — refresh work is proportional to
         the delta and its touched key set, independent of base size."""
         defn = self.matviews[name]
+        if defn.get("kind") == "join":
+            return self._refresh_join_matview(name)
         base = self.engine.catalog.load(defn["base"])
         state = self.engine.catalog.load(self._state_name(name))
         cur = base.current_version() if base.snapshot() is not None else -1
@@ -326,10 +441,13 @@ class ViewManager:
 
     def read_matview(self, name: str) -> DataFrame:
         """Finalized MV content: state columns, with AVG computed from
-        its hidden (sum, count) pair."""
+        its hidden (sum, count) pair. Join matviews read their
+        append-only state verbatim."""
         defn = self.matviews[name]
         state = self.engine.catalog.load(self._state_name(name))
         df = state.read()
+        if defn.get("kind") == "join":
+            return df
         out = list(defn["keys"])
         for func, _arg, alias in defn["aggs"]:
             if func == "AVG":

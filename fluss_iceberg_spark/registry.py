@@ -86,9 +86,12 @@ _PRIORITY = [
     # ---- round-11 rotation TODO (for the next round's builder): the
     # queries born in round 10 have zero driver evidence by construction
     # (registered after the r10 window was pinned): graph_components
-    # (oracle-backed WCC) and text_perplexity_filter (oracle-backed
-    # fixed-point LM filter). Rotate them IN next round by displacing
-    # multi-green incumbents whose family keeps another in-window gate.
+    # (oracle-backed WCC), text_perplexity_filter (oracle-backed
+    # fixed-point LM filter), multimodal_phash (oracle-backed integer
+    # DCT fingerprint), and lake_ivm_join_view (oracle-backed
+    # incremental join-view maintenance). Rotate them IN next round by
+    # displacing multi-green incumbents whose family keeps another
+    # in-window gate.
     # ---- round-10 rotation: the 18 queries born in round 9 — the only
     # registered queries with zero driver evidence (registered after the
     # r9 window was pinned) — rotate IN for first CORRECTNESS rows: the

@@ -1127,3 +1127,68 @@ def spj_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("balance").cast("double").alias("total_balance"),
     )
+
+
+@query(
+    "lake_ivm_join_view",
+    oracle="""
+    SELECT o.o_orderkey AS order_key,
+           c.c_name AS cust_name,
+           c.c_mktsegment AS mktsegment,
+           CAST(o.o_totalprice AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def lake_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (classic IVM, plans/views.py
+    _create_join_matview): V = orders ⋈ customer kept fresh as BOTH
+    bases grow — inner join distributes over bag union, so each refresh
+    appends exactly ΔA⋈B_new ∪ A_old⋈ΔB to the state, O(delta + matched
+    rows), never O(V). The drive interleaves appends on both sides with
+    refreshes (orders in two batches, customers in two batches, plus a
+    no-op refresh), so every delta term and the dedup-free ΔA⋈ΔB
+    accounting are exercised; the final state must equal the one-shot
+    batch join of everything (the oracle)."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, _scratch(sf_dir, "ivm_join"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("order_key"),
+        F.col("o_custkey").cast("long").alias("cust_key"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("total_price"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("cust_key"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    ot = eng.create_table("ivm_orders", orders.schema)
+    ct = eng.create_table("ivm_cust", cust.schema)
+    # batch 1 of each side lands before CREATE (initial build)
+    ot.append(orders.filter(F.col("order_key") % 2 == 0))
+    ct.append(cust.filter(F.col("cust_key") % 2 == 0))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_urgent_orders AS "
+        "SELECT ivm_orders.order_key AS order_key, "
+        "ivm_cust.cust_name AS cust_name, "
+        "ivm_cust.mktsegment AS mktsegment, "
+        "ivm_orders.total_price AS total_price "
+        "FROM ivm_orders JOIN ivm_cust "
+        "ON ivm_orders.cust_key = ivm_cust.cust_key "
+        "WHERE ivm_orders.order_priority = '1-URGENT'"
+    )
+    # ΔA only (new orders join ALL current customers)
+    ot.append(orders.filter(F.col("order_key") % 2 == 1))
+    eng.sql("REFRESH MATERIALIZED VIEW mv_urgent_orders")
+    # ΔB only (old orders join the new customers)
+    ct.append(cust.filter(F.col("cust_key") % 2 == 1))
+    eng.sql("REFRESH MATERIALIZED VIEW mv_urgent_orders")
+    # no-op refresh must change nothing
+    eng.sql("REFRESH MATERIALIZED VIEW mv_urgent_orders")
+    return eng.sql(
+        "SELECT order_key, cust_name, mktsegment, "
+        "CAST(total_price AS DOUBLE) AS total_price FROM mv_urgent_orders"
+    )

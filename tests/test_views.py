@@ -254,3 +254,88 @@ def test_drop_table_sql_evicts_cache_and_companions(spark, eng):
     # the cache must not serve the old view
     eng.catalog.create_table("ev_t", SCHEMA)
     assert eng.sql("SELECT COUNT(*) AS n FROM ev_t").collect()[0].n == 0
+
+
+# ---- join materialized views (incremental view maintenance) ----
+
+
+def _jmv_rows(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+def test_join_matview_delta_algebra(spark, eng):
+    """ΔA⋈B_new ∪ A_old⋈ΔB: every term exercised, ΔA⋈ΔB counted ONCE,
+    final state == one-shot join, duplicates (bag semantics) preserved."""
+    a = eng.create_table(
+        "jl", T.StructType([T.StructField("ak", T.LongType(), False),
+                            T.StructField("av", T.StringType(), True)])
+    )
+    b = eng.create_table(
+        "jr", T.StructType([T.StructField("bk", T.LongType(), False),
+                            T.StructField("bv", T.StringType(), True)])
+    )
+    a.append(spark.createDataFrame([(1, "a1"), (2, "a2")], a.schema))
+    b.append(spark.createDataFrame([(1, "b1"), (1, "b1dup")], b.schema))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW jv AS "
+        "SELECT jl.ak AS ak, jl.av AS av, jr.bv AS bv "
+        "FROM jl JOIN jr ON jl.ak = jr.bk"
+    )
+    got = {(r.ak, r.av, r.bv) for r in eng.sql("SELECT * FROM jv").collect()}
+    assert got == {(1, "a1", "b1"), (1, "a1", "b1dup")}
+    # ΔA and ΔB in the SAME refresh: ΔA joins B_new (so ΔA⋈ΔB lands
+    # here), A_old joins ΔB only
+    a.append(spark.createDataFrame([(3, "a3"), (2, "a2x")], a.schema))
+    b.append(spark.createDataFrame([(2, "b2"), (3, "b3")], b.schema))
+    eng.sql("REFRESH MATERIALIZED VIEW jv")
+    rows = [(r.ak, r.av, r.bv) for r in eng.sql("SELECT * FROM jv").collect()]
+    want_bag = sorted([
+        (1, "a1", "b1"), (1, "a1", "b1dup"),
+        (2, "a2", "b2"), (2, "a2x", "b2"),
+        (3, "a3", "b3"),
+    ])
+    assert sorted(rows) == want_bag  # exact bag, no double-counted ΔA⋈ΔB
+    # no-op refresh appends nothing
+    res = eng.views.refresh_matview("jv")
+    assert res["refreshed"] is False
+    assert sorted(
+        (r.ak, r.av, r.bv) for r in eng.sql("SELECT * FROM jv").collect()
+    ) == want_bag
+
+
+def test_join_matview_rejects_pk_base(spark, eng):
+    eng.create_table("pl", SCHEMA, primary_key=["k"])
+    eng.create_table("ll", SCHEMA)
+    with pytest.raises(ValueError, match="PK table"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW jv2 AS "
+            "SELECT ll.k AS k, pl.v AS v FROM ll JOIN pl ON ll.k = pl.k"
+        )
+
+
+def test_join_matview_where_and_persistence(spark, eng):
+    """WHERE folds into every delta; the definition survives a fresh
+    Engine over the same warehouse (the _views.json contract)."""
+    a = eng.create_table(
+        "pa", T.StructType([T.StructField("ak", T.LongType(), False),
+                            T.StructField("pri", T.StringType(), True)])
+    )
+    b = eng.create_table(
+        "pb", T.StructType([T.StructField("bk", T.LongType(), False),
+                            T.StructField("nm", T.StringType(), True)])
+    )
+    a.append(spark.createDataFrame([(1, "HI"), (2, "LO")], a.schema))
+    b.append(spark.createDataFrame([(1, "x"), (2, "y")], b.schema))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW jvw AS "
+        "SELECT pa.ak AS ak, pb.nm AS nm FROM pa JOIN pb "
+        "ON pa.ak = pb.bk WHERE pa.pri = 'HI'"
+    )
+    assert [(r.ak, r.nm) for r in eng.sql("SELECT * FROM jvw").collect()] == [(1, "x")]
+    eng2 = Engine(spark, eng.catalog.warehouse)
+    a.append(spark.createDataFrame([(3, "HI")], a.schema))
+    b.append(spark.createDataFrame([(3, "z")], b.schema))
+    eng2.sql("REFRESH MATERIALIZED VIEW jvw")
+    assert sorted(
+        (r.ak, r.nm) for r in eng2.sql("SELECT * FROM jvw").collect()
+    ) == [(1, "x"), (3, "z")]

@@ -2897,13 +2897,21 @@ class LakeTable:
         return (lo, hi)
 
     def changelog(
-        self, from_version: int, to_version: int | None = None
+        self, from_version: int, to_version: int | None = None,
+        mode: str = "compact",
     ) -> DataFrame:
         """CDC diff scan for PK tables (the Fluss/Paimon changelog-read
         role; log tables use ``incremental_read``): one row per key whose
         state changed between the two snapshots, with
         ``op ∈ {insert, update, delete}`` and the key's NEW values
         (OLD values for deletes).
+
+        ``mode="full"`` emits the Flink retraction-stream form instead:
+        an update becomes TWO rows — ``update_before`` carrying the old
+        values and ``update_after`` the new — so downstream consumers
+        can maintain signed-delta state (the retractable-matview path);
+        inserts/deletes are unchanged. Same scan, no extra I/O: the
+        full-outer diff join already holds both images.
 
         Scale shape: buckets whose file sets are identical between the
         snapshots cannot contain changes and are pruned from the scan
@@ -3026,7 +3034,31 @@ class LakeTable:
             .alias(c)
             for c in fields
         ]
-        return j.select(op.alias("op"), *out_cols).filter(F.col("op").isNotNull())
+        compact = j.select(op.alias("op"), *out_cols).filter(
+            F.col("op").isNotNull()
+        )
+        if mode == "compact":
+            return compact
+        if mode != "full":
+            raise ValueError(f"changelog mode {mode!r}: compact|full")
+        # retraction form: update → (update_before: old values,
+        # update_after: new values); insert/delete pass through
+        before_cols = [
+            F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c)
+            if c in self.primary_key
+            else F.col(f"o.{c}").alias(c)
+            for c in fields
+        ]
+        upd = j.filter(op == "update")
+        return (
+            compact.filter(F.col("op") != "update")
+            .unionByName(
+                upd.select(F.lit("update_before").alias("op"), *before_cols)
+            )
+            .unionByName(
+                upd.select(F.lit("update_after").alias("op"), *out_cols)
+            )
+        )
 
     def incremental_read(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental append scan (the Iceberg ``incremental read``

@@ -29,11 +29,16 @@ Join materialized views (r10): ``SELECT <cols> FROM a JOIN b ON <cond>
 state is the precise bag join at every refresh; any deterministic ON
 predicate). The state itself is an append-only log table.
 
-The base must be an append-only log table: PK-table bases
-produce retractions (row replacements), which SUM/COUNT cannot undo
-without full recomputation — the same restriction Iceberg/Delta place on
-incremental MV maintenance. AVG keeps hidden (sum, count) state columns
-and finalizes on read.
+Retractable matviews (r10): a PK (upserting) base is supported for
+SUM/COUNT/AVG by consuming the base's RETRACTION STREAM — changelog
+``mode="full"`` emits update_before/update_after pairs and the refresh
+merges SIGNED partial state (+1 additions, -1 retractions), Flink's
+retract-stream aggregation over the lake changelog. A hidden
+``__rt_cnt`` liveness column makes fully-retracted groups disappear
+from reads. MIN/MAX/APPROX_COUNT_DISTINCT remain log-base-only: their
+state cannot be retracted incrementally (rejected with that
+explanation). AVG keeps hidden (sum, count) state columns and
+finalizes on read.
 
 Definitions persist in ``<warehouse>/_views.json`` so a fresh engine
 session sees the same view surface (the catalog is the durable store,
@@ -199,12 +204,7 @@ class ViewManager:
                 "a constant column)"
             )
         base = self.engine.catalog.load(base_name)
-        if base.primary_key:
-            raise ValueError(
-                f"materialized view base {base_name} is a PK table; "
-                "incremental maintenance needs an append-only log base "
-                "(PK upserts retract rows, which SUM/COUNT cannot undo)"
-            )
+        retract = bool(base.primary_key)
         keys = [c.strip().strip("`") for c in _split_top_level(group_by or "")]
         aggs = []  # (func, arg_expr, alias)
         for item in _split_top_level(proj):
@@ -220,15 +220,30 @@ class ViewManager:
                 )
         if not aggs:
             raise ValueError("materialized view needs at least one aggregate")
+        if retract:
+            bad = [f for f, _a, _n in aggs
+                   if f in ("MIN", "MAX", "APPROX_COUNT_DISTINCT")]
+            if bad:
+                raise ValueError(
+                    f"materialized view base {base_name} is a PK table "
+                    f"(retraction stream): {'/'.join(sorted(set(bad)))} "
+                    "state cannot be retracted incrementally — only "
+                    "SUM/COUNT/AVG are maintainable under signed deltas"
+                )
         defn = {
             "base": base_name,
             "where": where,
             "keys": keys,
             "aggs": [list(a) for a in aggs],
+            "retract": retract,
             "last_version": -1,
         }
         # state table: PK = group keys, schema from the partial aggregate
-        state_schema = self._partial_agg(base.read().limit(0), defn).schema
+        if retract:
+            empty = base.read().limit(0).withColumn("op", F.lit("insert"))
+            state_schema = self._signed_partial_agg(empty, defn).schema
+        else:
+            state_schema = self._partial_agg(base.read().limit(0), defn).schema
         self.engine.catalog.create_table(
             self._state_name(name),
             state_schema,
@@ -350,6 +365,41 @@ class ViewManager:
     def _state_name(name: str) -> str:
         return f"__mv_{name}"
 
+    def _signed_partial_agg(self, chg: DataFrame, defn: dict) -> DataFrame:
+        """Signed-delta partial state over a retraction stream (``op`` ∈
+        insert/delete/update_before/update_after): additions count +1,
+        retractions −1 — ΔSUM(x) = Σ sign·x, ΔCOUNT(x) = Σ sign·(x IS
+        NOT NULL), AVG via its hidden signed (sum, count). A hidden
+        ``__rt_cnt`` = Σ sign tracks group liveness so a group whose
+        rows are all retracted disappears from reads (GROUP BY
+        semantics), even though its zeroed state row remains until the
+        next touch."""
+        sign = F.when(
+            F.col("op").isin("insert", "update_after"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        if defn["where"]:
+            chg = chg.filter(F.expr(defn["where"]))
+        cols = []
+        for func, arg, alias in defn["aggs"]:
+            e = F.expr(arg)
+            if func == "SUM":
+                cols.append(F.sum(sign * e).alias(alias))
+            elif func == "COUNT":
+                counted = (
+                    F.lit(1) if arg.strip() == "*"
+                    else e.isNotNull().cast("long")
+                )
+                cols.append(F.sum(sign * counted).alias(alias))
+            elif func == "AVG":
+                cols.append(F.sum(sign * e).alias(f"__{alias}_sum"))
+                cols.append(
+                    F.sum(sign * e.isNotNull().cast("long")).alias(
+                        f"__{alias}_cnt"
+                    )
+                )
+        cols.append(F.sum(sign).alias("__rt_cnt"))
+        return chg.groupBy(*[F.col(k) for k in defn["keys"]]).agg(*cols)
+
     def _partial_agg(self, df: DataFrame, defn: dict) -> DataFrame:
         """Group the (delta) frame into mergeable per-key state: SUM /
         COUNT / MIN / MAX merge with themselves; AVG becomes hidden
@@ -390,9 +440,18 @@ class ViewManager:
         last = defn["last_version"]
         if cur <= last:
             return {"refreshed": False, "from": last, "to": cur}
-        delta = self._partial_agg(
-            base.incremental_read(last, cur), defn
-        )
+        retract = bool(defn.get("retract"))
+        if retract:
+            # PK base: the delta is the RETRACTION STREAM between the
+            # snapshots — signed partial aggregation (changed-bucket
+            # pruned scan, same O(delta) property as incremental_read)
+            delta = self._signed_partial_agg(
+                base.changelog(last, cur, mode="full"), defn
+            )
+        else:
+            delta = self._partial_agg(
+                base.incremental_read(last, cur), defn
+            )
         keys = defn["keys"]
         merged = delta
         if state.snapshot() is not None and state.snapshot().total_rows > 0:
@@ -403,11 +462,16 @@ class ViewManager:
             )
             joined = delta.join(o, on=keys, how="left")
             combine = []
-            for func, _arg, alias in defn["aggs"]:
+            agg_specs = list(defn["aggs"])
+            if retract:
+                agg_specs.append(("__RT", "*", "__rt_cnt"))
+            for func, _arg, alias in agg_specs:
                 if func == "AVG":
                     names = [f"__{alias}_sum", f"__{alias}_cnt"]
                 elif func == "APPROX_COUNT_DISTINCT":
                     names = [f"__{alias}_hll"]
+                elif func == "__RT":
+                    names = ["__rt_cnt"]
                 else:
                     names = [alias]
                 for c in names:
@@ -448,6 +512,9 @@ class ViewManager:
         df = state.read()
         if defn.get("kind") == "join":
             return df
+        if defn.get("retract"):
+            # a fully-retracted group's zeroed state row is not a group
+            df = df.filter(F.col("__rt_cnt") > 0)
         out = list(defn["keys"])
         for func, _arg, alias in defn["aggs"]:
             if func == "AVG":

@@ -1192,3 +1192,72 @@ def lake_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT order_key, cust_name, mktsegment, "
         "CAST(total_price AS DOUBLE) AS total_price FROM mv_urgent_orders"
     )
+
+
+@query(
+    "lake_ivm_retract_view",
+    oracle="""
+    WITH live AS (
+        SELECT c_custkey AS cust_key,
+               c_mktsegment AS mktsegment,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN CAST(c_acctbal AS DECIMAL(15,2)) + 100
+                    ELSE CAST(c_acctbal AS DECIMAL(15,2)) END AS bal
+        FROM customer
+        WHERE c_custkey % 7 <> 0
+    )
+    SELECT mktsegment,
+           CAST(SUM(bal) AS DOUBLE) AS sum_bal,
+           COUNT(1) AS n_cust,
+           CAST(CAST(SUM(bal) AS DOUBLE) / COUNT(1) AS DOUBLE) AS avg_bal
+    FROM live GROUP BY mktsegment
+    """,
+)
+def lake_ivm_retract_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-capable materialized view over a PK (upserting) base —
+    the case plain incremental aggregation cannot handle: an upsert
+    retracts the old row, so each refresh consumes the RETRACTION
+    STREAM (changelog mode="full": update_before/update_after pairs)
+    and merges SIGNED partial state, +1 for additions, -1 for
+    retractions (plans/views.py _signed_partial_agg). Exercised here
+    with all three change kinds: inserts (initial merge), updates
+    (+100 to every key % 3 == 0 balance — the old value must be
+    subtracted, not summed twice), and equality deletes (every key
+    % 7 == 0 — their groups must shed the full contribution; a fully
+    retracted group disappears via the hidden __rt_cnt liveness
+    column). Final MV state must equal the one-shot GROUP BY of the
+    surviving rows (the oracle). MIN/MAX state is rejected for PK
+    bases — not retractable incrementally — with the signed-delta
+    explanation."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, _scratch(sf_dir, "ivm_retract"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("cust_key"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").cast("decimal(15,2)").alias("bal"),
+    )
+    t = eng.create_table("cust_pk", cust.schema, primary_key=["cust_key"])
+    t.merge(cust)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_seg_bal AS "
+        "SELECT mktsegment, SUM(bal) AS sum_bal, COUNT(1) AS n_cust, "
+        "AVG(bal) AS avg_bal FROM cust_pk GROUP BY mktsegment"
+    )
+    # updates: +100 to every key % 3 == 0 (retract old, add new)
+    t.merge(
+        cust.filter(F.col("cust_key") % 3 == 0).withColumn(
+            "bal", (F.col("bal") + 100).cast("decimal(15,2)")
+        )
+    )
+    eng.sql("REFRESH MATERIALIZED VIEW mv_seg_bal")
+    # equality deletes: every key % 7 == 0 sheds its (updated) value
+    t.delete_by_key(
+        cust.filter(F.col("cust_key") % 7 == 0).select("cust_key")
+    )
+    eng.sql("REFRESH MATERIALIZED VIEW mv_seg_bal")
+    return eng.sql(
+        "SELECT mktsegment, CAST(sum_bal AS DOUBLE) AS sum_bal, n_cust, "
+        "CAST(CAST(sum_bal AS DOUBLE) / n_cust AS DOUBLE) AS avg_bal "
+        "FROM mv_seg_bal"
+    )

@@ -98,10 +98,12 @@ def test_matview_persists_across_engine_sessions(spark, eng):
     assert eng2.sql("SELECT * FROM mv").collect()[0].s == 3
 
 
-def test_matview_rejects_pk_base_and_bad_projection(spark, eng):
+def test_matview_rejects_pk_base_minmax_and_bad_projection(spark, eng):
+    # PK bases are supported via the retraction stream since r10 — but
+    # only for SUM/COUNT/AVG; MIN/MAX state cannot be retracted
     eng.create_table("pkt", SCHEMA, primary_key=["k"])
-    with pytest.raises(ValueError, match="append-only log"):
-        eng.sql("CREATE MATERIALIZED VIEW m1 AS SELECT k, SUM(v) AS s FROM pkt GROUP BY k")
+    with pytest.raises(ValueError, match="cannot be retracted"):
+        eng.sql("CREATE MATERIALIZED VIEW m1 AS SELECT k, MIN(v) AS s FROM pkt GROUP BY k")
     t = eng.create_table("base", SCHEMA)
     t.append(_rows(spark, [("a", 1)]))
     with pytest.raises(ValueError, match="GROUP BY key or AGG"):
@@ -339,3 +341,57 @@ def test_join_matview_where_and_persistence(spark, eng):
     assert sorted(
         (r.ak, r.nm) for r in eng2.sql("SELECT * FROM jvw").collect()
     ) == [(1, "x"), (3, "z")]
+
+
+# ---- retractable matviews over PK bases (signed deltas) ----
+
+
+def test_retract_matview_update_delete_cycle(spark, eng):
+    t = eng.create_table("acct", SCHEMA, primary_key=["k"])
+    t.merge(_rows(spark, [("a", 10), ("b", 5), ("c", 7)]))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_tot AS "
+        "SELECT k, SUM(v) AS s, COUNT(v) AS n FROM acct GROUP BY k"
+    )
+    got = {r.k: (r.s, r.n) for r in eng.sql("SELECT * FROM mv_tot").collect()}
+    assert got == {"a": (10, 1), "b": (5, 1), "c": (7, 1)}
+    # upsert: old value must be RETRACTED, not double-counted
+    t.merge(_rows(spark, [("a", 100)]))
+    eng.sql("REFRESH MATERIALIZED VIEW mv_tot")
+    got = {r.k: (r.s, r.n) for r in eng.sql("SELECT * FROM mv_tot").collect()}
+    assert got == {"a": (100, 1), "b": (5, 1), "c": (7, 1)}
+    # delete: the fully-retracted group disappears (GROUP BY semantics)
+    t.delete_by_key(spark.createDataFrame([("b",)], "k string"))
+    eng.sql("REFRESH MATERIALIZED VIEW mv_tot")
+    got = {r.k: (r.s, r.n) for r in eng.sql("SELECT * FROM mv_tot").collect()}
+    assert got == {"a": (100, 1), "c": (7, 1)}
+    # re-insert after full retraction resurrects the group
+    t.merge(_rows(spark, [("b", 50)]))
+    eng.sql("REFRESH MATERIALIZED VIEW mv_tot")
+    got = {r.k: (r.s, r.n) for r in eng.sql("SELECT * FROM mv_tot").collect()}
+    assert got == {"a": (100, 1), "b": (50, 1), "c": (7, 1)}
+
+
+def test_retract_matview_rejects_minmax(spark, eng):
+    eng.create_table("acct2", SCHEMA, primary_key=["k"])
+    with pytest.raises(ValueError, match="cannot be retracted"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mv_bad AS "
+            "SELECT k, MAX(v) AS m FROM acct2 GROUP BY k"
+        )
+
+
+def test_changelog_full_mode_pairs(spark, eng):
+    t = eng.create_table("cl", SCHEMA, primary_key=["k"])
+    t.merge(_rows(spark, [("a", 1), ("b", 2)]))
+    v1 = t.current_version()
+    t.merge(_rows(spark, [("a", 9), ("z", 3)]))
+    rows = sorted(
+        (r.op, r.k, r.v)
+        for r in t.changelog(v1, mode="full").collect()
+    )
+    assert rows == [
+        ("insert", "z", 3),
+        ("update_after", "a", 9),
+        ("update_before", "a", 1),
+    ]

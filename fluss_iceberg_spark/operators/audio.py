@@ -105,3 +105,57 @@ def zero_crossings(channel: np.ndarray) -> int:
     is (s[i-1] < 0) != (s[i] < 0) — zero counts as non-negative."""
     neg = channel < 0
     return int((neg[1:] != neg[:-1]).sum())
+
+
+# ---------------------------------------------------------------------------
+# Fixed-frame integer DFT — real frequency-domain DSP under a cross-engine
+# value gate (the audio twin of the pHash DCT). Every clip's channel-0
+# signal is truncated/zero-padded to a 64-sample frame and probed at bins
+# k ∈ {1, 2, 4, 8}: X[k] = Σ_t x[t]·cis(-2πkt/64), with cos/sin as a
+# FIXED-POINT 64-entry table (round(trig·2^14), generated once in Python,
+# embedded verbatim in the SQL oracle) and the angle index (k·t) mod 64 —
+# pure integer multiply/accumulate, so Spark/DuckDB/Python agree to the
+# bit. Power = re² + im² (int64: |re| ≤ 64·2000·2^14 ≈ 2.1e9, power ≤
+# 4.4e18 < 2^63). 100 TB: per-payload kernel work; at production frame
+# sizes the same table-driven form is the Goertzel/FFT seam.
+# ---------------------------------------------------------------------------
+
+DFT_FRAME = 64
+DFT_SHIFT = 14
+DFT_BINS = (1, 2, 4, 8)
+
+
+def dft64_tables() -> tuple:
+    """(cos, sin) fixed-point tables: trig(2π·a/64)·2^14 for a=0..63."""
+    import math
+
+    cos = [
+        int(round(math.cos(2 * math.pi * a / DFT_FRAME) * (1 << DFT_SHIFT)))
+        for a in range(DFT_FRAME)
+    ]
+    sin = [
+        int(round(math.sin(2 * math.pi * a / DFT_FRAME) * (1 << DFT_SHIFT)))
+        for a in range(DFT_FRAME)
+    ]
+    return cos, sin
+
+
+def spectrum64(channel: np.ndarray) -> dict:
+    """Integer DFT powers at the probe bins over the 64-sample frame,
+    plus the dominant bin (max power; ties → lowest bin)."""
+    x = np.zeros(DFT_FRAME, dtype=np.int64)
+    n = min(len(channel), DFT_FRAME)
+    x[:n] = np.asarray(channel[:n], dtype=np.int64)
+    cos, sin = dft64_tables()
+    cos = np.array(cos, dtype=np.int64)
+    sin = np.array(sin, dtype=np.int64)
+    out = {}
+    t = np.arange(DFT_FRAME, dtype=np.int64)
+    for k in DFT_BINS:
+        idx = (k * t) % DFT_FRAME
+        re = int((x * cos[idx]).sum())
+        im = int((-x * sin[idx]).sum())
+        out[f"p{k}"] = re * re + im * im
+    powers = [out[f"p{k}"] for k in DFT_BINS]
+    out["dom_bin"] = DFT_BINS[powers.index(max(powers))]
+    return out

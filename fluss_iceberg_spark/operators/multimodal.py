@@ -983,3 +983,44 @@ def dct_hashes(binarized: DataFrame) -> DataFrame:
     perceptual_hashes: per-payload kernel work, only (doc_id, 8-byte
     fingerprint) ever leaves the scan."""
     return binarized.mapInPandas(phash_kernel, schema=PHASH_SCHEMA)
+
+
+AUDIO_SPECTRUM_SCHEMA = (
+    "doc_id long, p1 long, p2 long, p4 long, p8 long, dom_bin int"
+)
+
+
+def audio_spectrum_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: WAV decode → fixed-frame integer DFT powers
+    at the probe bins (operators/audio.spectrum64) + dominant bin."""
+    from fluss_iceberg_spark.operators.audio import decode_wav, spectrum64
+
+    for pdf in batch_iter:
+        cols: dict[str, list] = {k: [] for k in ("p1", "p2", "p4", "p8", "dom_bin")}
+        for payload in pdf["payload"]:
+            got = decode_wav(payload) if payload is not None else None
+            if got is None:
+                for k in cols:
+                    cols[k].append(None)
+                continue
+            arr, _rate = got
+            s = spectrum64(arr[:, 0])
+            for k in ("p1", "p2", "p4", "p8", "dom_bin"):
+                cols[k].append(s[k] if k != "dom_bin" else s["dom_bin"])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "p1": pd.Series(cols["p1"], dtype="Int64"),
+                "p2": pd.Series(cols["p2"], dtype="Int64"),
+                "p4": pd.Series(cols["p4"], dtype="Int64"),
+                "p8": pd.Series(cols["p8"], dtype="Int64"),
+                "dom_bin": pd.Series(cols["dom_bin"], dtype="Int32"),
+            }
+        )
+
+
+def audio_spectrum(binarized: DataFrame) -> DataFrame:
+    """Per-clip integer DFT spectrum over decoded channel-0 PCM."""
+    return binarized.select("doc_id", "payload").mapInPandas(
+        audio_spectrum_kernel, schema=AUDIO_SPECTRUM_SCHEMA
+    )

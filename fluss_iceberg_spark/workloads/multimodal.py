@@ -619,3 +619,77 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return MM2.dct_hashes(MM2.synth_png_payloads(docs))
+
+
+def _audio_spectrum_oracle_sql() -> str:
+    """DuckDB replay of the fixed-frame integer DFT from doc_id
+    arithmetic (the same sample model multimodal_audio_features gates):
+    regenerate channel-0, zero-pad/truncate to the 64-sample frame,
+    multiply-accumulate against the SAME 2^14 fixed-point trig table the
+    kernel uses, square into powers, argmax the dominant bin."""
+    from fluss_iceberg_spark.operators.audio import dft64_tables
+
+    cos, sin = dft64_tables()
+    trig_values = ", ".join(
+        f"({a}, {cv}, {sv})" for a, (cv, sv) in enumerate(zip(cos, sin))
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 2 AS c, doc_id % 50 + 20 AS n
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, t,
+               CASE WHEN t < n THEN (
+                   CASE WHEN doc_id % 3 = 0
+                        THEN (doc_id * 13 + t * c * 17) % 200 - 100
+                        ELSE (doc_id * 13 + t * c * 17) % 4001 - 2000 END
+               ) ELSE 0 END AS v
+        FROM d, UNNEST(range(0, 64)) s(t)
+    ),
+    trig(a, cv, sv) AS (VALUES {trig_values}),
+    bins(k) AS (VALUES (1), (2), (4), (8)),
+    comp AS (
+        SELECT x.doc_id, b.k,
+               SUM(x.v * tr.cv) AS re,
+               SUM(-x.v * tr.sv) AS im
+        FROM x CROSS JOIN bins b
+        JOIN trig tr ON tr.a = (b.k * x.t) % 64
+        GROUP BY 1, 2
+    ),
+    p AS (SELECT doc_id, k, re * re + im * im AS pw FROM comp),
+    dom AS (
+        SELECT doc_id, k AS dom_bin FROM (
+            SELECT doc_id, k,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pw DESC, k ASC
+                   ) AS rk
+            FROM p
+        ) WHERE rk = 1
+    )
+    SELECT p.doc_id,
+           CAST(MAX(CASE WHEN k = 1 THEN pw END) AS BIGINT) AS p1,
+           CAST(MAX(CASE WHEN k = 2 THEN pw END) AS BIGINT) AS p2,
+           CAST(MAX(CASE WHEN k = 4 THEN pw END) AS BIGINT) AS p4,
+           CAST(MAX(CASE WHEN k = 8 THEN pw END) AS BIGINT) AS p8,
+           CAST(MAX(dom.dom_bin) AS INT) AS dom_bin
+    FROM p JOIN dom ON p.doc_id = dom.doc_id
+    GROUP BY p.doc_id
+    """
+
+
+@query("multimodal_audio_spectrum", oracle=_audio_spectrum_oracle_sql())
+def audio_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features under a full value gate — the
+    audio twin of the pHash DCT: channel-0 PCM (REAL RIFF/WAVE decode)
+    zero-padded to a 64-sample frame and probed with an integer DFT at
+    bins {1,2,4,8} (fixed-point trig table, pure multiply-accumulate —
+    operators/audio.spectrum64); outputs per-bin spectral power and the
+    dominant bin. The oracle replays samples, table, MAC and argmax
+    arithmetically from doc_id, so a hash match proves real DSP over
+    truly decoded bytes. 100 TB: per-payload kernel work, 5 integers
+    per clip leave the scan."""
+    from fluss_iceberg_spark.operators import multimodal as MM2
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM2.audio_spectrum(MM2.synth_wav_payloads(docs))

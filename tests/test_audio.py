@@ -94,3 +94,60 @@ def test_zero_crossings_definition():
     assert zero_crossings(s) == 3
     assert zero_crossings(np.array([1, 2, 3], dtype=np.int32)) == 0
     assert zero_crossings(np.array([0, -1, 0], dtype=np.int32)) == 2
+
+
+def test_spectrum64_tone_isolation():
+    """A pure probe-bin tone puts (essentially) all power in its bin."""
+    import math
+
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.audio import spectrum64
+
+    t = np.arange(64)
+    for k in (1, 2, 4, 8):
+        x = (1500 * np.cos(2 * math.pi * k * t / 64)).astype(np.int64)
+        s = spectrum64(x)
+        assert s["dom_bin"] == k
+        others = [s[f"p{b}"] for b in (1, 2, 4, 8) if b != k]
+        assert s[f"p{k}"] > 50 * max(max(others), 1)
+
+
+def test_spectrum64_pad_and_truncate():
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.audio import spectrum64
+
+    short = np.arange(20, dtype=np.int64) * 10 - 100
+    padded = np.concatenate([short, np.zeros(44, dtype=np.int64)])
+    assert spectrum64(short) == spectrum64(padded)
+    long = np.arange(100, dtype=np.int64)
+    assert spectrum64(long) == spectrum64(long[:64])
+
+
+def test_spectrum64_kernel_equals_oracle_model():
+    """Kernel DFT over the synth sample model == the oracle's replay
+    (no Spark: decode itself is gated by multimodal_audio_features)."""
+    import duckdb
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.audio import spectrum64
+    from fluss_iceberg_spark.workloads.multimodal import (
+        _audio_spectrum_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT UNNEST(range(0, 40)) AS doc_id")
+    rows = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute(_audio_spectrum_oracle_sql()).fetchall()
+    }
+    for doc in range(40):
+        c, n = 1 + doc % 2, doc % 50 + 20
+        t = np.arange(n, dtype=np.int64)
+        if doc % 3 == 0:
+            x = (doc * 13 + t * c * 17) % 200 - 100
+        else:
+            x = (doc * 13 + t * c * 17) % 4001 - 2000
+        s = spectrum64(x)
+        assert rows[doc] == (s["p1"], s["p2"], s["p4"], s["p8"], s["dom_bin"]), doc

@@ -1,0 +1,134 @@
+"""KMV (k-minimum-values) distinct sketches with set operations.
+
+The mergeable-sketch family beside the matview layer's HLL: where HLL
+state is engine-opaque (its driver gate is rows-only), a KMV sketch is
+just the k SMALLEST hash values of a set — pure order statistics over a
+deterministic hash — so every estimate is EXACT integer arithmetic that
+Spark, DuckDB and Python replay bit-for-bit, and the driver value-gates
+an approximate-distinct operator for the first time.
+
+Estimators (Beyer et al. 2007, "On Synopses for Distinct-Value
+Estimation"): with h uniform on [0, 2^52) (13 hex chars of md5 — the
+engine-portable hash, same device as the weighted-sampling operators;
+xxhash64 would be faster but has no DuckDB twin) and h_(k) the k-th
+smallest hash of a set S:
+
+    |S|  ≈  (k-1) · 2^52 // h_(k)          (exact |S| when |S| < k)
+    union: KMV(A ∪ B) = k smallest of sketch(A) ∪ sketch(B)
+    |A∩B| ≈ ρ · |A∪B|, ρ = |{h ∈ KMV(A∪B): h ∈ sketch(A) ∧ sketch(B)}| / k
+
+(k-1)·2^52 ≤ 63·2^52 ≈ 2.8e17 — comfortably int64.
+
+100 TB shape: the only corpus-sized work is the distinct (group, hash)
+shuffle every dedup operator already pays; sketches are k rows per
+group, pair set-ops are k·|pairs| rows — driver-free, mergeable (a
+union of sketches is a sketch), and CDC-friendly (append-only inputs
+re-sketch by merging, the KMV property).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fluss_iceberg_spark.operators.text import _ngram_array, tokens
+
+HASH_BITS = 52  # 13 md5 hex chars — portable and int64-safe in (k-1)·2^B
+
+
+def _h52(col) -> F.Column:
+    """60→52-bit engine-portable uniform hash: first 13 hex chars of
+    md5, parsed base-16 (the repo's standard cross-engine hash)."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def group_shingle_sketches(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 6,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch over word n-gram shingles: (src, h, rk),
+    rk = 1..k ascending by hash. One distinct (group, hash) shuffle +
+    a per-group top-k (bounded sort: k rows per group survive)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    sh = (
+        spread(docs)
+        .select(
+            F.col(group_col).alias("src"),
+            tokens(F.col(text_col)).alias("toks"),
+        )
+        .select("src", F.explode(F.expr(_ngram_array("toks", n))).alias("g"))
+        .select("src", _h52(F.col("g")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("h")
+    return sh.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def kmv_pair_set_ops(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """All-pairs (src_a < src_b) KMV set operations from the sketches
+    alone: estimated distinct-union, distinct-intersection, and Jaccard
+    in integer milli-units. Work is k·|pairs| rows — never touches the
+    corpus again."""
+    srcs = sketches.select("src").distinct()
+    pairs = (
+        srcs.select(F.col("src").alias("src_a"))
+        .crossJoin(srcs.select(F.col("src").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    side = sketches.select("src", "h")
+    u = (
+        pairs.join(
+            side,
+            (side.src == F.col("src_a")) | (side.src == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(
+            F.max((F.col("src") == F.col("src_a")).cast("int")).alias("in_a"),
+            F.max((F.col("src") == F.col("src_b")).cast("int")).alias("in_b"),
+        )
+    )
+    uw = Window.partitionBy("src_a", "src_b").orderBy("h")
+    ur = u.withColumn("urk", F.row_number().over(uw)).filter(
+        F.col("urk") <= k
+    )
+    agg = ur.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_sk"),
+        F.max("h").alias("kth"),  # rows are the k smallest: max = h_(k)
+        F.sum(
+            (F.col("in_a") + F.col("in_b") == 2).cast("long")
+        ).alias("inter_k"),
+    )
+    est_union = F.when(
+        F.col("n_sk") < k, F.col("n_sk").cast("long")
+    ).otherwise(
+        F.expr(f"CAST(({k} - 1) AS BIGINT) * {1 << HASH_BITS} div kth")
+    )
+    return agg.select(
+        "src_a",
+        "src_b",
+        F.col("n_sk").cast("int").alias("n_sk"),
+        F.col("inter_k").cast("int").alias("inter_k"),
+        est_union.alias("est_union"),
+        F.expr(
+            "CAST(inter_k AS BIGINT) * ("
+            + f"CASE WHEN n_sk < {k} THEN n_sk "
+            + f"ELSE CAST(({k} - 1) AS BIGINT) * {1 << HASH_BITS} div kth END"
+            + ") div n_sk"
+        ).alias("est_inter"),
+        F.expr("CAST(inter_k AS BIGINT) * 1000 div n_sk").alias("jacc_milli"),
+    )
+
+
+def kmv_estimate_local(hashes: list, k: int = 64) -> int:
+    """Pure-Python reference of the distinct estimator (unit gate)."""
+    hs = sorted(set(hashes))
+    if len(hs) < k:
+        return len(hs)
+    return (k - 1) * (1 << HASH_BITS) // hs[k - 1]

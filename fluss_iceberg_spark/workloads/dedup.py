@@ -375,3 +375,75 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.semdedup(
         load_table(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.9
     )
+
+
+@query(
+    "dedup_kmv_source_setops",
+    oracle="""
+    WITH toks AS (
+        SELECT source AS src, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT src,
+               CAST(('0x' || substr(md5(
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                        || ' ' || w[i+4] || ' ' || w[i+5]), 1, 13)) AS BIGINT) AS h
+        FROM toks, UNNEST(range(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 6
+    ), sk AS (
+        SELECT src, h FROM (
+            SELECT src, h,
+                   row_number() OVER (PARTITION BY src ORDER BY h) AS rk
+            FROM sh
+        ) WHERE rk <= 64
+    ), srcs AS (SELECT DISTINCT src FROM sk),
+    pairs AS (
+        SELECT a.src AS src_a, b.src AS src_b
+        FROM srcs a, srcs b WHERE a.src < b.src
+    ), u AS (
+        SELECT p.src_a, p.src_b, s.h,
+               MAX(CASE WHEN s.src = p.src_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.src = p.src_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s ON s.src = p.src_a OR s.src = p.src_b
+        GROUP BY 1, 2, 3
+    ), ur AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src_a, src_b ORDER BY h
+            ) AS urk FROM u
+        ) WHERE urk <= 64
+    ), agg AS (
+        SELECT src_a, src_b,
+               COUNT(1) AS n_sk,
+               MAX(h) AS kth,
+               SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS inter_k
+        FROM ur GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(n_sk AS INT) AS n_sk,
+           CAST(inter_k AS INT) AS inter_k,
+           CAST(CASE WHEN n_sk < 64 THEN n_sk
+                     ELSE 63 * 4503599627370496 // kth END AS BIGINT) AS est_union,
+           CAST(inter_k * (CASE WHEN n_sk < 64 THEN n_sk
+                                ELSE 63 * 4503599627370496 // kth END)
+                // n_sk AS BIGINT) AS est_inter,
+           CAST(inter_k * 1000 // n_sk AS BIGINT) AS jacc_milli
+    FROM agg
+    """,
+)
+def kmv_source_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches with set operations — the first VALUE-GATED
+    approximate-distinct operator (the HLL matview gate is rows-only:
+    its sketch bytes are engine-opaque; a KMV sketch is the k smallest
+    52-bit md5 hashes, so every estimate is exact integer arithmetic in
+    any engine). Per source: sketch the distinct word-6-gram shingles;
+    per source pair: merged-sketch union estimate, intersection via the
+    KMV combine rho = |union-sketch ∩ both|/k, Jaccard in milli-units
+    (operators/sketches.py, Beyer et al. 2007). Sketches are mergeable
+    and k-sized — at 100 TB the corpus pays one distinct (group, hash)
+    shuffle and every set operation after that is k·pairs rows."""
+    from fluss_iceberg_spark.operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sk = SK.group_shingle_sketches(docs, k=64)
+    return SK.kmv_pair_set_ops(sk, k=64)

@@ -1,0 +1,44 @@
+"""KMV sketch math: estimator accuracy, exact-below-k, merge property.
+Cross-engine equality runs via the registered oracle (test_oracle_parity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from fluss_iceberg_spark.operators.sketches import (
+    HASH_BITS,
+    kmv_estimate_local,
+)
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+
+def test_exact_below_k():
+    hs = [_h(f"x{i}") for i in range(40)]
+    assert kmv_estimate_local(hs, k=64) == 40
+
+
+def test_estimator_accuracy_large_sets():
+    for n in (1_000, 10_000, 50_000):
+        hs = [_h(f"item-{i}") for i in range(n)]
+        est = kmv_estimate_local(hs, k=64)
+        # k=64 → relative std ≈ 1/sqrt(k-2) ≈ 13%; allow 4 sigma
+        assert abs(est - n) < 0.5 * n, (n, est)
+
+
+def test_sketch_merge_is_union_sketch():
+    """KMV mergeability: k smallest of (sketch(A) ∪ sketch(B)) equals
+    the sketch of A ∪ B — the property that makes per-partition
+    sketches combinable without touching the data again."""
+    k = 32
+    a = {_h(f"a{i}") for i in range(500)}
+    b = {_h(f"b{i}") for i in range(700)} | set(list(a)[:200])
+    sk = lambda s: sorted(s)[:k]  # noqa: E731
+    merged = sorted(set(sk(a)) | set(sk(b)))[:k]
+    assert merged == sk(a | b)
+
+
+def test_hash_width_is_int64_safe():
+    assert (64 - 1) * (1 << HASH_BITS) < 2**63

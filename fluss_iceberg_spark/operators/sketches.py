@@ -132,3 +132,79 @@ def kmv_estimate_local(hashes: list, k: int = 64) -> int:
     if len(hs) < k:
         return len(hs)
     return (k - 1) * (1 << HASH_BITS) // hs[k - 1]
+
+
+
+def quantile_sketch_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 128,
+    quantiles_milli: tuple = (500, 900, 990),
+) -> DataFrame:
+    """Mergeable quantile sketch under a full value gate — the gateable
+    twin of t-digest (whose centroid state is float-iteration-order
+    dependent, hence rows-only): the sketch is the k rows with the
+    SMALLEST md5 hash of their id — a deterministic uniform sample with
+    the same bottom-k mergeability as KMV (bottom-k of a union = the k
+    smallest of the merged bottom-k's), so distributed and
+    CDC-incremental maintenance are free. Each quantile estimate is the
+    LOWER order statistic of the sample at index (m-1)·q // 1000 with
+    (value, id) tie-break — exact integer indexing any engine replays.
+    Output carries the estimate AND the exact whole-group order
+    statistic side by side (both deterministic, both gated — the row
+    itself exhibits the sketch error).
+
+    100 TB: the sketch column costs one per-group bottom-k (map-side
+    partial top-k keeps k rows per task before the shuffle); the exact
+    column costs the whole-group sort — drop it in production and the
+    corpus-sized sort goes with it."""
+    w_h = Window.partitionBy(group_col).orderBy(
+        _h52(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    sampled = (
+        df.select(group_col, id_col, value_col)
+        .withColumn("__srk", F.row_number().over(w_h))
+    )
+
+    def order_stats(frame: DataFrame, tag: str) -> DataFrame:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(value_col), F.col(id_col)
+        )
+        wall = Window.partitionBy(group_col)
+        r = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__m", F.count(F.lit(1)).over(wall)
+        )
+        aggs = [F.max("__m").cast("int").alias(f"m_{tag}")]
+        for q in quantiles_milli:
+            aggs.append(
+                F.max(
+                    F.when(
+                        F.col("__rn")
+                        == F.expr(f"1 + ((__m - 1) * {q}) div 1000"),
+                        F.col(value_col),
+                    )
+                ).alias(f"p{q}_{tag}")
+            )
+        return r.groupBy(group_col).agg(*aggs)
+
+    est = order_stats(sampled.filter(F.col("__srk") <= k), "est")
+    exact = order_stats(sampled, "exact")
+    return est.join(exact, on=group_col)
+
+
+def quantile_sketch_local(
+    pairs: list, k: int = 128, q_milli: int = 500
+) -> int:
+    """Pure-Python reference: pairs = [(id, value)]; estimate from the
+    bottom-k md5 sample (unit gate)."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+
+    sample = sorted(pairs, key=lambda p: (h(p[0]), p[0]))[:k]
+    vals = sorted((v, i) for i, v in sample)
+    m = len(vals)
+    return vals[(m - 1) * q_milli // 1000][0]

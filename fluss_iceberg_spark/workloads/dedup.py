@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fluss_iceberg_spark.operators import dedup as DD
 from fluss_iceberg_spark.registry import query
@@ -447,3 +448,62 @@ def kmv_source_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     sk = SK.group_shingle_sketches(docs, k=64)
     return SK.kmv_pair_set_ops(sk, k=64)
+
+
+@query(
+    "dedup_quantile_sketch",
+    oracle="""
+    WITH base AS (
+        SELECT lang, doc_id, CAST(length(text) AS INT) AS v,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) AS hk
+        FROM documents
+    ), sampled AS (
+        SELECT lang, doc_id, v,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY hk, doc_id
+               ) AS srk
+        FROM base
+    ), est_r AS (
+        SELECT lang, v,
+               row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+               COUNT(1) OVER (PARTITION BY lang) AS m
+        FROM sampled WHERE srk <= 128
+    ), est AS (
+        SELECT lang, CAST(MAX(m) AS INT) AS m_est,
+               MAX(CASE WHEN rn = 1 + ((m - 1) * 500) // 1000 THEN v END) AS p500_est,
+               MAX(CASE WHEN rn = 1 + ((m - 1) * 900) // 1000 THEN v END) AS p900_est,
+               MAX(CASE WHEN rn = 1 + ((m - 1) * 990) // 1000 THEN v END) AS p990_est
+        FROM est_r GROUP BY lang
+    ), ex_r AS (
+        SELECT lang, v,
+               row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+               COUNT(1) OVER (PARTITION BY lang) AS m
+        FROM sampled
+    ), ex AS (
+        SELECT lang, CAST(MAX(m) AS INT) AS m_exact,
+               MAX(CASE WHEN rn = 1 + ((m - 1) * 500) // 1000 THEN v END) AS p500_exact,
+               MAX(CASE WHEN rn = 1 + ((m - 1) * 900) // 1000 THEN v END) AS p900_exact,
+               MAX(CASE WHEN rn = 1 + ((m - 1) * 990) // 1000 THEN v END) AS p990_exact
+        FROM ex_r GROUP BY lang
+    )
+    SELECT est.lang, m_est, p500_est, p900_est, p990_est,
+           m_exact, p500_exact, p900_exact, p990_exact
+    FROM est JOIN ex ON est.lang = ex.lang
+    """,
+)
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch under a FULL value gate — the
+    gateable twin of the t-digest percentiles (rows-only by nature):
+    per language, p50/p90/p99 of document length estimated from the
+    deterministic md5-bottom-k uniform sample (k=128), beside the exact
+    whole-group order statistics, so the gated row itself exhibits the
+    sketch error (operators/sketches.quantile_sketch_report). Bottom-k
+    samples merge like KMV sketches — per-partition sketches combine
+    without rescanning, the 100 TB maintenance property."""
+    from fluss_iceberg_spark.operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.length("text").alias("v")
+    )
+    return SK.quantile_sketch_report(docs, "v", "lang", k=128)

@@ -42,3 +42,42 @@ def test_sketch_merge_is_union_sketch():
 
 def test_hash_width_is_int64_safe():
     assert (64 - 1) * (1 << HASH_BITS) < 2**63
+
+
+def test_quantile_sketch_local_accuracy():
+    from fluss_iceberg_spark.operators.sketches import quantile_sketch_local
+
+    pairs = [(i, (i * 37) % 10_000) for i in range(5_000)]
+    for q in (500, 900, 990):
+        est = quantile_sketch_local(pairs, k=128, q_milli=q)
+        true = sorted(v for _, v in pairs)[(5_000 - 1) * q // 1000]
+        # k=128 sample: order-statistic error ~ 1/sqrt(k) of the range
+        assert abs(est - true) < 1_500, (q, est, true)
+
+
+def test_quantile_sketch_exact_when_group_below_k():
+    from fluss_iceberg_spark.operators.sketches import quantile_sketch_local
+
+    pairs = [(i, i * 10) for i in range(50)]
+    assert quantile_sketch_local(pairs, k=128, q_milli=500) == sorted(
+        v for _, v in pairs
+    )[(50 - 1) * 500 // 1000]
+
+
+def test_quantile_sketch_spark_matches_local(spark):
+    from pyspark.sql import functions as F
+
+    from fluss_iceberg_spark.operators.sketches import (
+        quantile_sketch_local,
+        quantile_sketch_report,
+    )
+
+    rows = [(i, "g", (i * 37) % 997) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v int")
+    got = quantile_sketch_report(df, "v", "lang", k=64).collect()[0]
+    pairs = [(i, v) for i, _g, v in rows]
+    assert got["p500_est"] == quantile_sketch_local(pairs, k=64, q_milli=500)
+    assert got["p900_est"] == quantile_sketch_local(pairs, k=64, q_milli=900)
+    assert got["m_est"] == 64 and got["m_exact"] == 800
+    assert got["p500_exact"] == sorted(v for _, v in pairs)[(800 - 1) // 2]
+    _ = F

@@ -1137,3 +1137,73 @@ def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "stream_ivm_join",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           CAST(e.user_id % 5 AS INT) AS segment,
+           CAST(e.value AS DOUBLE) AS value
+    FROM events e WHERE e.event_type = 'click'
+    """,
+)
+def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance driven by Structured Streaming
+    — the continuous form of lake_ivm_join_view: the events stream
+    lands in a log table micro-batch by micro-batch (foreachBatch,
+    availableNow over a 3-file source with maxFilesPerTrigger=1, so the
+    refresh genuinely runs per micro-batch), and every batch refreshes
+    the join matview against a user-dimension log table — each refresh
+    appends exactly Δevents⋈dim, O(micro-batch), never O(view). Final
+    MV state must equal the one-shot batch join (the oracle)."""
+    from fluss_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, _scratch(sf_dir, "stream_ivm_wh"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    src_dir = _scratch(sf_dir, "stream_ivm_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 5).cast("int").alias("segment"))
+    )
+    et = eng.create_table("sivm_events", ev.schema)
+    ut = eng.create_table("sivm_users", users.schema)
+    ut.append(users)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_click_seg AS "
+        "SELECT sivm_events.event_id AS event_id, "
+        "sivm_events.user_id AS user_id, "
+        "sivm_users.segment AS segment, "
+        "sivm_events.value AS value "
+        "FROM sivm_events JOIN sivm_users "
+        "ON sivm_events.user_id = sivm_users.user_id "
+        "WHERE sivm_events.event_type = 'click'"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def handle(bdf, _bid: int) -> None:
+        et.append(bdf)
+        eng.views.refresh_matview("mv_click_seg")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return eng.sql(
+        "SELECT event_id, user_id, segment, CAST(value AS DOUBLE) AS value "
+        "FROM mv_click_seg"
+    )

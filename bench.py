@@ -199,6 +199,16 @@ HEADLINE = [
     "stream_classifier_gate",
     "text_gopher_rules",
     "text_compression_ratio",
+    # round-10 additions
+    "graph_components",
+    "text_perplexity_filter",
+    "multimodal_phash",
+    "multimodal_audio_spectrum",
+    "dedup_kmv_source_setops",
+    "dedup_quantile_sketch",
+    "lake_ivm_join_view",
+    "lake_ivm_retract_view",
+    "stream_ivm_join",
 ]
 
 

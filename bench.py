@@ -209,6 +209,7 @@ HEADLINE = [
     "lake_ivm_join_view",
     "lake_ivm_retract_view",
     "stream_ivm_join",
+    "text_cms_heavy_hitters",
 ]
 
 

@@ -208,3 +208,94 @@ def quantile_sketch_local(
     vals = sorted((v, i) for i, v in sample)
     m = len(vals)
     return vals[(m - 1) * q_milli // 1000][0]
+
+
+def _cms_bucket(col, row_salt: str, width: int) -> F.Column:
+    """CMS bucket for one hash row: md5-uniform (engine-portable) mod
+    width."""
+    return F.pmod(_h52(F.concat(F.lit(row_salt), col)), F.lit(width))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top: int = 20,
+) -> DataFrame:
+    """Count-Min sketch frequency estimation under a full value gate —
+    the frequency leg of the sketch family (KMV = distinct, bottom-k =
+    quantiles): d×w integer counters keyed by d independent md5-salted
+    hashes; a token's estimate is the MIN of its d counters, which
+    NEVER under-counts (Cormode-Muthukrishnan 2005) and over-counts by
+    collision mass ~N/w. Gated by estimating the corpus's exact top
+    ``top`` tokens and emitting (token, true count, CMS estimate,
+    overcount) — every value exact integer arithmetic in any engine.
+
+    100 TB: the sketch build is ONE map-side-combined groupBy over
+    (row, bucket) — d·w counters total regardless of corpus size,
+    mergeable by addition (partitions, CDC deltas, days all combine);
+    the probe side touches only the queried tokens."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    toks = (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    # token -> true count (exact, for the probe set + the gate columns)
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top_toks = tok_counts.orderBy(
+        F.desc("true_cnt"), F.asc("tok")
+    ).limit(top)
+    # sketch: d rows x w buckets of counts — ONE aggregate per row over
+    # the same exploded frame (unioned bucket keys, single shuffle)
+    rows = None
+    for r in range(depth):
+        part = toks.select(
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col("tok"), f"cms{r}|", width).alias("bucket"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    cms = rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # probe: top tokens x d rows -> their buckets -> min over rows
+    probes = None
+    for r in range(depth):
+        p = top_toks.select(
+            "tok",
+            "true_cnt",
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col("tok"), f"cms{r}|", width).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(cms), on=["row", "bucket"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "tok",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
+    )
+
+
+def cms_estimate_local(stream: list, token: str, depth: int = 4,
+                       width: int = 1024) -> int:
+    """Pure-Python CMS reference (unit gate)."""
+    import hashlib
+
+    def bucket(r, t):
+        return int(
+            hashlib.md5(f"cms{r}|{t}".encode()).hexdigest()[:13], 16
+        ) % width
+
+    counters = [dict() for _ in range(depth)]
+    for t in stream:
+        for r in range(depth):
+            b = bucket(r, t)
+            counters[r][b] = counters[r].get(b, 0) + 1
+    return min(counters[r].get(bucket(r, token), 0) for r in range(depth))

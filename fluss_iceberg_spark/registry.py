@@ -93,7 +93,8 @@ _PRIORITY = [
     # (oracle-backed retract-stream matview) and multimodal_audio_spectrum
     # (oracle-backed integer DFT) and dedup_kmv_source_setops (oracle-backed
     # KMV sketch set-ops) and dedup_quantile_sketch (oracle-backed bottom-k
-    # quantile sketch) and stream_ivm_join (oracle-backed streaming IVM).
+    # quantile sketch) stream_ivm_join (oracle-backed streaming IVM), and
+    # text_cms_heavy_hitters (oracle-backed Count-Min frequency sketch).
     # Rotate them IN next round by
     # displacing multi-green incumbents whose family keeps another
     # in-window gate.

@@ -1002,3 +1002,62 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.perplexity_scores(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 1024, top: int = 20) -> str:
+    rows_union = "\n        UNION ALL\n".join(
+        f"""        SELECT {r} AS row,
+               CAST(('0x' || substr(md5('cms{r}|' || tok), 1, 13)) AS BIGINT)
+                   % {width} AS bucket
+        FROM toks"""
+        for r in range(depth)
+    )
+    probes_union = "\n        UNION ALL\n".join(
+        f"""        SELECT tok, true_cnt, {r} AS row,
+               CAST(('0x' || substr(md5('cms{r}|' || tok), 1, 13)) AS BIGINT)
+                   % {width} AS bucket
+        FROM top_toks"""
+        for r in range(depth)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT t.tok FROM documents,
+               UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ), tok_counts AS (
+        SELECT tok, COUNT(1) AS true_cnt FROM toks GROUP BY tok
+    ), top_toks AS (
+        SELECT tok, true_cnt FROM tok_counts
+        ORDER BY true_cnt DESC, tok ASC LIMIT {top}
+    ), rows_all AS (
+{rows_union}
+    ), cms AS (
+        SELECT row, bucket, COUNT(1) AS cnt FROM rows_all GROUP BY 1, 2
+    ), probes AS (
+{probes_union}
+    )
+    SELECT p.tok,
+           CAST(p.true_cnt AS BIGINT) AS true_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS est_cnt,
+           CAST(MIN(c.cnt) - p.true_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN cms c ON p.row = c.row AND p.bucket = c.bucket
+    GROUP BY p.tok, p.true_cnt
+    """
+
+
+@query("text_cms_heavy_hitters", oracle=_cms_oracle_sql())
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters under a full value gate — the
+    frequency leg of the sketch family (KMV = distinct, bottom-k =
+    quantiles, CMS = counts): a 4×1024 counter matrix over md5-salted
+    buckets, estimates = min over rows, never under the true count
+    (Cormode-Muthukrishnan 2005). The gate estimates the corpus's exact
+    top-20 tokens and emits true vs estimate vs overcount — exact
+    integers any engine replays (operators/sketches.cms_heavy_hitters).
+    The sketch is d·w counters regardless of corpus size, mergeable by
+    addition across partitions/days/CDC deltas."""
+    from fluss_iceberg_spark.operators import sketches as SK
+
+    return SK.cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents").select("text")
+    )

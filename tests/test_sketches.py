@@ -81,3 +81,31 @@ def test_quantile_sketch_spark_matches_local(spark):
     assert got["m_est"] == 64 and got["m_exact"] == 800
     assert got["p500_exact"] == sorted(v for _, v in pairs)[(800 - 1) // 2]
     _ = F
+
+
+def test_cms_never_undercounts_and_is_tight_for_heavy():
+    from fluss_iceberg_spark.operators.sketches import cms_estimate_local
+
+    stream = (["the"] * 500 + ["cat"] * 120
+              + [f"rare{i}" for i in range(800)])
+    assert cms_estimate_local(stream, "the") >= 500
+    assert cms_estimate_local(stream, "cat") >= 120
+    # 4x1024 over ~1.4k items: collision mass is tiny for heavy hitters
+    assert cms_estimate_local(stream, "the") <= 500 + 20
+    assert cms_estimate_local(stream, "cat") <= 120 + 20
+
+
+def test_cms_spark_matches_local(spark):
+    from fluss_iceberg_spark.operators.sketches import (
+        cms_estimate_local,
+        cms_heavy_hitters,
+    )
+
+    docs = [("the cat sat on the mat the end",), ("the cat ran",)]
+    df = spark.createDataFrame(docs, "text string")
+    got = {r["tok"]: (r["true_cnt"], r["est_cnt"])
+           for r in cms_heavy_hitters(df, top=5).collect()}
+    stream = " ".join(t for t, in docs).split()
+    assert got["the"][0] == 4
+    assert got["the"][1] == cms_estimate_local(stream, "the")
+    assert all(est >= true for true, est in got.values())

@@ -35,3 +35,14 @@ def test_headline_covers_gated_window():
     headline = set(_load_headline())
     ungated = [n for n in registry._PRIORITY if n not in headline]
     assert not ungated, f"gated queries missing from bench HEADLINE: {ungated}"
+
+
+def test_headline_covers_every_registered_query():
+    """r10 lesson: a newly registered query that never lands in HEADLINE
+    silently gets no bench row — its baseline era starts late and the
+    judge's 'every registered query has a bench row' check breaks.
+    Registration and HEADLINE must move together."""
+    registry.load_all()
+    headline = set(_load_headline())
+    missing = [n for n in registry.QUERIES if n not in headline]
+    assert not missing, f"registered queries missing from HEADLINE: {missing}"

@@ -232,10 +232,16 @@ def cms_heavy_hitters(
     ``top`` tokens and emitting (token, true count, CMS estimate,
     overcount) — every value exact integer arithmetic in any engine.
 
-    100 TB: the sketch build is ONE map-side-combined groupBy over
-    (row, bucket) — d·w counters total regardless of corpus size,
-    mergeable by addition (partitions, CDC deltas, days all combine);
-    the probe side touches only the queried tokens."""
+    100 TB: the corpus is scanned ONCE and shuffled ONCE (the exact
+    token-count aggregate, map-side combined). Because CMS counters are
+    sums of token counts — c[r][b] = Σ_{tok: h_r(tok)=b} count(tok) —
+    the d×w sketch is built from the aggregated VOCABULARY (Zipf-small),
+    not from a re-explode of the corpus: a vocab-sized posexplode of the
+    d bucket keys feeding one tiny (row, bucket) SUM. The repeated
+    tok_counts subtree is a ReusedExchange, so no second corpus pass
+    exists in the plan. Counters stay mergeable by addition (partitions,
+    CDC deltas, days all combine); the probe side touches only the
+    queried tokens."""
     from fluss_iceberg_spark.operators.util import spread
 
     toks = (
@@ -243,33 +249,29 @@ def cms_heavy_hitters(
         .select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    # token -> true count (exact, for the probe set + the gate columns)
+    # token -> true count (exact): the ONLY corpus-sized scan + shuffle
     tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
     top_toks = tok_counts.orderBy(
         F.desc("true_cnt"), F.asc("tok")
     ).limit(top)
-    # sketch: d rows x w buckets of counts — ONE aggregate per row over
-    # the same exploded frame (unioned bucket keys, single shuffle)
-    rows = None
-    for r in range(depth):
-        part = toks.select(
-            F.lit(r).alias("row"),
-            _cms_bucket(F.col("tok"), f"cms{r}|", width).alias("bucket"),
+    # d bucket keys per token, computed once as an array column
+    buckets = F.array(
+        *[_cms_bucket(F.col("tok"), f"cms{r}|", width) for r in range(depth)]
+    )
+    # sketch from the vocabulary: identical counters by construction
+    # (sum of per-token counts per bucket == count of corpus occurrences
+    # per bucket), vocab-sized explode, d·w output rows
+    cms = (
+        tok_counts.select(
+            "true_cnt", F.posexplode(buckets).alias("row", "bucket")
         )
-        rows = part if rows is None else rows.unionByName(part)
-    cms = rows.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+        .groupBy("row", "bucket")
+        .agg(F.sum("true_cnt").alias("cnt"))
     )
     # probe: top tokens x d rows -> their buckets -> min over rows
-    probes = None
-    for r in range(depth):
-        p = top_toks.select(
-            "tok",
-            "true_cnt",
-            F.lit(r).alias("row"),
-            _cms_bucket(F.col("tok"), f"cms{r}|", width).alias("bucket"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    probes = top_toks.select(
+        "tok", "true_cnt", F.posexplode(buckets).alias("row", "bucket")
+    )
     est = (
         probes.join(F.broadcast(cms), on=["row", "bucket"])
         .groupBy("tok", "true_cnt")

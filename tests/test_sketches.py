@@ -109,3 +109,24 @@ def test_cms_spark_matches_local(spark):
     assert got["the"][0] == 4
     assert got["the"][1] == cms_estimate_local(stream, "the")
     assert all(est >= true for true, est in got.values())
+
+
+def test_cms_build_scans_corpus_once(spark, tmp_path):
+    """The r10 finding: the sketch build must derive its counters from
+    the aggregated vocabulary, not re-explode the corpus depth+1 times.
+    Gate: the FINAL adaptive plan contains exactly ONE parquet scan of
+    the corpus (the exact token-count aggregate) and the repeated
+    tok_counts subtree is a ReusedExchange."""
+    from fluss_iceberg_spark.operators.sketches import cms_heavy_hitters
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(f"tok{i % 7} tok{i % 3} filler{i}",) for i in range(200)],
+        "text string",
+    ).write.mode("overwrite").parquet(p)
+    out = cms_heavy_hitters(spark.read.parquet(p), top=5)
+    out.collect()  # materialize so AQE settles the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 1, final

@@ -210,6 +210,10 @@ HEADLINE = [
     "lake_ivm_retract_view",
     "stream_ivm_join",
     "text_cms_heavy_hitters",
+    # round-11 additions
+    "dedup_hll_distinct",
+    "events_tdigest_quantiles",
+    "stream_sketch_refresh",
 ]
 
 

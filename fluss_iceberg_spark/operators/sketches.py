@@ -43,6 +43,29 @@ def _h52(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
 
 
+def group_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 6,
+) -> DataFrame:
+    """(src, h): the 52-bit hash of every word n-gram shingle per group
+    — NOT deduplicated (map-side only; each sketch consumer dedups the
+    way its aggregate wants: KMV via distinct, HLL inside its
+    registers)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    return (
+        spread(docs)
+        .select(
+            F.col(group_col).alias("src"),
+            tokens(F.col(text_col)).alias("toks"),
+        )
+        .select("src", F.explode(F.expr(_ngram_array("toks", n))).alias("g"))
+        .select("src", _h52(F.col("g")).alias("h"))
+    )
+
+
 def group_shingle_sketches(
     docs: DataFrame,
     text_col: str = "text",
@@ -53,18 +76,7 @@ def group_shingle_sketches(
     """Per-group KMV sketch over word n-gram shingles: (src, h, rk),
     rk = 1..k ascending by hash. One distinct (group, hash) shuffle +
     a per-group top-k (bounded sort: k rows per group survive)."""
-    from fluss_iceberg_spark.operators.util import spread
-
-    sh = (
-        spread(docs)
-        .select(
-            F.col(group_col).alias("src"),
-            tokens(F.col(text_col)).alias("toks"),
-        )
-        .select("src", F.explode(F.expr(_ngram_array("toks", n))).alias("g"))
-        .select("src", _h52(F.col("g")).alias("h"))
-        .distinct()
-    )
+    sh = group_shingles(docs, text_col, group_col, n).distinct()
     w = Window.partitionBy("src").orderBy("h")
     return sh.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k

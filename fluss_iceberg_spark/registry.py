@@ -83,21 +83,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
-    # ---- round-11 rotation TODO (for the next round's builder): the
-    # queries born in round 10 have zero driver evidence by construction
-    # (registered after the r10 window was pinned): graph_components
-    # (oracle-backed WCC), text_perplexity_filter (oracle-backed
-    # fixed-point LM filter), multimodal_phash (oracle-backed integer
-    # DCT fingerprint), and lake_ivm_join_view (oracle-backed
-    # incremental join-view maintenance), plus lake_ivm_retract_view
-    # (oracle-backed retract-stream matview) and multimodal_audio_spectrum
-    # (oracle-backed integer DFT) and dedup_kmv_source_setops (oracle-backed
-    # KMV sketch set-ops) and dedup_quantile_sketch (oracle-backed bottom-k
-    # quantile sketch) stream_ivm_join (oracle-backed streaming IVM), and
-    # text_cms_heavy_hitters (oracle-backed Count-Min frequency sketch).
-    # Rotate them IN next round by
-    # displacing multi-green incumbents whose family keeps another
-    # in-window gate.
+    # ---- round-11 rotation (DONE this round): the 10 queries born in
+    # round 10 — the only registered queries with zero driver evidence —
+    # rotated IN for first CORRECTNESS rows: graph_components (WCC),
+    # text_perplexity_filter, multimodal_phash, multimodal_audio_spectrum,
+    # lake_ivm_join_view, lake_ivm_retract_view, stream_ivm_join,
+    # dedup_kmv_source_setops, dedup_quantile_sketch,
+    # text_cms_heavy_hitters (all oracle-backed). Rotated OUT, each with
+    # multi-round driver greens and its operator family still gated
+    # in-window:
+    #   text_chunk_passages + text_weighted_sample + text_token_stats
+    #     (multi-green r5-r10; text class keeps ngram_stats,
+    #     budget_two_phase, quality_topq, BPE x2, classifier x2, and
+    #     gains perplexity + cms),
+    #   events_session_window_builtin (multi-green r5-r10; events class
+    #     keeps retention_cohorts, session semantics unit-pinned via
+    #     streaming sessionize),
+    #   lake_spj_bucket_join (multi-green; scan-pruning class keeps
+    #     lake_partition_pruning),
+    #   lake_cdc_mirror (multi-green; ST4 changelog class keeps
+    #     lake_scd2_changes; lake write path gains the IVM pair),
+    #   stream_matview_refresh (multi-green; A1 upsert-agg class keeps
+    #     stream_txn_two_sinks, matview class gains stream_ivm_join +
+    #     lake_ivm_retract_view),
+    #   stream_wap_gated (multi-green; snapshot/commit class keeps
+    #     engine_merge_into; branch/WAP mechanics unit-gated),
+    #   dedup_source_overlap (multi-green; dedup class keeps
+    #     passage_level + substring x2 and gains the sketch pair),
+    #   ann_index_cdc_sync (rows-only x? r8-r10; ANN class keeps
+    #     ivfpq_topk + ivf_index_incremental whose build exercises the
+    #     same index lifecycle).
     # ---- round-10 rotation: the 18 queries born in round 9 — the only
     # registered queries with zero driver evidence (registered after the
     # r9 window was pinned) — rotate IN for first CORRECTNESS rows: the
@@ -151,20 +166,22 @@ _PRIORITY = [
     "set_ops_customers",
     # event-log operators
     "events_retention_cohorts",
-    "events_session_window_builtin",
     # lake layer
     "lake_mor_delete",
     "lake_partition_pruning",
-    "lake_spj_bucket_join",
     "lake_scd2_changes",
-    "lake_cdc_mirror",
+    # incremental view maintenance over the lake (join-view delta
+    # propagation + retractable PK matview) — first driver gates r11
+    "lake_ivm_join_view",
+    "lake_ivm_retract_view",
     # streaming
-    "stream_wap_gated",
     "stream_left_interval_join",
     "stream_log_appends",
-    "stream_matview_refresh",
     "stream_txn_two_sinks",
     "stream_neardup_admission",
+    # streaming incremental view maintenance (foreachBatch delta merge ==
+    # one-shot join; oracle-backed) — first driver gate r11
+    "stream_ivm_join",
     # streaming classifier admission gate (stateless map-side inference
     # in the ingest stream; oracle-backed) — first driver gate r10
     "stream_classifier_gate",
@@ -172,10 +189,13 @@ _PRIORITY = [
     "export_training_shards",
     "fuzzy_part_names",
     "text_budget_two_phase",
-    "text_token_stats",
-    "text_chunk_passages",
-    "text_weighted_sample",
     "text_quality_topq",
+    # interpolated-bigram-LM perplexity filter (oracle-backed fixed-point
+    # ilog replay) — first driver gate r11
+    "text_perplexity_filter",
+    # Count-Min frequency sketch heavy hitters (oracle-backed value gate)
+    # — first driver gate r11
+    "text_cms_heavy_hitters",
     # distributed BPE: corpus-wide lossless roundtrip gate (oracle-backed
     # identity) + the trained merge table (rows-only: iterative pair
     # statistics) — first driver gates r10
@@ -188,15 +208,17 @@ _PRIORITY = [
     "text_classifier_train",
     # deduplication
     "dedup_passage_level",
-    "dedup_source_overlap",
     "dedup_substring_spans",
+    # value-gated sketches: KMV distinct set-ops + bottom-k quantiles
+    # (oracle-backed md5 order statistics) — first driver gates r11
+    "dedup_kmv_source_setops",
+    "dedup_quantile_sketch",
     # substring-removal rewrite (Lee et al. pipeline completion; collision-
     # sized rewrite cost; oracle-backed) — first driver gate r10
     "dedup_substring_rewrite",
     # similarity search / ANN index lifecycle
     "ann_ivfpq_topk",
     "ann_ivf_index_incremental",
-    "ann_index_cdc_sync",
     # multimodal real decode: the four codec families (raster pixels,
     # animated GIF LZW, WAV PCM, ISO-BMFF sample tables) + the aHash
     # near-dup pair — all oracle-backed arithmetic replays — first driver
@@ -205,16 +227,31 @@ _PRIORITY = [
     "multimodal_gif_frames",
     "multimodal_audio_features",
     "multimodal_mp4_metadata",
-    "multimodal_mp4_frame_stats",
-    "multimodal_mp4_keyframe_stats",
     "multimodal_video_scene_cuts",
     "multimodal_ahash_dedup",
     "multimodal_ahash_neardup_pairs",
+    # DCT perceptual hash + integer-DFT audio spectrum (oracle-backed
+    # fixed-point arithmetic replays) — first driver gates r11
+    "multimodal_phash",
+    "multimodal_audio_spectrum",
     # web-graph centrality (integer fixed-point, unrolled-CTE oracles) —
-    # first driver gates r10
+    # first driver gates r10; weakly-connected components first gate r11
     "graph_pagerank",
-    "graph_top_authorities",
     "graph_hits_scores",
+    "graph_components",
+    # round-11-born sketch family — gated in the SAME round they were
+    # born (closing the one-generation evidence lag): streaming KMV
+    # maintenance (oracle-backed, shares the batch set-ops oracle),
+    # built-in Datasketches HLL distinct (rows-only by nature), and the
+    # distributed t-digest (rows-only by nature). Displaced for these
+    # three: multimodal_mp4_frame_stats + multimodal_mp4_keyframe_stats
+    # (one r10 green each; ISO-BMFF codec family keeps mp4_metadata +
+    # video_scene_cuts in-window) and graph_top_authorities (one r10
+    # green; HITS class keeps graph_hits_scores, whose output embeds
+    # the authority ranking).
+    "stream_sketch_refresh",
+    "dedup_hll_distinct",
+    "events_tdigest_quantiles",
     # SQL facade / MERGE INTO ($snapshots-committed, first-arm-wins)
     "engine_merge_into",
 ]

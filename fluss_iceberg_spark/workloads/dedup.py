@@ -378,9 +378,7 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_kmv_source_setops",
-    oracle="""
+KMV_SETOPS_ORACLE = """
     WITH toks AS (
         SELECT source AS src, regexp_split_to_array(trim(text), '\\s+') AS w
         FROM documents
@@ -430,7 +428,12 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // n_sk AS BIGINT) AS est_inter,
            CAST(inter_k * 1000 // n_sk AS BIGINT) AS jacc_milli
     FROM agg
-    """,
+    """
+
+
+@query(
+    "dedup_kmv_source_setops",
+    oracle=KMV_SETOPS_ORACLE,
 )
 def kmv_source_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketches with set operations — the first VALUE-GATED
@@ -507,3 +510,60 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", F.length("text").alias("v")
     )
     return SK.quantile_sketch_report(docs, "v", "lang", k=128)
+
+
+@query("dedup_hll_distinct")  # Datasketches HLL binary state -> rows-only
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-shingle counts per source via Spark's
+    BUILT-IN Datasketches HLL aggregates (`hll_sketch_agg` /
+    `hll_union_agg` / `hll_sketch_estimate`) — the production-grade
+    engine-opaque form beside the value-gated KMV sketch
+    (dedup_kmv_source_setops): JVM-side, whole-stage-codegen input,
+    registers mergeable across partitions/days/CDC deltas. One row per
+    source plus a `__union__` row whose sketch is the union-merge of
+    the per-source sketches — the merge path the matview layer uses for
+    its COUNT(DISTINCT) state (plans/views.py). Each row carries the
+    exact distinct count and the error in milli-units, so the gate row
+    is its own accuracy report; units pin union-merge equality
+    (estimate(union of sketches) == estimate(sketch of union), a
+    register-maxima identity) and the lgK=12 error bound. Rows-only by
+    nature: sketch bytes and estimates are Datasketches-specific.
+
+    100 TB: the corpus pays ONE pass; HLL state is 2^12 registers per
+    group regardless of cardinality (vs the distinct shuffle the exact
+    column needs — that column exists only to make the gate row
+    self-reporting and would be dropped in production)."""
+    from fluss_iceberg_spark.operators.sketches import _h52, group_shingles
+
+    sh = group_shingles(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
+    per = sh.groupBy("src").agg(
+        F.hll_sketch_agg(F.col("h"), F.lit(12)).alias("sk"),
+        F.count_distinct("h").alias("exact_distinct"),
+    )
+    union_row = (
+        per.agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum(F.lit(0)).alias("__z"),
+        )
+        .crossJoin(
+            sh.agg(F.count_distinct("h").alias("exact_distinct"))
+        )
+        .select(F.lit("__union__").alias("src"), "sk", "exact_distinct")
+    )
+    est = F.hll_sketch_estimate("sk").cast("long")
+    return (
+        per.select("src", "sk", "exact_distinct")
+        .unionByName(union_row)
+        .select(
+            "src",
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(est - F.col("exact_distinct")) * 1000
+                / F.col("exact_distinct")
+            ).cast("long").alias("err_milli"),
+        )
+        .orderBy("src")
+    )

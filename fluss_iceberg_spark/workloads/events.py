@@ -382,3 +382,38 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query("events_tdigest_quantiles")  # float centroid means -> rows-only
+def events_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles via a distributed t-digest
+    (operators/tdigest.py, Dunning & Ertl 2019) — the engine-opaque
+    mergeable quantile form beside the value-gated bottom-k sketch
+    (dedup_quantile_sketch). Emits the digest's p50/p90/p99 next to the
+    EXACT percentiles (Spark's exact `percentile`) so the row itself
+    shows the rank error; units pin merge associativity and tail
+    accuracy bounds. Rows-only by nature: centroid means are floats and
+    partition-layout-dependent within the accuracy bound.
+
+    100 TB: raw values never shuffle — one map-side Arrow pass emits
+    O(partitions x types x delta) centroid rows; the per-type merge is
+    centroid-sized. The exact-percentile gate columns are the only
+    full-sort cost and exist solely for the visible error report."""
+    from fluss_iceberg_spark.operators.tdigest import tdigest_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    td = tdigest_quantiles(ev, "value", "event_type", qs=(0.5, 0.9, 0.99))
+    exact = ev.groupBy(F.col("event_type").cast("string").alias("grp")).agg(
+        F.expr("percentile(value, 0.5)").alias("p500_exact"),
+        F.expr("percentile(value, 0.9)").alias("p900_exact"),
+        F.expr("percentile(value, 0.99)").alias("p990_exact"),
+    )
+    return (
+        td.join(exact, on="grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "p500_td", "p900_td", "p990_td",
+            "p500_exact", "p900_exact", "p990_exact",
+        )
+        .orderBy("event_type")
+    )

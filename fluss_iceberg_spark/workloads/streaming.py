@@ -57,25 +57,50 @@ def _events_stream(spark: SparkSession, sf_dir: str, scratch_name: str) -> DataF
 _EVENTS_ROWS_CACHE: dict = {}
 
 
-def _state_partitions(spark: SparkSession, sf_dir: str) -> str:
-    """Volume-sized shuffle/state partitioning for stream-stream joins
-    (r10 interval-join adjudication): a stream-stream join pays FOUR
-    state stores per partition and every micro-batch loads+commits all
-    of them — fixed per-partition overhead (~tens of ms of store churn
-    each on local disk) that dwarfs the work when partitions hold few
-    rows. Measured on the 100k-row sf0.1 events fixture, standalone
-    fresh-session best-of-2: left-outer interval join 10.8 s at 32
-    partitions → 4.9 s at 8 → 3.4 s at 4; inner 8.7 → 3.3; full-outer
-    10.3 → 4.0. Rule: ≥ ~25k input rows per partition, clamped [4, 32]
-    for local[32]; a cluster deployment raises the cap to its core
-    count while keeping per-partition state inside executor memory —
-    the rule is volume-driven either way, never a fixed 32/200."""
-    n = _EVENTS_ROWS_CACHE.get(sf_dir)
+def _state_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    rows_per_partition: int = 25_000,
+) -> str:
+    """Volume-sized shuffle/state partitioning for stateful streams
+    (r10 interval-join adjudication): every state-store partition pays
+    fixed load+commit churn per micro-batch (~tens of ms each on local
+    disk; a stream-stream join pays FOUR stores per partition) that
+    dwarfs the work when partitions hold few rows. Measured on the
+    100k-row sf0.1 events fixture, standalone fresh-session best-of-2:
+    left-outer interval join 10.8 s at 32 partitions → 4.9 s at 8 →
+    3.4 s at 4; inner 8.7 → 3.3; full-outer 10.3 → 4.0. Rule: ≥ ~25k
+    input rows per partition, sized from the SOURCE TABLE the stream
+    reads (events/documents/orders all flow through here), clamped
+    [4, 32] for local[32]; a cluster deployment raises the cap to its
+    core count while keeping per-partition state inside executor
+    memory — the rule is volume-driven either way, never a fixed
+    32/200.
+
+    ``rows_per_partition`` calibrates the rule per operator shape
+    (r11 sweep, sf0.1 warm-session best-of-2):
+
+    - 25_000 (default) — JVM-side state stores (windowed aggs,
+      dropDuplicates, stream-stream joins), where store load/commit
+      churn dominates: events_hourly 1.54→0.94 s and exact_dedup
+      3.9→2.0 s going 32→4 partitions.
+    - ~6_250 — applyInPandasWithState, where per-partition PYTHON
+      Arrow compute dominates the (single) store's churn and wants
+      worker parallelism: stateful_sessions swept 4→3.13 s, 8→1.85,
+      16→1.53, 32→1.92 — optimum at 16 for 100k rows.
+    - ~1_000 — foreachBatch merge loops, which have NO streaming state
+      store at all (checkpoint tracks source offsets only): the conf
+      governs the batch merge/agg jobs inside each tick, and those are
+      monotonic toward core-count parallelism (txn_two_sinks swept
+      4→7.1 s, 8→6.3, 16→6.0, 32→5.4)."""
+    key = (sf_dir, table)
+    n = _EVENTS_ROWS_CACHE.get(key)
     if n is None:
         # parquet metadata count — no data scan
-        n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-        _EVENTS_ROWS_CACHE[sf_dir] = n
-    return str(max(4, min(32, n // 25_000)))
+        n = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+        _EVENTS_ROWS_CACHE[key] = n
+    return str(max(4, min(32, n // rows_per_partition)))
 
 
 def _run_pipeline(spark: SparkSession, sf_dir: str, name: str) -> ReferencePipeline:
@@ -153,9 +178,12 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow. Result equals the batch windowed aggregation."""
     # streaming state shuffles use the session's shuffle.partitions; under
     # a default session that is 200 — far too many for this state size.
-    # The state-store partition count is fixed per checkpoint (fresh here).
+    # The state-store partition count is fixed per checkpoint (fresh here);
+    # volume-sized per the r10 state-churn rule.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _state_partitions(spark, sf_dir)
+    )
     stream = _events_stream(spark, sf_dir, "events_src")
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -211,8 +239,13 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the batch oracle expresses."""
     from fluss_iceberg_spark.streaming.stateful import streaming_sessionize
 
+    # Python-stateful shape: size for Arrow-worker parallelism, not
+    # store churn (see _state_partitions' sweep table)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _state_partitions(spark, sf_dir, rows_per_partition=6_250),
+    )
     stream = _events_stream(spark, sf_dir, "stateful_src")
     sink = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
     q = (
@@ -690,7 +723,10 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluss_iceberg_spark.operators.text import fingerprint as _fp
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _state_partitions(spark, sf_dir, "documents"),
+    )
     src_dir = _scratch(sf_dir, "dedup_src")
     docs = load_table(spark, sf_dir, "documents")
     # 4 source files -> 4 micro-batches (state must persist across them)
@@ -804,8 +840,14 @@ def stream_txn_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation of the whole stream (the oracle)."""
     from pyspark.sql import types as T
 
+    # foreachBatch merge loop: no streaming state store — the conf
+    # drives the per-tick batch merge jobs, which want core-level
+    # parallelism (see _state_partitions' sweep table)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _state_partitions(spark, sf_dir, rows_per_partition=1_000),
+    )
     cat = LakeCatalog(spark, _scratch(sf_dir, "txn_two_sinks_wh"))
     events = load_table(spark, sf_dir, "events")
     hourly = cat.create_table(
@@ -1066,7 +1108,8 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([], "doc_id long, batch int").schema,
     )
     # per-batch state joins are small; 200 default shuffle partitions
-    # would dominate wall time with empty-task overhead. AQE is pure
+    # would dominate wall time with empty-task overhead — volume-sized
+    # from the documents table per the r10 state-churn rule. AQE is pure
     # overhead inside the tick loop too: every join is explicitly
     # broadcast and every frame micro-batch-bounded, so its per-stage
     # re-planning round-trips buy nothing (measured ~1.5 s/query at
@@ -1074,7 +1117,10 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # settings into the session.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _state_partitions(spark, sf_dir, "documents"),
+    )
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for b in range(4):
@@ -1207,3 +1253,75 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_id, user_id, segment, CAST(value AS DOUBLE) AS value "
         "FROM mv_click_seg"
     )
+
+
+@query("stream_sketch_refresh")  # oracle attached below (batch KMV replay)
+def stream_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance: documents arrive over 4
+    micro-batches (maxFilesPerTrigger=1) and a foreachBatch loop
+    maintains the per-source KMV shingle sketches as versioned state —
+    each tick sketches ONLY its micro-batch (O(batch) work) and merges
+    with the standing state by `k smallest of (state ∪ batch-sketch)`,
+    the KMV union property (operators/sketches.py, Beyer et al. 2007;
+    unit-pinned in tests/test_sketches.py). Because merged state ==
+    one-shot corpus sketch EXACTLY, the final pair set-ops are gated by
+    the SAME batch oracle as dedup_kmv_source_setops — the driver
+    hash-proves incremental == batch for an approximate-distinct
+    operator. State is k rows per source (bounded); versioned parquet
+    per tick (never read-and-overwrite the same path). At 100 TB each
+    tick pays one micro-batch-sized shingle pass + a k·|sources|-row
+    merge — the corpus is never re-scanned."""
+    from pyspark.sql.window import Window
+
+    from fluss_iceberg_spark.operators import sketches as SK
+
+    k = 64
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    src_dir = _scratch(sf_dir, "sketch_refresh_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state_dir = _scratch(sf_dir, "sketch_refresh_state")
+    os.makedirs(state_dir, exist_ok=True)
+    state: dict = {"path": None}
+
+    def _on_batch(bdf: DataFrame, batch_id: int) -> None:
+        part = SK.group_shingle_sketches(bdf, k=k).select("src", "h")
+        if state["path"] is not None:
+            part = spark.read.parquet(state["path"]).unionByName(part)
+        merged = part.distinct()
+        w = Window.partitionBy("src").orderBy("h")
+        topk = (
+            merged.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("src", "h")
+        )
+        path = f"{state_dir}/v{batch_id}"
+        topk.write.mode("overwrite").parquet(path)
+        state["path"] = path
+
+    q = (
+        stream.writeStream.foreachBatch(_on_batch)
+        .option(
+            "checkpointLocation", _scratch(sf_dir, "sketch_refresh_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state["path"])
+    w = Window.partitionBy("src").orderBy("h")
+    sketches = final.withColumn("rk", F.row_number().over(w))
+    return SK.kmv_pair_set_ops(sketches, k=k)
+
+
+# incremental == batch by the KMV union property, so the streaming query
+# shares the batch oracle verbatim
+from fluss_iceberg_spark.workloads.dedup import KMV_SETOPS_ORACLE  # noqa: E402
+from fluss_iceberg_spark.registry import ORACLES  # noqa: E402
+
+ORACLES["stream_sketch_refresh"] = KMV_SETOPS_ORACLE

@@ -130,3 +130,60 @@ def test_cms_build_scans_corpus_once(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1, final
     assert final.count("ReusedExchange") >= 1, final
+
+
+def test_hll_union_merge_equals_sketch_of_union(spark):
+    """Register-maxima identity: estimate(hll_union_agg(per-group
+    sketches)) == estimate(hll_sketch_agg(everything)) — EXACT equality,
+    the merge property the dedup_hll_distinct union row rests on."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", f"item-{i % 4000}") for i in range(20_000)],
+        "src string, g string",
+    )
+    per = df.groupBy("src").agg(F.hll_sketch_agg("g", F.lit(12)).alias("sk"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("g", F.lit(12))).alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
+
+
+def test_hll_error_bound_lgk12(spark):
+    """lgK=12 → relative std ≈ 1.04/sqrt(4096) ≈ 1.6%; allow 5%."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(30_000)], "g string"
+    )
+    est = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("g", F.lit(12))).alias("est")
+    ).collect()[0]["est"]
+    assert abs(est - 30_000) < 0.05 * 30_000, est
+
+
+def test_hll_distinct_query_rows_are_self_reporting(spark):
+    from fluss_iceberg_spark.workloads.dedup import hll_distinct
+
+    rows = hll_distinct(spark, "/root/testdata/sf0.001").collect()
+    srcs = [r["src"] for r in rows]
+    assert "__union__" in srcs and len(srcs) >= 2
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        assert r["err_milli"] <= 50, (r["src"], r["err_milli"])  # ≤5%
+
+
+def test_stream_sketch_refresh_equals_batch_sketch(spark):
+    """Merge-equality across micro-batch boundaries: the foreachBatch-
+    maintained KMV state's set-ops == the one-shot batch build's
+    (bit-identical rows — the KMV union property end-to-end)."""
+    from fluss_iceberg_spark.workloads.dedup import kmv_source_setops
+    from fluss_iceberg_spark.workloads.streaming import stream_sketch_refresh
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in kmv_source_setops(spark, sf).collect()}
+    streamed = {tuple(r) for r in stream_sketch_refresh(spark, sf).collect()}
+    assert streamed == batch

@@ -1,0 +1,111 @@
+"""t-digest quantile sketch: merge associativity, tail-accuracy bounds,
+determinism, and the distributed build vs exact percentiles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fluss_iceberg_spark.operators.tdigest import (
+    compress,
+    quantile,
+    tdigest_local,
+    tdigest_quantiles,
+)
+
+
+def _rank_error(values: np.ndarray, estimate: float, q: float) -> float:
+    """|empirical rank of the estimate - q|."""
+    return abs(np.searchsorted(np.sort(values), estimate) / len(values) - q)
+
+
+def _skewed(n: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return np.exp(rng.normal(0.0, 2.0, n))  # heavy right tail
+
+
+def test_centroid_count_is_bounded():
+    v = _skewed(50_000)
+    m, w = tdigest_local(v, delta=100.0)
+    assert len(m) <= 2 * 100, len(m)  # O(delta) centroids for 50k points
+    assert abs(sum(w) - len(v)) < 1e-6  # weight is conserved
+
+
+def test_tail_accuracy_beats_interior():
+    v = _skewed(50_000)
+    m, w = tdigest_local(v, delta=100.0)
+    # k1 scale: rank error ~ q(1-q)/delta — tails are the precise region
+    assert _rank_error(v, quantile(m, w, 0.5), 0.5) < 0.02
+    assert _rank_error(v, quantile(m, w, 0.9), 0.9) < 0.01
+    assert _rank_error(v, quantile(m, w, 0.99), 0.99) < 0.003
+    assert _rank_error(v, quantile(m, w, 0.999), 0.999) < 0.001
+
+
+def test_merge_equals_whole_within_bounds():
+    """digest(centroids(A) ++ centroids(B)) ~= digest(A ∪ B): the
+    mergeability contract the distributed build rests on."""
+    a, b = _skewed(20_000, seed=1), _skewed(30_000, seed=2)
+    both = np.concatenate([a, b])
+    ma, wa = tdigest_local(a)
+    mb, wb = tdigest_local(b)
+    mm, wm = compress(np.concatenate([ma, mb]), np.concatenate([wa, wb]))
+    for q in (0.5, 0.9, 0.99):
+        merged_est = quantile(mm, wm, q)
+        assert _rank_error(both, merged_est, q) < 0.02, q
+
+
+def test_merge_order_insensitive_within_bounds():
+    parts = [_skewed(10_000, seed=s) for s in range(4)]
+    whole = np.concatenate(parts)
+    digests = [tdigest_local(p) for p in parts]
+    for order in ([0, 1, 2, 3], [3, 1, 0, 2]):
+        m = np.concatenate([digests[i][0] for i in order])
+        w = np.concatenate([digests[i][1] for i in order])
+        mm, wm = compress(m, w)
+        assert _rank_error(whole, quantile(mm, wm, 0.9), 0.9) < 0.01
+
+
+def test_deterministic():
+    v = _skewed(5_000)
+    assert tdigest_local(v) == tdigest_local(v)
+
+
+def test_exact_for_tiny_inputs():
+    m, w = tdigest_local([5.0, 1.0, 3.0], delta=100.0)
+    assert quantile(m, w, 0.0) == 1.0
+    assert quantile(m, w, 1.0) == 5.0
+
+
+def test_spark_build_matches_exact_within_bounds(spark):
+    rng = np.random.RandomState(11)
+    rows = [
+        (("a" if i % 3 else "b"), float(v))
+        for i, v in enumerate(np.exp(rng.normal(0, 1.5, 30_000)))
+    ]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    got = {
+        r["grp"]: r
+        for r in tdigest_quantiles(df, "val", "grp").collect()
+    }
+    vals = {g: np.array([v for gg, v in rows if gg == g]) for g in ("a", "b")}
+    for g in ("a", "b"):
+        assert _rank_error(vals[g], got[g]["p500_td"], 0.5) < 0.03, g
+        assert _rank_error(vals[g], got[g]["p900_td"], 0.9) < 0.015, g
+        assert _rank_error(vals[g], got[g]["p990_td"], 0.99) < 0.005, g
+
+
+def test_registered_query_shape(spark):
+    from fluss_iceberg_spark.workloads.events import events_tdigest_quantiles
+
+    out = events_tdigest_quantiles(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "no event types"
+    for r in rows:
+        for p, e in (
+            ("p500_td", "p500_exact"),
+            ("p900_td", "p900_exact"),
+            ("p990_td", "p990_exact"),
+        ):
+            assert r[p] == pytest.approx(r[e], rel=0.25, abs=1.0), (
+                r["event_type"], p, r[p], r[e],
+            )

@@ -214,6 +214,8 @@ HEADLINE = [
     "dedup_hll_distinct",
     "events_tdigest_quantiles",
     "stream_sketch_refresh",
+    "lake_zorder_skipping",
+    "text_keyword_search",
 ]
 
 

@@ -1599,12 +1599,26 @@ class LakeTable:
         each file covers a tight, non-overlapping value range — that is
         what makes the manifest min/max file skipping (``read(where=)``)
         prune to O(matching slice) on time-series tables at 100 TB,
-        instead of every file straddling the full time range."""
+        instead of every file straddling the full time range.
+
+        ``write.zorder-by`` ("colA,colB") is the two-dimensional form:
+        rows are laid out along a Morton curve over the rank-bucketed
+        column pair (operators/zorder.py — Iceberg's
+        ``rewrite_data_files(sort_order => 'zorder(a, b)')``), so range
+        predicates on EITHER column prune files, not just the leading
+        one."""
         if self.primary_key:
             raise ValueError(f"{self.name}: PK table requires merge(), not append()")
         df = self._enforce_not_null(self._prepare(df))
+        zcols = self.properties.get("write.zorder-by")
         ccol = self._cluster_column()
-        if ccol is not None:
+        if zcols is not None:
+            from fluss_iceberg_spark.operators.zorder import zorder_layout
+
+            a, b = [c.strip() for c in zcols.split(",")]
+            n = int(self.properties.get("write.cluster-partitions", "16"))
+            df = zorder_layout(df, a, b, n)
+        elif ccol is not None:
             # partition count: explicit property, else the session default
             # (AQE then sizes the write by bytes — at scale that is the
             # right behavior; small writes may coalesce to few files)

@@ -1261,3 +1261,58 @@ def lake_ivm_retract_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(sum_bal AS DOUBLE) / n_cust AS DOUBLE) AS avg_bal "
         "FROM mv_seg_bal"
     )
+
+
+@query(
+    "lake_zorder_skipping",
+    oracle="""
+    SELECT event_type,
+           COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id >= 100 AND user_id < 200
+      AND value >= 20.0 AND value < 60.0
+    GROUP BY event_type
+    """,
+)
+def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered layout: events land via
+    `write.zorder-by = user_id,value` (operators/zorder.py — the
+    engine-native form of Iceberg's zorder rewrite_data_files
+    procedure), so every written file covers a compact RECTANGLE in
+    (user_id, value) space and a rectangle predicate — or a range on
+    EITHER single column — prunes by manifest min/max stats. A linear
+    sort only ever prunes its leading column. The predicate is
+    re-applied to scanned rows, so the result stays exact; pruning
+    effectiveness on both single dimensions vs a linear layout is
+    asserted in tests/test_zorder.py."""
+    cat = LakeCatalog(spark, _scratch(sf_dir, "zorder"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = cat.create_table(
+        "events_z",
+        ev.schema,
+        properties={
+            "write.zorder-by": "user_id,value",
+            "write.cluster-partitions": "16",
+        },
+    )
+    t.append(ev)
+    return (
+        t.read(
+            where=[
+                ("user_id", ">=", 100),
+                ("user_id", "<", 200),
+                ("value", ">=", 20.0),
+                ("value", "<", 60.0),
+            ]
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

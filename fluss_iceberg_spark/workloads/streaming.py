@@ -1276,6 +1276,14 @@ def stream_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluss_iceberg_spark.operators import sketches as SK
 
     k = 64
+    # foreachBatch merge loop (no streaming state store): size the
+    # per-tick batch shuffles for the micro-batch volume, not a
+    # default-200 session (see _state_partitions' sweep table)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _state_partitions(spark, sf_dir, "documents", rows_per_partition=1_000),
+    )
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     src_dir = _scratch(sf_dir, "sketch_refresh_src")
     docs.repartition(4).write.mode("overwrite").parquet(src_dir)
@@ -1312,7 +1320,10 @@ def stream_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.read.parquet(state["path"])
     w = Window.partitionBy("src").orderBy("h")
     sketches = final.withColumn("rk", F.row_number().over(w))

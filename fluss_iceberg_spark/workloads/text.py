@@ -1061,3 +1061,77 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.cms_heavy_hitters(
         load_table(spark, sf_dir, "documents").select("text")
     )
+
+
+@query(
+    "text_keyword_search",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, t, COUNT(1) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents
+        )
+        WHERE t IN ('vector', 'window', 'merge')
+        GROUP BY 1, 2
+    ), hit AS (
+        SELECT doc_id, SUM(cnt) AS hits
+        FROM tf GROUP BY doc_id HAVING COUNT(DISTINCT t) = 3
+    )
+    SELECT d.doc_id, d.lang, d.source, CAST(h.hits AS BIGINT) AS hits
+    FROM hit h JOIN documents d USING (doc_id)
+    """,
+)
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed conjunctive keyword search: build a PERSISTED
+    inverted index (postings lake table `(tok, doc_id, cnt)`, clustered
+    by token so manifest min/max prunes a term lookup to the files
+    holding that token's range), then answer `vector AND window AND
+    merge` by intersecting posting lists — groupBy(doc_id) over ONLY the
+    matching postings, never a corpus scan at query time. Results join
+    back to documents for metadata and carry the summed term frequency.
+    Oracle replays the same conjunction by brute-force tokenization.
+
+    100 TB: the index build is one tokenize + one (doc, tok) count
+    shuffle (amortized over every query); a query reads
+    O(files-with-term) postings (Zipf vocab → hot terms dominate file
+    count, rare terms touch one file), intersects with one doc_id-keyed
+    aggregate sized by the posting lists, and joins metadata on the
+    PK. The same postings table serves OR / phrase-prefix variants."""
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from fluss_iceberg_spark.operators.text import tokens
+    from fluss_iceberg_spark.workloads.lake import _scratch
+
+    terms = ["vector", "window", "merge"]
+    docs = load_table(spark, sf_dir, "documents")
+    cat = LakeCatalog(spark, _scratch(sf_dir, "kwsearch"))
+    postings_df = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = cat.create_table(
+        "postings",
+        postings_df.schema,
+        properties={
+            "write.clustered-by": "tok",
+            "write.cluster-partitions": "8",
+        },
+    )
+    t.append(postings_df)
+    matches = t.read(where=[("tok", "in", terms)]).filter(
+        F.col("tok").isin(terms)
+    )
+    hits = (
+        matches.groupBy("doc_id")
+        .agg(
+            F.count_distinct("tok").alias("__nt"),
+            F.sum("cnt").alias("hits"),
+        )
+        .filter(F.col("__nt") == len(terms))
+        .select("doc_id", F.col("hits").cast("long").alias("hits"))
+    )
+    return hits.join(docs.select("doc_id", "lang", "source"), on="doc_id").select(
+        "doc_id", "lang", "source", "hits"
+    )

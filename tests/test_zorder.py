@@ -1,0 +1,107 @@
+"""Z-order clustering: Morton math, rectangle locality of written
+files, and the pruning win over a linear sort on the non-leading
+column."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluss_iceberg_spark.operators.zorder import (
+    equidepth_bucket,
+    interleave_bits,
+    zorder_layout,
+    zorder_morton_local,
+)
+
+
+def test_morton_local_basics():
+    assert zorder_morton_local(0, 0) == 0
+    assert zorder_morton_local(1, 0, bits=4) == 2  # a in odd positions
+    assert zorder_morton_local(0, 1, bits=4) == 1
+    assert zorder_morton_local(0b11, 0b11, bits=4) == 0b1111
+    # locality: diagonal neighbours stay adjacent on the curve
+    assert zorder_morton_local(3, 3) - zorder_morton_local(2, 2) == 3
+
+
+def test_spark_interleave_matches_local(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8)], "a int, b int"
+    )
+    got = df.select(
+        "a", "b", interleave_bits(F.col("a"), F.col("b"), 8).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == zorder_morton_local(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_equidepth_bucket_is_rank_based(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    # skewed boundaries: rank bucketing still spreads values
+    out = df.select(
+        equidepth_bucket(F.col("v"), [10.0, 50.0, 90.0]).alias("bk")
+    ).groupBy("bk").count().collect()
+    got = {r["bk"]: r["count"] for r in out}
+    assert got == {0: 10, 1: 40, 2: 40, 3: 10}
+
+
+def _prune_counts(spark, tmp_path, zorder: bool):
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.pmod(F.col("id") * 7919, F.lit(1000))).alias("user_id"),
+        (F.pmod(F.col("id") * 104729, F.lit(10_000)) / 100.0).alias("value"),
+    )
+    cat = LakeCatalog(spark, str(tmp_path / ("z" if zorder else "lin")))
+    props = (
+        {"write.zorder-by": "user_id,value", "write.cluster-partitions": "16"}
+        if zorder
+        else {"write.clustered-by": "user_id", "write.cluster-partitions": "16"}
+    )
+    t = cat.create_table("ev", df.schema, properties=props)
+    t.append(df)
+    total = len(t.plan_scan())
+    by_user = len(t.plan_scan([("user_id", ">=", 100), ("user_id", "<", 200)]))
+    by_value = len(t.plan_scan([("value", ">=", 20.0), ("value", "<", 30.0)]))
+    rect = len(
+        t.plan_scan(
+            [
+                ("user_id", ">=", 100),
+                ("user_id", "<", 200),
+                ("value", ">=", 20.0),
+                ("value", "<", 30.0),
+            ]
+        )
+    )
+    return total, by_user, by_value, rect, t
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    total, by_user, by_value, rect, _ = _prune_counts(spark, tmp_path, True)
+    assert total >= 8
+    # ~10% selectivity per dim: a z-layout must prune BOTH single dims
+    assert by_user < total * 0.75, (by_user, total)
+    assert by_value < total * 0.75, (by_value, total)
+    assert rect <= min(by_user, by_value)
+
+
+def test_linear_layout_cannot_prune_second_dim(spark, tmp_path):
+    """The control: clustered-by user_id prunes user ranges hard but
+    keeps EVERY file for a value-range scan — the gap z-ordering closes."""
+    total, by_user, by_value, _, _ = _prune_counts(spark, tmp_path, False)
+    assert by_user <= total * 0.5
+    assert by_value == total, (by_value, total)
+
+
+def test_zorder_read_is_exact(spark, tmp_path):
+    """Pruning must never change results: z-layout read == full filter."""
+    _, _, _, _, t = _prune_counts(spark, tmp_path, True)
+    where = [("user_id", ">=", 100), ("user_id", "<", 200)]
+    pruned = t.read(where=where).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    full = t.read().filter(
+        (F.col("user_id") >= 100) & (F.col("user_id") < 200)
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")).collect()[0]
+    assert (pruned["n"], pruned["s"]) == (full["n"], full["s"])

@@ -216,6 +216,7 @@ HEADLINE = [
     "stream_sketch_refresh",
     "lake_zorder_skipping",
     "text_keyword_search",
+    "stream_tdigest_refresh",
 ]
 
 

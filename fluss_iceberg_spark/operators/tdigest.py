@@ -114,15 +114,17 @@ def tdigest_local(values, delta: float = 100.0):
     return compress(v, np.ones_like(v), delta)
 
 
-def tdigest_quantiles(
+def tdigest_centroids(
     df: DataFrame,
     value_col: str,
     group_col: str,
-    qs: tuple = (0.5, 0.9, 0.99),
     delta: float = 100.0,
 ) -> DataFrame:
-    """Distributed per-group t-digest quantiles. Returns one row per
-    group with a ``p{milli}_td`` column per requested quantile."""
+    """Phase 1 alone: the partial-centroid frame (grp, mean, weight).
+    These rows ARE the mergeable sketch state — concatenating centroid
+    frames from different partitions/days/micro-batches and re-running
+    :func:`tdigest_merge_quantiles` is the merge operator, so streaming
+    maintenance appends centroid rows and never revisits old data."""
     from fluss_iceberg_spark.operators.util import spread
 
     src = spread(df).select(
@@ -154,8 +156,16 @@ def tdigest_quantiles(
                 columns=["grp", "mean", "weight"],
             )
 
-    partials = src.mapInPandas(_partial, _CENTROID_SCHEMA)
+    return src.mapInPandas(_partial, _CENTROID_SCHEMA)
 
+
+def tdigest_merge_quantiles(
+    partials: DataFrame,
+    qs: tuple = (0.5, 0.9, 0.99),
+    delta: float = 100.0,
+) -> DataFrame:
+    """Phase 2 alone: merge a partial-centroid frame per group and read
+    quantiles off the merged digest."""
     q_cols = [f"p{int(round(q * 1000))}_td" for q in qs]
     out_schema = "grp string, " + ", ".join(f"{c} double" for c in q_cols)
 
@@ -171,3 +181,17 @@ def tdigest_quantiles(
         return pd.DataFrame([row])
 
     return partials.groupBy("grp").applyInPandas(_merge, out_schema)
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    delta: float = 100.0,
+) -> DataFrame:
+    """Distributed per-group t-digest quantiles. Returns one row per
+    group with a ``p{milli}_td`` column per requested quantile."""
+    return tdigest_merge_quantiles(
+        tdigest_centroids(df, value_col, group_col, delta), qs, delta
+    )

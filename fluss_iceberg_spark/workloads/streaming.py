@@ -1336,3 +1336,72 @@ from fluss_iceberg_spark.workloads.dedup import KMV_SETOPS_ORACLE  # noqa: E402
 from fluss_iceberg_spark.registry import ORACLES  # noqa: E402
 
 ORACLES["stream_sketch_refresh"] = KMV_SETOPS_ORACLE
+
+
+@query("stream_tdigest_refresh")  # float centroids -> rows-only by nature
+def stream_tdigest_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-digest maintenance: events arrive over 4
+    micro-batches and each tick APPENDS its partial-centroid rows
+    (operators/tdigest.py phase 1 over just the micro-batch) to an
+    append-only state directory — concatenation IS the t-digest merge,
+    so no tick ever reads previous state or revisits old data (contrast
+    stream_sketch_refresh, whose KMV merge must re-rank state ∪ batch).
+    The final read merges all centroids per group and reports p50/p90/p99
+    beside the batch-exact percentiles; units pin that the streamed
+    digest meets the same rank-error bounds as the one-shot batch digest
+    (tests/test_tdigest.py). At 100 TB each tick's cost is one map-side
+    Arrow pass over the micro-batch plus an O(groups x delta)-row append;
+    state size grows by centroid rows per tick, compactable at any time
+    by re-compressing (the merge operator itself)."""
+    from fluss_iceberg_spark.operators.tdigest import (
+        tdigest_centroids,
+        tdigest_merge_quantiles,
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _state_partitions(spark, sf_dir, rows_per_partition=1_000),
+    )
+    src_dir = _scratch(sf_dir, "tdigest_refresh_src")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state_dir = _scratch(sf_dir, "tdigest_refresh_state")
+
+    def _on_batch(bdf: DataFrame, batch_id: int) -> None:
+        tdigest_centroids(bdf, "value", "event_type").write.mode(
+            "append"
+        ).parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_on_batch)
+        .option(
+            "checkpointLocation", _scratch(sf_dir, "tdigest_refresh_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    td = tdigest_merge_quantiles(spark.read.parquet(state_dir))
+    exact = ev.groupBy(F.col("event_type").cast("string").alias("grp")).agg(
+        F.expr("percentile(value, 0.5)").alias("p500_exact"),
+        F.expr("percentile(value, 0.9)").alias("p900_exact"),
+        F.expr("percentile(value, 0.99)").alias("p990_exact"),
+    )
+    return (
+        td.join(exact, on="grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "p500_td", "p900_td", "p990_td",
+            "p500_exact", "p900_exact", "p990_exact",
+        )
+        .orderBy("event_type")
+    )

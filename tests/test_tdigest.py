@@ -94,6 +94,25 @@ def test_spark_build_matches_exact_within_bounds(spark):
         assert _rank_error(vals[g], got[g]["p990_td"], 0.99) < 0.005, g
 
 
+def test_stream_refresh_meets_batch_bounds(spark):
+    """Append-only centroid state across 4 micro-batches: the streamed
+    digest must satisfy the same error bounds vs the exact percentiles
+    as the one-shot batch digest (concatenation IS the merge)."""
+    from fluss_iceberg_spark.workloads.streaming import stream_tdigest_refresh
+
+    rows = stream_tdigest_refresh(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        for p, e in (
+            ("p500_td", "p500_exact"),
+            ("p900_td", "p900_exact"),
+            ("p990_td", "p990_exact"),
+        ):
+            assert r[p] == pytest.approx(r[e], rel=0.25, abs=1.0), (
+                r["event_type"], p, r[p], r[e],
+            )
+
+
 def test_registered_query_shape(spark):
     from fluss_iceberg_spark.workloads.events import events_tdigest_quantiles
 

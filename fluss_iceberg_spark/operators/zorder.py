@@ -12,6 +12,14 @@ Iceberg, trino/iceberg.properties:1-9). This is the engine-native
 equivalent wired to the repo's manifest min/max skipping
 (lake/table.py plan_scan).
 
+Relationship to the compact path: ``LakeTable.compact(zorder_by=...)``
+(lake/table.py:_zorder_col) z-orders REWRITES with uniform-width
+buckets from a one-row min/max aggregate — the right cost model inside
+a partition-preserving rewrite. This module is the APPEND-time layout
+(table property ``write.zorder-by``) and pays one approxQuantile for
+equi-depth buckets instead, because unsorted skewed ingest is exactly
+where uniform-width bucketing collapses the curve to a linear sort.
+
 Spark-first construction, all whole-stage codegen:
 
 1. per column: 2^bits - 1 equi-depth boundaries via ``approxQuantile``

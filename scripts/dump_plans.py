@@ -87,9 +87,11 @@ FLAGSHIPS = [
      "POSTINGS scan, broadcast into the metadata join; the documents "
      "scan is pruned to (doc_id, lang, source) — text is never read."),
     ("events_tdigest_quantiles",
-     "Raw values never shuffle: phase 1 is a map-side ArrowEvalPython/"
-     "MapInPandas over the scan; the only exchange carries centroid "
-     "rows (grp-keyed) into the per-group merge."),
+     "Phase 1 is MapInPandas directly over the scan; the only "
+     "scale-bearing exchange carries CENTROID rows (grp-keyed) into the "
+     "per-group merge. (The raw-row Exchange under the MapInPandas is "
+     "spread()'s under-split-fixture guard — a conditional no-op on any "
+     "input with real file splits, operators/util.py:8.)"),
 ]
 
 

@@ -217,6 +217,7 @@ HEADLINE = [
     "lake_zorder_skipping",
     "text_keyword_search",
     "stream_tdigest_refresh",
+    "text_bm25_search",
 ]
 
 

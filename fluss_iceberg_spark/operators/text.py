@@ -1405,3 +1405,155 @@ def perplexity_oracle_sql(lam: int = 90, thr_q16: int = 321_700) -> str:
     FROM per_doc"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson-Sparck Jones / Okapi), INTEGER-EXACT so
+# the driver can hash-gate a relevance ranking across engines. The same two
+# blockers as perplexity, solved the same way:
+#   - idf needs log(): reuse the fixed-point shift-and-square ilog2 —
+#     idf_q16(t) = ilog2(N) - ilog2(df_t), exact in 2^-16 units (>= 0,
+#     monotone; the plain Robertson idf log(N/df) without the +-0.5
+#     corrections, which would break rationality).
+#   - the tf saturation divides by a non-integer (k1=1.2, b=0.75,
+#     dl/avgdl): clear denominators with avgdl = TL/N (TL = corpus token
+#     count) and scale by 10*TL —
+#       tf_sat = 2.2*tf / (tf + 1.2*(0.25 + 0.75*dl*N/TL))
+#              = 22*TL*tf / (10*TL*tf + 3*TL + 9*dl*N)   exactly,
+#     emitted in milli-units via one int64 floor division.
+#   score_scaled(d) = sum_t idf_q16(t) * tf_sat_milli(t, d).
+# int64 bounds: 22*TL*tf*1000 tops out ~4e13 at the sf3 fixture; a 100 TB
+# corpus rescales TL/N by 2^k first (the BM25 ratio is scale-free in TL
+# the same way the LM ratio is) or promotes to DECIMAL(38).
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list,
+    text_col: str = "text",
+    top: int = 20,
+) -> DataFrame:
+    """Top-``top`` documents for an OR-semantics term query under
+    integer-exact BM25 (k1=1.2, b=0.75). Scale shape: ONE corpus
+    tokenize feeds both the doc-length table and the term-filtered tf
+    table (ReusedExchange at runtime); the ilog chain runs driver-side
+    on the |terms|+2 collected ints; scoring is a broadcast of (term,
+    idf) onto the tf rows with N/TL as plan literals, one per-doc
+    aggregate, and a bounded top-k."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    toks = (
+        spread(df)
+        .select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    tf = (
+        toks.filter(F.col("tok").isin(list(terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # the idf model is |terms|+2 integers — a bounded, documented driver
+    # read (same class as the classifier moments / BPE vocab): ONE
+    # collect pulls (df_t per term, N, TL), then the 52-step ilog chain
+    # runs as literal Python on those ints instead of 104 analyzer
+    # passes of the column-chain form — identical values by construction
+    # (ilog2_local IS the recurrence; the oracle replays the full SQL
+    # chain). N and TL enter the scoring expression as literals, so the
+    # executed plan is one corpus tokenize feeding the tf/dl branches.
+    stats = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .crossJoin(
+            F.broadcast(
+                dl.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tok").alias("tl"),
+                )
+            )
+        )
+        .collect()
+    )
+    n_docs, tl = int(stats[0]["n_docs"]), int(stats[0]["tl"])
+    inn = ilog2_local(n_docs)
+    idf = df.sparkSession.createDataFrame(
+        sorted((r["tok"], inn - ilog2_local(r["df_cnt"])) for r in stats),
+        "tok string, idf_q16 long",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), on="tok")
+        .join(dl, on="doc_id")
+        .withColumn(
+            "tfsat_milli",
+            F.expr(
+                f"(22 * CAST({tl} AS BIGINT) * tf * 1000) div "
+                f"(10 * CAST({tl} AS BIGINT) * tf + 3 * CAST({tl} AS BIGINT)"
+                f" + 9 * n_tok * CAST({n_docs} AS BIGINT))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("idf_q16 * tfsat_milli")).alias("score_scaled"))
+    )
+    return (
+        scored.orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+        .limit(top)
+        .select("doc_id", F.col("score_scaled").cast("long").alias("score_scaled"))
+    )
+
+
+def bm25_oracle_sql(terms: list, top: int = 20) -> str:
+    """DuckDB replay of ``bm25_scores`` (+ the metadata join the
+    workload adds): same rational saturation, same ilog2 chain rendered
+    as lockstep CTEs over the |terms|-row df table."""
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    base = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), toks_ne AS (
+        SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), dl AS (
+        SELECT doc_id, COUNT(1) AS n_tok FROM toks_ne GROUP BY 1
+    ), scal AS (
+        SELECT COUNT(1) AS n_docs, SUM(n_tok) AS tl FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(1) AS tf FROM toks_ne
+        WHERE tok IN ({quoted}) GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT tok, COUNT(1) AS df_cnt FROM tf GROUP BY 1
+    ), s0 AS (
+        SELECT d.tok, d.df_cnt, s.n_docs, s.tl FROM dfreq d CROSS JOIN scal s
+    )"""
+    parts = [base]
+    n_steps = ilog2_steps("n_docs", "inn", _duck_idiv)
+    d_steps = ilog2_steps("df_cnt", "ind", _duck_idiv)
+    prev = "s0"
+    for i, ((n1, e1), (n2, e2)) in enumerate(zip(n_steps, d_steps), start=1):
+        parts.append(
+            f", s{i} AS (SELECT *, {e1} AS {n1}, {e2} AS {n2} FROM {prev})"
+        )
+        prev = f"s{i}"
+    parts.append(
+        f""", idf AS (
+        SELECT tok, inn - ind AS idf_q16 FROM {prev}
+    ), scored AS (
+        SELECT t.doc_id,
+               SUM(i.idf_q16 *
+                   ((22 * s.tl * t.tf * 1000) //
+                    (10 * s.tl * t.tf + 3 * s.tl + 9 * d.n_tok * s.n_docs))
+               ) AS score_scaled
+        FROM tf t
+        JOIN idf i ON t.tok = i.tok
+        JOIN dl d ON t.doc_id = d.doc_id
+        CROSS JOIN scal s
+        GROUP BY t.doc_id
+    ), ranked AS (
+        SELECT doc_id, CAST(score_scaled AS BIGINT) AS score_scaled
+        FROM scored
+        ORDER BY score_scaled DESC, doc_id ASC LIMIT {top}
+    )
+    SELECT r.doc_id, r.score_scaled, d.lang, d.source
+    FROM ranked r JOIN documents d USING (doc_id)"""
+    )
+    return "".join(parts)

@@ -1135,3 +1135,24 @@ def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(docs.select("doc_id", "lang", "source"), on="doc_id").select(
         "doc_id", "lang", "source", "hits"
     )
+
+
+@query(
+    "text_bm25_search",
+    oracle=TX.bm25_oracle_sql(["vector", "window", "merge"]),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval under a full cross-engine value gate — the
+    ranking twin of text_keyword_search's boolean retrieval: top-20
+    documents for an OR-semantics 3-term query with k1=1.2, b=0.75,
+    integer-exact via the fixed-point ilog2 idf and an exact-rational tf
+    saturation (operators/text.bm25_scores). One corpus tokenize; the
+    ilog chain runs on the 3-row term table; scoring is broadcast-joined
+    and the top-k bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = TX.bm25_scores(
+        docs.select("doc_id", "text"), ["vector", "window", "merge"]
+    )
+    return ranked.join(
+        docs.select("doc_id", "lang", "source"), on="doc_id"
+    ).select("doc_id", "score_scaled", "lang", "source")

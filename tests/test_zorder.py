@@ -105,3 +105,37 @@ def test_zorder_read_is_exact(spark, tmp_path):
         (F.col("user_id") >= 100) & (F.col("user_id") < 200)
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")).collect()[0]
     assert (pruned["n"], pruned["s"]) == (full["n"], full["s"])
+
+
+# --- BM25 (lives here to avoid a new spark-session file; zorder + bm25
+# are the round's two index/layout operators) ---
+
+
+def test_bm25_idf_and_saturation_math(spark):
+    """Toy corpus with hand-checkable counts: doc 1 repeats 'a' (high tf,
+    saturates), doc 2 mentions both terms once. idf must be the exact
+    fixed-point ilog difference and scores must replay the rational
+    saturation bit-for-bit."""
+    from fluss_iceberg_spark.operators.text import bm25_scores, ilog2_local
+
+    rows = [
+        (1, "a a a a x"),
+        (2, "a b x y"),
+        (3, "x y z w"),
+        (4, "x y z w v"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score_scaled"]
+           for r in bm25_scores(df, ["a", "b"], top=10).collect()}
+    n_docs, tl = 4, 18
+    idf_a = ilog2_local(n_docs) - ilog2_local(2)  # 'a' in docs 1,2
+    idf_b = ilog2_local(n_docs) - ilog2_local(1)  # 'b' in doc 2
+
+    def sat(tf, dl):
+        return (22 * tl * tf * 1000) // (10 * tl * tf + 3 * tl + 9 * dl * n_docs)
+
+    assert got[1] == idf_a * sat(4, 5)
+    assert got[2] == idf_a * sat(1, 4) + idf_b * sat(1, 4)
+    assert 3 not in got and 4 not in got  # no query term -> no row
+    # saturation: 4x the tf must score far less than 4x
+    assert got[1] < 2 * idf_a * sat(1, 5)

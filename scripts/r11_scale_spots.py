@@ -24,6 +24,7 @@ QUERIES = [
     "text_keyword_search",
     "text_cms_heavy_hitters",  # re-spot after the one-scan rebuild
     "stream_tdigest_refresh",
+    "text_bm25_search",
 ]
 
 SFS = {

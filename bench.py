@@ -218,6 +218,7 @@ HEADLINE = [
     "text_keyword_search",
     "stream_tdigest_refresh",
     "text_bm25_search",
+    "events_funnel_steps",
 ]
 
 

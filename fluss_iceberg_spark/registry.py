@@ -83,14 +83,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
-    # ---- round-12 rotation TODO (for the next round's builder): four
+    # ---- round-12 rotation TODO (for the next round's builder): five
     # r11-born queries were registered after the window filled and hold
     # zero driver evidence (first three oracle-backed, all local-parity
     # green): lake_zorder_skipping (Morton-curve file clustering +
     # two-dim min/max pruning), text_keyword_search (persisted
     # inverted-index conjunctive search), text_bm25_search
     # (integer-exact Okapi BM25 ranking), and stream_tdigest_refresh
-    # (append-only centroid state; rows-only by nature). Rotate them IN
+    # (append-only centroid state; rows-only by nature), plus
+    # events_funnel_steps (one-shuffle ordered conversion funnel,
+    # oracle-backed). Rotate them IN
     # by displacing multi-green incumbents whose family keeps another
     # in-window gate.
     # ---- round-11 rotation (DONE this round): the 10 queries born in

@@ -417,3 +417,121 @@ def events_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH flags AS (
+        SELECT DISTINCT user_id,
+               mt1 IS NOT NULL AS s1,
+               mt2 IS NOT NULL AS s2,
+               mt3 IS NOT NULL AS s3
+        FROM (
+            SELECT user_id, mt1, mt2,
+                   MIN(CASE WHEN event_type = 'purchase' AND ts >= mt2
+                            THEN ts END)
+                       OVER (PARTITION BY user_id) AS mt3
+            FROM (
+                SELECT user_id, event_type, ts, mt1,
+                       MIN(CASE WHEN event_type = 'click' AND ts >= mt1
+                                THEN ts END)
+                           OVER (PARTITION BY user_id) AS mt2
+                FROM (
+                    SELECT user_id, event_type, ts,
+                           MIN(CASE WHEN event_type = 'view' THEN ts END)
+                               OVER (PARTITION BY user_id) AS mt1
+                    FROM events
+                )
+            )
+        )
+    ), agg AS (
+        SELECT SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS n2,
+               SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS n3
+        FROM flags
+    )
+    SELECT step, step_name,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users * 1000 // prev AS BIGINT) AS conv_from_prev_milli,
+           CAST(n_users * 1000 // first AS BIGINT) AS conv_from_first_milli
+    FROM (
+        SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+               n1 AS prev, n1 AS first FROM agg
+        UNION ALL
+        SELECT 2, 'click', n2, n1, n1 FROM agg
+        UNION ALL
+        SELECT 3, 'purchase', n3, n2, n1 FROM agg
+    )
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    counts for step k only if step k's FIRST qualifying event is at or
+    after their step-(k-1) time — the sequence constraint that separates
+    a funnel from three independent counts. ONE shuffle on user_id: the
+    three chained `MIN(CASE ...) OVER (PARTITION BY user_id)` windows
+    share the partitioning (mt2 conditions on mt1, mt3 on mt2), the
+    per-user flags dedup rides the same layout, and the step counts are
+    a 1-row aggregate unpivoted to 3 rows with integer-milli conversion
+    ratios. At 100 TB the plan is scan → one user_id exchange → window
+    chain → tiny agg — no joins, no second scan, no Python."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    flags = (
+        ev.withColumn(
+            "mt1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "mt2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("mt1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "mt3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("mt2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .select(
+            "user_id",
+            F.col("mt1").isNotNull().alias("s1"),
+            F.col("mt2").isNotNull().alias("s2"),
+            F.col("mt3").isNotNull().alias("s3"),
+        )
+        .distinct()
+    )
+    agg = flags.agg(
+        F.sum(F.col("s1").cast("long")).alias("n1"),
+        F.sum(F.col("s2").cast("long")).alias("n2"),
+        F.sum(F.col("s3").cast("long")).alias("n3"),
+    )
+    return agg.selectExpr(
+        "stack(3, "
+        " 1, 'view',     n1, n1, n1,"
+        " 2, 'click',    n2, n1, n1,"
+        " 3, 'purchase', n3, n2, n1"
+        ") AS (step, step_name, n_users, prev, first)"
+    ).select(
+        "step",
+        "step_name",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr("n_users * 1000 div prev").cast("long")
+        .alias("conv_from_prev_milli"),
+        F.expr("n_users * 1000 div first").cast("long")
+        .alias("conv_from_first_milli"),
+    )

@@ -25,6 +25,7 @@ QUERIES = [
     "text_cms_heavy_hitters",  # re-spot after the one-scan rebuild
     "stream_tdigest_refresh",
     "text_bm25_search",
+    "events_funnel_steps",
 ]
 
 SFS = {

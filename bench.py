@@ -219,6 +219,8 @@ HEADLINE = [
     "stream_tdigest_refresh",
     "text_bm25_search",
     "events_funnel_steps",
+    "engine_approx_distinct",
+    "ann_filtered_topk",
 ]
 
 

@@ -595,9 +595,50 @@ class Engine:
             t.read(version=version).createOrReplaceTempView(view)
             return f"{kw} {view}"
 
-        return self._rewrite_table_changes(
-            self._TIME_TRAVEL_TS_RE.sub(sub_ts, self._TIME_TRAVEL_RE.sub(sub, q))
+        # approx-distinct runs last: it rewrites aggregate expressions,
+        # never table references, so ordering vs the view rewrites is free
+        return self._rewrite_approx_distinct(
+            self._rewrite_table_changes(
+                self._TIME_TRAVEL_TS_RE.sub(sub_ts, self._TIME_TRAVEL_RE.sub(sub, q))
+            )
         )
+
+    # expr = anything without a top-level comma, one nesting level allowed
+    # (APPROX_COUNT_DISTINCT(UPPER(col)) parses; deeper nesting is not a
+    # shape the facade's SQL surface emits)
+    _APPROX_DISTINCT_RE = re.compile(
+        r"\bAPPROX_(?:COUNT_)?DISTINCT\s*\(\s*"
+        r"([^(),]*(?:\([^()]*\)[^(),]*)*?)\s*"
+        r"(?:,\s*(\d+(?:\.\d+)?)\s*)?\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_approx_distinct(self, q: str) -> str:
+        """SURVEY §2.4's approximate COUNT(DISTINCT) inside the SQL
+        surface: ``APPROX_COUNT_DISTINCT(expr[, lgK])`` — and Trino's
+        spelling ``APPROX_DISTINCT(expr)``, the form the reference exposes
+        over the same Iceberg tables (README.md:287 COUNT family) — is
+        rewritten to Spark's built-in Datasketches HLL aggregate pair
+        ``hll_sketch_estimate(hll_sketch_agg(expr, lgK))``, so facade
+        estimates are sketch-compatible with the matview COUNT(DISTINCT)
+        state (plans/views.py) and mergeable across partitions/deltas.
+        An integer second argument is lgK (Datasketches, default 12); a
+        float second argument means relativeSD — that call is left
+        untouched for Catalyst's native HLL++ aggregate."""
+
+        def sub(m: re.Match) -> str:
+            expr, arg = m.group(1), m.group(2)
+            if not expr.strip():
+                return m.group(0)
+            if arg is not None and "." in arg:
+                return m.group(0)  # relativeSD form: native Spark HLL++
+            lgk = int(arg) if arg else 12
+            return (
+                f"CAST(hll_sketch_estimate("
+                f"hll_sketch_agg({expr}, {lgk})) AS BIGINT)"
+            )
+
+        return self._APPROX_DISTINCT_RE.sub(sub, q)
 
     def _ok(self, op: str, name: str) -> DataFrame:
         return self.spark.createDataFrame([(op, name)], "op string, name string")

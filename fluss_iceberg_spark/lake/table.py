@@ -1615,7 +1615,22 @@ class LakeTable:
         if zcols is not None:
             from fluss_iceberg_spark.operators.zorder import zorder_layout
 
-            a, b = [c.strip() for c in zcols.split(",")]
+            # validate eagerly (mirrors _cluster_column): a typo'd column
+            # or wrong arity should fail with a named error here, not an
+            # opaque one deep inside approxQuantile / tuple unpacking
+            pair = [c.strip() for c in zcols.split(",") if c.strip()]
+            if len(pair) != 2:
+                raise ValueError(
+                    f"{self.name}: write.zorder-by must name exactly two "
+                    f"columns ('colA,colB'), got {zcols!r}"
+                )
+            unknown = [c for c in pair if c not in df.columns]
+            if unknown:
+                raise ValueError(
+                    f"{self.name}: write.zorder-by columns {unknown} not in "
+                    f"table columns {df.columns}"
+                )
+            a, b = pair
             n = int(self.properties.get("write.cluster-partitions", "16"))
             df = zorder_layout(df, a, b, n)
         elif ccol is not None:

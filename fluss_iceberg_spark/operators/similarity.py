@@ -20,35 +20,64 @@ from pyspark.sql import functions as F
 from fluss_iceberg_spark.operators.dedup import dot_expanded, vec_norm
 
 
-def _as_double(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Project to (vec_id, v: array<double>, nrm) — norms precomputed once
-    per vector so the O(n·q) pair loop only pays one dot product.
-    ``spread()`` first: the downstream dot-product loops inherit the
-    scan's partitioning, and a single-split embedding file would
-    otherwise run them on one core (no-op on a well-split input)."""
+def _as_double(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple = (),
+):
+    """Project to (vec_id, v: array<double>, nrm[, *carry]) — norms
+    precomputed once per vector so the O(n·q) pair loop only pays one dot
+    product; ``carry`` names metadata columns kept alongside the vector
+    (filtered search). ``spread()`` first: the downstream dot-product
+    loops inherit the scan's partitioning, and a single-split embedding
+    file would otherwise run them on one core (no-op on a well-split
+    input)."""
     from fluss_iceberg_spark.operators.util import spread
 
     emb = spread(emb)
     return emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        *[F.col(c) for c in carry],
     ).withColumn("nrm", vec_norm(F.col("v")))
 
 
 def brute_force_topk(
-    vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    match_cols: list | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query. ``queries``/(``vectors``): DataFrames
     with (vec_id, embedding). Rank ties broken by neighbor id —
-    deterministic across engines."""
-    v = _as_double(vectors).select(
-        F.col("vec_id").alias("nn_id"), F.col("v").alias("vv"), F.col("nrm").alias("nv")
+    deterministic across engines.
+
+    ``match_cols`` is the filtered-vector-search form (every vector store's
+    "search within my tenant/category"): each query only scores neighbors
+    whose metadata columns EQUAL its own. The filter rides the broadcast-
+    join condition, so non-matching vectors are dropped at the scan side
+    BEFORE the dot product is paid — at 100 TB the cost is
+    O(matching vectors), not O(corpus)."""
+    match_cols = list(match_cols or ())
+    v = _as_double(vectors, carry=tuple(match_cols)).select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("v").alias("vv"),
+        F.col("nrm").alias("nv"),
+        *[F.col(c).alias(f"nn_{c}") for c in match_cols],
     )
-    q = _as_double(queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("nq")
+    q = _as_double(queries, carry=tuple(match_cols)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+        *[F.col(c).alias(f"q_{c}") for c in match_cols],
     )
+    cond = F.col("nn_id") != F.col("query_id")
+    for c in match_cols:
+        cond = cond & (F.col(f"nn_{c}") == F.col(f"q_{c}"))
     scored = (
-        v.join(F.broadcast(q), F.col("nn_id") != F.col("query_id"))
+        v.join(F.broadcast(q), cond)
         .withColumn(
             "cos",
             F.round(

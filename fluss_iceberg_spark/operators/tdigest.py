@@ -58,7 +58,11 @@ def compress(means, weights, delta: float = 100.0):
 
     means = np.asarray(means, dtype="float64")
     weights = np.asarray(weights, dtype="float64")
-    order = np.argsort(means, kind="mergesort")
+    # lexsort on (mean, weight): ties between equal means are broken by
+    # weight, so the merge is a pure function of the centroid MULTISET —
+    # tick arrival order / Spark row order can never change the digest
+    # (tests/test_tdigest.py::test_tick_merge_equals_oneshot_exactly)
+    order = np.lexsort((weights, means))
     means, weights = means[order], weights[order]
     total = float(weights.sum())
     out_m: list = []
@@ -90,7 +94,7 @@ def quantile(means, weights, q: float) -> float:
 
     means = np.asarray(means, dtype="float64")
     weights = np.asarray(weights, dtype="float64")
-    order = np.argsort(means, kind="mergesort")
+    order = np.lexsort((weights, means))  # multiset-canonical, see compress
     means, weights = means[order], weights[order]
     total = float(weights.sum())
     target = q * total

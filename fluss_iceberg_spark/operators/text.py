@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 # Minimal stopword inventories per language for the heuristic language ID.
@@ -1436,11 +1437,13 @@ def bm25_scores(
 ) -> DataFrame:
     """Top-``top`` documents for an OR-semantics term query under
     integer-exact BM25 (k1=1.2, b=0.75). Scale shape: ONE corpus
-    tokenize feeds both the doc-length table and the term-filtered tf
-    table (ReusedExchange at runtime); the ilog chain runs driver-side
-    on the |terms|+2 collected ints; scoring is a broadcast of (term,
-    idf) onto the tf rows with N/TL as plan literals, one per-doc
-    aggregate, and a bounded top-k."""
+    tokenize total — the doc-length and term-filtered tf aggregates are
+    persisted before the stats read, so the scoring job reuses them
+    instead of re-tokenizing; the ilog chain runs driver-side on the
+    |terms|+2 collected ints; scoring is a broadcast of (term, idf) onto
+    the tf rows with N/TL as plan literals, one per-doc aggregate, and a
+    bounded top-k (materialized eagerly — <= ``top`` rows — so the
+    cached aggregates can be released before returning)."""
     from fluss_iceberg_spark.operators.util import spread
 
     toks = (
@@ -1448,11 +1451,17 @@ def bm25_scores(
         .select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # persist the two SMALL aggregates (dl = one row per doc, tf = one row
+    # per matched doc x term) so the stats collect below and the scoring
+    # job share ONE corpus tokenize instead of running it twice; both are
+    # unpersisted before returning (the final top-k is bounded by `top`,
+    # so it is materialized eagerly and handed back as a local frame).
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok")).persist()
     tf = (
         toks.filter(F.col("tok").isin(list(terms)))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     # the idf model is |terms|+2 integers — a bounded, documented driver
     # read (same class as the classifier moments / BPE vocab): ONE
@@ -1475,6 +1484,17 @@ def bm25_scores(
         )
         .collect()
     )
+    if not stats:
+        # no query term occurs anywhere in the corpus: the ranking is
+        # empty by definition — return an empty frame with the contract
+        # schema instead of crashing on stats[0]
+        tf.unpersist()
+        dl.unpersist()
+        return (
+            df.select("doc_id")
+            .limit(0)
+            .withColumn("score_scaled", F.lit(0).cast("long"))
+        )
     n_docs, tl = int(stats[0]["n_docs"]), int(stats[0]["tl"])
     inn = ilog2_local(n_docs)
     idf = df.sparkSession.createDataFrame(
@@ -1495,11 +1515,18 @@ def bm25_scores(
         .groupBy("doc_id")
         .agg(F.sum(F.expr("idf_q16 * tfsat_milli")).alias("score_scaled"))
     )
-    return (
+    rows = (
         scored.orderBy(F.desc("score_scaled"), F.asc("doc_id"))
         .limit(top)
         .select("doc_id", F.col("score_scaled").cast("long").alias("score_scaled"))
+        .collect()
     )
+    tf.unpersist()
+    dl.unpersist()
+    out_schema = StructType(
+        [df.schema["doc_id"], StructField("score_scaled", LongType(), True)]
+    )
+    return df.sparkSession.createDataFrame(rows, out_schema)
 
 
 def bm25_oracle_sql(terms: list, top: int = 20) -> str:

@@ -83,18 +83,47 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapes stay registered after it (judge-visible breadth, bench coverage,
 # no hard gate).
 _PRIORITY = [
-    # ---- round-12 rotation TODO (for the next round's builder): five
-    # r11-born queries were registered after the window filled and hold
-    # zero driver evidence (first three oracle-backed, all local-parity
-    # green): lake_zorder_skipping (Morton-curve file clustering +
-    # two-dim min/max pruning), text_keyword_search (persisted
-    # inverted-index conjunctive search), text_bm25_search
-    # (integer-exact Okapi BM25 ranking), and stream_tdigest_refresh
-    # (append-only centroid state; rows-only by nature), plus
-    # events_funnel_steps (one-shuffle ordered conversion funnel,
-    # oracle-backed). Rotate them IN
-    # by displacing multi-green incumbents whose family keeps another
-    # in-window gate.
+    # ---- round-13 rotation TODO (for the next round's builder): queries
+    # registered after this round's window was pinned and therefore holding
+    # zero driver evidence — rotate them IN next round by displacing
+    # multi-green incumbents whose family keeps another in-window gate:
+    #   engine_approx_distinct (APPROX_COUNT_DISTINCT through the SQL
+    #     facade → built-in Datasketches HLL; rows-only by nature, error
+    #     bound unit-gated vs the exact count),
+    #   ann_filtered_topk (predicate-pushed brute-force cosine top-k,
+    #     integer-exact, oracle-backed).
+    # tests/test_rotation_ledger.py enforces this block: every registered
+    # query must either hold a driver row in some committed
+    # CORRECTNESS_r*.json or be NAMED here.
+    # ---- round-12 rotation (DONE this round): ALL NINE zero-driver-
+    # evidence queries rotated IN for first CORRECTNESS rows — the five
+    # named in the r12 TODO (lake_zorder_skipping, text_keyword_search,
+    # text_bm25_search, stream_tdigest_refresh, events_funnel_steps) PLUS
+    # the four r9/r10-born queries the rotation ledger had lost
+    # (text_gopher_rules, text_compression_ratio, text_bigram_coherence,
+    # text_domain_cap — zero rows across all eleven CORRECTNESS files,
+    # verdict r11 finding #1). 7 of the 9 oracle-backed;
+    # text_compression_ratio and stream_tdigest_refresh rows-only by
+    # nature (both unit-pinned: compression vs a reference LZ77 replay,
+    # tdigest per-tick merge == one-shot digest equality). Rotated OUT,
+    # each with >=2 rounds of driver evidence and its family still gated
+    # in-window:
+    #   multimodal_gif_frames + multimodal_audio_features +
+    #     multimodal_video_scene_cuts + multimodal_ahash_neardup_pairs
+    #     (2x hash-green r10-r11; codec class keeps png_pixel_stats,
+    #     mp4_metadata, phash, audio_spectrum; aHash near-dup keeps
+    #     multimodal_ahash_dedup which embeds the same hamming kernel),
+    #   text_bpe_train_merges + text_classifier_train (2x rows r10-r11;
+    #     BPE class keeps text_bpe_roundtrip whose encode replays the
+    #     trained merge table; classifier class keeps text_classifier_score
+    #     + stream_classifier_gate, numpy-parity unit pins training),
+    #   graph_hits_scores (2x hash-green r10-r11; graph class keeps
+    #     pagerank + components; HITS authority ranking unit-pinned),
+    #   dedup_substring_rewrite (2x hash-green r10-r11; substring class
+    #     keeps dedup_substring_spans, the census the rewrite consumes),
+    #   stream_neardup_admission (5x rows r7-r11; streaming-admission
+    #     class keeps stream_classifier_gate, oracle-backed; the MinHash
+    #     admission state is unit-pinned and volume-sized per r11).
     # ---- round-11 rotation (DONE this round): the 10 queries born in
     # round 10 — the only registered queries with zero driver evidence —
     # rotated IN for first CORRECTNESS rows: graph_components (WCC),
@@ -178,9 +207,15 @@ _PRIORITY = [
     "set_ops_customers",
     # event-log operators
     "events_retention_cohorts",
+    # one-shuffle ordered conversion funnel (oracle-backed) — first
+    # driver gate r12 (r11-born)
+    "events_funnel_steps",
     # lake layer
     "lake_mor_delete",
     "lake_partition_pruning",
+    # Morton-curve (Z-order) file clustering + two-dim min/max skipping
+    # (oracle-backed) — first driver gate r12 (r11-born)
+    "lake_zorder_skipping",
     "lake_scd2_changes",
     # incremental view maintenance over the lake (join-view delta
     # propagation + retractable PK matview) — first driver gates r11
@@ -190,13 +225,18 @@ _PRIORITY = [
     "stream_left_interval_join",
     "stream_log_appends",
     "stream_txn_two_sinks",
-    "stream_neardup_admission",
     # streaming incremental view maintenance (foreachBatch delta merge ==
     # one-shot join; oracle-backed) — first driver gate r11
     "stream_ivm_join",
     # streaming classifier admission gate (stateless map-side inference
     # in the ingest stream; oracle-backed) — first driver gate r10
     "stream_classifier_gate",
+    # streaming sketch maintenance: per-tick KMV merge (oracle-backed,
+    # shares the batch set-ops oracle) + append-only t-digest centroid
+    # state (rows-only; per-tick merge == one-shot digest equality
+    # unit-gated) — first driver gates r11 / r12
+    "stream_sketch_refresh",
+    "stream_tdigest_refresh",
     # text analysis / curation
     "export_training_shards",
     "fuzzy_part_names",
@@ -209,15 +249,24 @@ _PRIORITY = [
     # — first driver gate r11
     "text_cms_heavy_hitters",
     # distributed BPE: corpus-wide lossless roundtrip gate (oracle-backed
-    # identity) + the trained merge table (rows-only: iterative pair
-    # statistics) — first driver gates r10
+    # identity; encode replays the trained merge table) — first gate r10
     "text_bpe_roundtrip",
-    "text_bpe_train_merges",
     # model-based quality filtering: integer-exact scoring (oracle-backed)
-    # + full-batch GD training (rows-only: float gradient sums) — first
-    # driver gates r10
+    # — first driver gate r10
     "text_classifier_score",
-    "text_classifier_train",
+    # the four r9/r10-born curation rules the r11 verdict found orphaned
+    # (zero driver rows in any round): Gopher repetition/format rules,
+    # LZ77 compression-ratio filter (rows-only by nature), bigram
+    # coherence score, per-domain cap — first driver gates r12
+    "text_gopher_rules",
+    "text_compression_ratio",
+    "text_bigram_coherence",
+    "text_domain_cap",
+    # persisted inverted-index conjunctive keyword search + integer-exact
+    # Okapi BM25 ranking (oracle-backed) — first driver gates r12
+    # (r11-born)
+    "text_keyword_search",
+    "text_bm25_search",
     # deduplication
     "dedup_passage_level",
     "dedup_substring_spans",
@@ -225,45 +274,26 @@ _PRIORITY = [
     # (oracle-backed md5 order statistics) — first driver gates r11
     "dedup_kmv_source_setops",
     "dedup_quantile_sketch",
-    # substring-removal rewrite (Lee et al. pipeline completion; collision-
-    # sized rewrite cost; oracle-backed) — first driver gate r10
-    "dedup_substring_rewrite",
+    # engine-opaque sketches: built-in Datasketches HLL distinct +
+    # distributed t-digest quantiles (rows-only by nature, error-bound /
+    # merge-property unit-gated) — first driver gates r11
+    "dedup_hll_distinct",
+    "events_tdigest_quantiles",
     # similarity search / ANN index lifecycle
     "ann_ivfpq_topk",
     "ann_ivf_index_incremental",
-    # multimodal real decode: the four codec families (raster pixels,
-    # animated GIF LZW, WAV PCM, ISO-BMFF sample tables) + the aHash
-    # near-dup pair — all oracle-backed arithmetic replays — first driver
-    # gates r10
+    # multimodal real decode: raster pixels + ISO-BMFF sample tables +
+    # aHash near-dup + DCT perceptual hash + integer-DFT audio spectrum
+    # (all oracle-backed arithmetic replays) — first gates r10/r11
     "multimodal_png_pixel_stats",
-    "multimodal_gif_frames",
-    "multimodal_audio_features",
     "multimodal_mp4_metadata",
-    "multimodal_video_scene_cuts",
     "multimodal_ahash_dedup",
-    "multimodal_ahash_neardup_pairs",
-    # DCT perceptual hash + integer-DFT audio spectrum (oracle-backed
-    # fixed-point arithmetic replays) — first driver gates r11
     "multimodal_phash",
     "multimodal_audio_spectrum",
     # web-graph centrality (integer fixed-point, unrolled-CTE oracles) —
-    # first driver gates r10; weakly-connected components first gate r11
+    # first driver gates r10/r11
     "graph_pagerank",
-    "graph_hits_scores",
     "graph_components",
-    # round-11-born sketch family — gated in the SAME round they were
-    # born (closing the one-generation evidence lag): streaming KMV
-    # maintenance (oracle-backed, shares the batch set-ops oracle),
-    # built-in Datasketches HLL distinct (rows-only by nature), and the
-    # distributed t-digest (rows-only by nature). Displaced for these
-    # three: multimodal_mp4_frame_stats + multimodal_mp4_keyframe_stats
-    # (one r10 green each; ISO-BMFF codec family keeps mp4_metadata +
-    # video_scene_cuts in-window) and graph_top_authorities (one r10
-    # green; HITS class keeps graph_hits_scores, whose output embeds
-    # the authority ranking).
-    "stream_sketch_refresh",
-    "dedup_hll_distinct",
-    "events_tdigest_quantiles",
     # SQL facade / MERGE INTO ($snapshots-committed, first-arm-wins)
     "engine_merge_into",
 ]

@@ -533,7 +533,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     group regardless of cardinality (vs the distinct shuffle the exact
     column needs — that column exists only to make the gate row
     self-reporting and would be dropped in production)."""
-    from fluss_iceberg_spark.operators.sketches import _h52, group_shingles
+    from fluss_iceberg_spark.operators.sketches import group_shingles
 
     sh = group_shingles(
         load_table(spark, sf_dir, "documents").select("source", "text")
@@ -543,10 +543,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("h").alias("exact_distinct"),
     )
     union_row = (
-        per.agg(
-            F.hll_union_agg("sk").alias("sk"),
-            F.sum(F.lit(0)).alias("__z"),
-        )
+        per.agg(F.hll_union_agg("sk").alias("sk"))
         .crossJoin(
             sh.agg(F.count_distinct("h").alias("exact_distinct"))
         )

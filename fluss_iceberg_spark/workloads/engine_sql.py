@@ -318,3 +318,44 @@ def timestamp_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nations_ts_tt TIMESTAMP AS OF '{t1_iso}'
         """
     )
+
+
+@query("engine_approx_distinct")  # HLL estimates -> rows-only by nature
+def approx_distinct_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4's approximate COUNT(DISTINCT) through the SQL facade
+    (reference parity: Trino exposes ``approx_distinct`` over the same
+    Iceberg tables, README.md:287 COUNT family): ``engine.sql()``
+    rewrites ``APPROX_COUNT_DISTINCT(col)`` — and the Trino spelling
+    ``APPROX_DISTINCT(col)`` — to the built-in Datasketches HLL pair
+    (engine.py _rewrite_approx_distinct), so facade estimates share the
+    matview COUNT(DISTINCT) sketch family. The gate row is its own
+    accuracy report (the dedup_hll_distinct convention): per order
+    status, the lgK=12 estimate, the exact count, and the error in
+    milli-units — unit-gated to the 3-sigma HLL bound
+    (tests/test_engine_sql.py).
+
+    100 TB: one pass, 2^12 registers per group; the exact column exists
+    only to make the gate self-reporting and would be dropped in
+    production."""
+    import hashlib
+
+    from fluss_iceberg_spark.sources.tpch import load_table
+
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    ).createOrReplaceTempView("orders_ad")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    eng = Engine(spark, f"/tmp/fluss_engine_scratch/{tag}/approx_distinct")
+    return eng.sql(
+        """
+        SELECT o_orderstatus,
+               APPROX_COUNT_DISTINCT(o_custkey) AS approx_custkeys,
+               APPROX_DISTINCT(o_custkey) AS approx_custkeys_trino,
+               COUNT(DISTINCT o_custkey) AS exact_custkeys,
+               ABS(APPROX_COUNT_DISTINCT(o_custkey) - COUNT(DISTINCT o_custkey))
+                   * 1000 DIV COUNT(DISTINCT o_custkey) AS err_milli
+        FROM orders_ad
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

@@ -195,3 +195,43 @@ def ivf_index_cdc_sync_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.sync_from_changelog(src, from_version=v0)
     q = src.read().filter(F.col("vec_id") < N_QUERIES)
     return idx.search(q, k=10, n_probe=4).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id,
+               n.vec_id AS nn_id,
+               round(list_dot_product(q.v, n.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(n.v, n.v))),
+                     4) AS cosine
+        FROM v q JOIN v n
+          ON n.vec_id <> q.vec_id AND n.label = q.label
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, nn_id, cosine, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= 5
+    """,
+)
+def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact vector search (the RAG "search within my
+    tenant/category" shape): cosine top-5 per query among ONLY the
+    vectors sharing the query's ``label``. The label equality rides the
+    broadcast-join condition (operators/similarity.brute_force_topk
+    match_cols), so non-matching vectors never pay a dot product — at
+    100 TB the scored set is O(label-matching vectors), not O(corpus),
+    and with a label-partitioned layout the scan itself prunes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), 5, match_cols=["label"]
+    )

@@ -23,6 +23,7 @@ from fluss_iceberg_spark.registry import query
 from fluss_iceberg_spark.sources import faker
 from fluss_iceberg_spark.sources.tpch import load_table
 from fluss_iceberg_spark.streaming.pipeline import ReferencePipeline
+from fluss_iceberg_spark.workloads.dedup import KMV_SETOPS_ORACLE
 from fluss_iceberg_spark.workloads.reference import _ENRICH_SQL, _reference_frames
 
 
@@ -1255,7 +1256,10 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_sketch_refresh")  # oracle attached below (batch KMV replay)
+# incremental == batch by the KMV union property, so the streaming query
+# shares the batch oracle verbatim (registered through the decorator so
+# the registry's duplicate-registration guard applies)
+@query("stream_sketch_refresh", oracle=KMV_SETOPS_ORACLE)
 def stream_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sketch maintenance: documents arrive over 4
     micro-batches (maxFilesPerTrigger=1) and a foreachBatch loop
@@ -1329,13 +1333,6 @@ def stream_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = final.withColumn("rk", F.row_number().over(w))
     return SK.kmv_pair_set_ops(sketches, k=k)
 
-
-# incremental == batch by the KMV union property, so the streaming query
-# shares the batch oracle verbatim
-from fluss_iceberg_spark.workloads.dedup import KMV_SETOPS_ORACLE  # noqa: E402
-from fluss_iceberg_spark.registry import ORACLES  # noqa: E402
-
-ORACLES["stream_sketch_refresh"] = KMV_SETOPS_ORACLE
 
 
 @query("stream_tdigest_refresh")  # float centroids -> rows-only by nature

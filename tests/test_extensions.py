@@ -180,3 +180,41 @@ def test_decode_real_null_payload_yields_null_features(spark):
     assert binarized.filter(SF.col("payload").isNull()).count() == 1
     rows = {r.doc_id: r for r in MM.decode_real(binarized).collect()}
     assert rows[1].width == 2 and rows[2].width is None
+
+
+def test_filtered_topk_matches_per_label_bruteforce(spark):
+    """Metadata-filtered search (match_cols): the filtered result must be
+    EXACTLY brute force run separately on each label slice — the filter
+    changes the candidate set, never the scores — and every returned
+    neighbour shares its query's label."""
+    import random
+
+    rnd = random.Random(23)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)], i % 3)
+        for i in range(36)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.filter(F.col("vec_id") < 3)  # one query per label
+    got = {
+        (r.query_id, r.rank): (r.nn_id, r.cosine)
+        for r in SIM.brute_force_topk(
+            emb, q, k=5, dim=16, match_cols=["label"]
+        ).collect()
+    }
+    labels = {i: i % 3 for i in range(36)}
+    for lbl in (0, 1, 2):
+        slice_df = emb.filter(F.col("label") == lbl)
+        want = {
+            (r.query_id, r.rank): (r.nn_id, r.cosine)
+            for r in SIM.brute_force_topk(
+                slice_df, slice_df.filter(F.col("vec_id") < 3), k=5, dim=16
+            ).collect()
+        }
+        for key, val in want.items():
+            assert got[key] == val, (lbl, key)
+        for (qid, _), (nid, _) in want.items():
+            assert labels[nid] == labels[qid]
+    assert len(got) == 3 * 5

@@ -139,3 +139,42 @@ def test_bm25_idf_and_saturation_math(spark):
     assert 3 not in got and 4 not in got  # no query term -> no row
     # saturation: 4x the tf must score far less than 4x
     assert got[1] < 2 * idf_a * sat(1, 5)
+
+
+def test_bm25_no_term_in_corpus_returns_empty(spark):
+    """Contract guard (ADVICE r11): a query whose terms occur nowhere in
+    the corpus must return an EMPTY frame with the (doc_id, score_scaled)
+    schema, not crash on the empty stats collect."""
+    from fluss_iceberg_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "y z w")], "doc_id long, text string"
+    )
+    out = bm25_scores(df, ["nonexistent", "absent"], top=5)
+    assert out.columns == ["doc_id", "score_scaled"]
+    assert out.count() == 0
+
+
+def test_zorder_by_property_validation(spark, tmp_path):
+    """write.zorder-by must fail fast with a named error on a typo'd
+    column or wrong arity (ADVICE r11), mirroring _cluster_column()."""
+    import pytest
+
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    for props, frag in (
+        ({"write.zorder-by": "a"}, "exactly two"),
+        ({"write.zorder-by": "a,b,a"}, "exactly two"),
+        ({"write.zorder-by": "a,typo"}, "typo"),
+    ):
+        t = cat.create_table(
+            f"zv_{len(props['write.zorder-by'])}_{frag.split()[0]}",
+            df.schema,
+            properties=props,
+        )
+        with pytest.raises(ValueError, match=frag):
+            t.append(df)

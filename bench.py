@@ -221,6 +221,8 @@ HEADLINE = [
     "events_funnel_steps",
     "engine_approx_distinct",
     "ann_filtered_topk",
+    "text_hybrid_rrf_search",
+    "ann_maxsim_multivector",
 ]
 
 

@@ -595,3 +595,35 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", F.round("adc_dist", 4).alias("adc_dist"), "rank")
     )
+
+
+def maxsim_q14(qv_col, dv_col, n_tokens: int = 4, dim: int = 16):
+    """Late-interaction MaxSim (Khattab & Zaharia 2020, ColBERT): both
+    vectors are multi-vector docs — ``n_tokens`` contiguous ``dim``-wide
+    token slots packed in one array — and the score is
+
+        sum over query tokens j of  max over doc tokens i of
+            round(dot(q_j, d_i) * 10000)   (int64 fixed-point, q14)
+
+    Every pairwise dot is an UNROLLED flat sum (element_at chains — stays
+    in whole-stage codegen like dot_expanded), rounded half-away-from-zero
+    to 4 decimals as an integer so max/sum are exact in any engine; the
+    per-token max is F.greatest over the n_tokens columns. The whole score
+    is ONE projection: no explode, no join, no shuffle — per-doc cost is
+    O(n_tokens^2 * dim) multiply-adds in codegen."""
+    per_q = []
+    for j in range(n_tokens):
+        dots = []
+        for i in range(n_tokens):
+            dot = None
+            for k in range(1, dim + 1):
+                term = F.element_at(qv_col, j * dim + k) * F.element_at(
+                    dv_col, i * dim + k
+                )
+                dot = term if dot is None else dot + term
+            dots.append(F.round(dot * 10000, 0).cast("long"))
+        per_q.append(F.greatest(*dots))
+    score = None
+    for col in per_q:
+        score = col if score is None else score + col
+    return score

@@ -1584,3 +1584,38 @@ def bm25_oracle_sql(terms: list, top: int = 20) -> str:
     FROM ranked r JOIN documents d USING (doc_id)"""
     )
     return "".join(parts)
+
+
+def rrf_fuse(legs, k: int = 60, top: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-retrieval combiner (keyword + vector, the shape every
+    production RAG stack runs): ``legs`` is a list of ``(name, df)`` where
+    each df carries (doc_id, rank) from one retriever's top-k. Fused
+    score, INTEGER-EXACT so it hash-gates across engines:
+
+        rrf_scaled(d) = sum over legs of 1_000_000 // (k + rank_leg(d))
+
+    with a document absent from a leg contributing 0 (its rank column
+    reports 0). Ties broken by doc_id.
+
+    100 TB: each leg is already a bounded top-k produced by its own
+    distributed index (postings/BM25, IVF/brute ANN) — fusion only ever
+    touches O(sum of k) rows, so the hybrid query costs the sum of its
+    legs plus a k-row join."""
+    out = None
+    cols = []
+    for name, df in legs:
+        c = f"{name}_rank"
+        cols.append(c)
+        part = df.select(F.col("doc_id"), F.col("rank").cast("int").alias(c))
+        out = part if out is None else out.join(part, "doc_id", "full_outer")
+    out = out.select(
+        "doc_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cols]
+    )
+    expr = " + ".join(
+        f"CASE WHEN {c} > 0 THEN CAST(1000000 AS BIGINT) DIV ({k} + {c}) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for c in cols
+    )
+    out = out.withColumn("rrf_scaled", F.expr(expr).cast("long"))
+    return out.orderBy(F.desc("rrf_scaled"), F.asc("doc_id")).limit(top)

@@ -91,7 +91,11 @@ _PRIORITY = [
     #     facade → built-in Datasketches HLL; rows-only by nature, error
     #     bound unit-gated vs the exact count),
     #   ann_filtered_topk (predicate-pushed brute-force cosine top-k,
-    #     integer-exact, oracle-backed).
+    #     integer-exact, oracle-backed),
+    #   text_hybrid_rrf_search (keyword BM25 leg + vector cosine leg fused
+    #     by integer-exact reciprocal-rank fusion; oracle-backed),
+    #   ann_maxsim_multivector (ColBERT-style late-interaction MaxSim over
+    #     packed token slots, fixed-point q14; oracle-backed).
     # tests/test_rotation_ledger.py enforces this block: every registered
     # query must either hold a driver row in some committed
     # CORRECTNESS_r*.json or be NAMED here.

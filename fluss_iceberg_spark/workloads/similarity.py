@@ -235,3 +235,55 @@ def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), 5, match_cols=["label"]
     )
+
+
+def _maxsim_oracle(n_tokens: int = 4, dim: int = 16, top: int = 10) -> str:
+    """DuckDB replay of maxsim_q14 over the same packed-token layout:
+    list_slice per token slot, same round-to-q14-then-max/sum integer
+    arithmetic."""
+    pair = lambda j, i: (
+        f"CAST(round(list_dot_product("
+        f"list_slice(q.vv, {j * dim + 1}, {(j + 1) * dim}), "
+        f"list_slice(n.vv, {i * dim + 1}, {(i + 1) * dim})) * 10000) "
+        f"AS BIGINT)"
+    )
+    per_q = " + ".join(
+        "GREATEST(" + ", ".join(pair(j, i) for i in range(n_tokens)) + ")"
+        for j in range(n_tokens)
+    )
+    return f"""
+    WITH ve AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    )
+    SELECT n.vec_id AS doc_id, {per_q} AS maxsim_q14
+    FROM ve n CROSS JOIN (SELECT vv FROM ve WHERE vec_id = 0) q
+    WHERE n.vec_id <> 0
+    ORDER BY maxsim_q14 DESC, doc_id ASC
+    LIMIT {top}
+    """
+
+
+@query("ann_maxsim_multivector", oracle=_maxsim_oracle())
+def maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (the ColBERT MaxSim shape
+    beside the single-vector cosine legs): each embedding is read as 4
+    packed 16-dim token slots, and a doc's score against query 0 is the
+    sum over query tokens of the best-matching doc token — computed as
+    ONE codegen projection (operators/similarity.maxsim_q14): the 1-row
+    query broadcast-cross-joins the corpus, 16 unrolled fixed-point dot
+    products + greatest/sum per doc, then a bounded top-10. No explode,
+    no shuffle beyond TakeOrdered. 100 TB: per-doc cost is
+    O(q_tokens x d_tokens x dim) in whole-stage codegen; in production
+    MaxSim re-ranks an ANN candidate set (ann_ivfpq_topk supplies one),
+    so the scan side is the candidate list, not the corpus."""
+    emb = SIM._as_double(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    docs = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    return (
+        docs.select(
+            F.col("vec_id").alias("doc_id"),
+            SIM.maxsim_q14(F.col("qv"), F.col("v")).alias("maxsim_q14"),
+        )
+        .orderBy(F.desc("maxsim_q14"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -1156,3 +1156,78 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(
         docs.select("doc_id", "lang", "source"), on="doc_id"
     ).select("doc_id", "score_scaled", "lang", "source")
+
+
+_RRF_TERMS = ["vector", "window", "merge"]
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH bm AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_scaled DESC, doc_id ASC) AS INT) AS bm25_rank
+        FROM ({TX.bm25_oracle_sql(_RRF_TERMS)}) b
+    ), ve AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), cscored AS (
+        SELECT n.vec_id AS doc_id,
+               round(list_dot_product(q.vv, n.vv)
+                     / (sqrt(list_dot_product(q.vv, q.vv))
+                        * sqrt(list_dot_product(n.vv, n.vv))),
+                     4) AS cosine
+        FROM ve q JOIN ve n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id = 0
+    ), cos AS (
+        SELECT doc_id, cos_rank FROM (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY cosine DESC, doc_id ASC) AS INT) AS cos_rank
+            FROM cscored
+        ) t WHERE cos_rank <= 20
+    ), fused AS (
+        SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+               COALESCE(bm.bm25_rank, 0) AS bm25_rank,
+               COALESCE(cos.cos_rank, 0) AS cos_rank,
+               (CASE WHEN bm.bm25_rank IS NULL THEN 0
+                     ELSE 1000000 // (60 + bm.bm25_rank) END
+                + CASE WHEN cos.cos_rank IS NULL THEN 0
+                       ELSE 1000000 // (60 + cos.cos_rank) END) AS rrf_scaled
+        FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+           bm25_rank, cos_rank
+    FROM fused
+    ORDER BY rrf_scaled DESC, doc_id ASC
+    LIMIT 10
+"""
+
+
+@query("text_hybrid_rrf_search", oracle=_HYBRID_RRF_ORACLE)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the production RAG shape: a keyword leg
+    (integer-exact BM25 top-20 for a 3-term query) and a vector leg
+    (exact cosine top-20 for query vector 0, rounded to 4 so both
+    engines rank identically) fused by reciprocal-rank fusion
+    (operators/text.rrf_fuse, 1e6 // (60 + rank) per leg, integer-exact)
+    into one top-10 — a relevance ranking that VALUE-HASHES across
+    engines end to end. Cost is the sum of the legs (one cached corpus
+    tokenize + one embeddings scan); fusion joins two <= 20-row frames."""
+    from fluss_iceberg_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = TX.bm25_scores(docs.select("doc_id", "text"), _RRF_TERMS, top=20)
+    w = Window.orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+    bm_ranked = bm.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+    cos_ranked = SIM.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("nn_id").alias("doc_id"), "rank")
+    return TX.rrf_fuse(
+        [("bm25", bm_ranked), ("cos", cos_ranked)], k=60, top=10
+    ).select(
+        "doc_id",
+        F.col("rrf_scaled").cast("long").alias("rrf_scaled"),
+        "bm25_rank",
+        F.col("cos_rank"),
+    )

@@ -218,3 +218,34 @@ def test_filtered_topk_matches_per_label_bruteforce(spark):
         for (qid, _), (nid, _) in want.items():
             assert labels[nid] == labels[qid]
     assert len(got) == 3 * 5
+
+
+def test_maxsim_late_interaction_semantics(spark):
+    """MaxSim is order-invariant across token SLOTS (each query token
+    finds its best doc token wherever it sits) — the property that
+    separates late interaction from a flat positional dot product — and
+    the fixed-point arithmetic is hand-checkable."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),   # query: tokens (1,0), (0,1)
+        (1, [1.0, 0.0, 0.0, 1.0]),   # aligned twin
+        (2, [0.0, 1.0, 1.0, 0.0]),   # same tokens, slots swapped
+        (3, [0.5, 0.0, 0.0, 0.5]),   # half-scale twin
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = SIM._as_double(emb)
+    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    got = {
+        r["doc_id"]: r["s"]
+        for r in v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            SIM.maxsim_q14(F.col("qv"), F.col("v"), n_tokens=2, dim=2).alias("s"),
+        )
+        .collect()
+    }
+    assert got[1] == 20000          # 1.0 + 1.0 in q14
+    assert got[2] == 20000          # slot-swapped scores identically
+    assert got[3] == 10000          # linear in magnitude
+    # a flat positional dot of doc 2 against the query would be 0 —
+    # late interaction is what makes the swapped doc a perfect match

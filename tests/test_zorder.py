@@ -178,3 +178,24 @@ def test_zorder_by_property_validation(spark, tmp_path):
         )
         with pytest.raises(ValueError, match=frag):
             t.append(df)
+
+
+def test_rrf_fuse_arithmetic(spark):
+    """Hand-checkable RRF: doc in both legs sums both reciprocals; a
+    single-leg doc contributes one; absent rank reports 0; integer-exact
+    1e6 // (60 + rank); ties broken by doc_id."""
+    from fluss_iceberg_spark.operators.text import rrf_fuse
+
+    bm = spark.createDataFrame([(10, 1), (11, 2)], "doc_id long, rank int")
+    cs = spark.createDataFrame([(10, 2), (12, 1)], "doc_id long, rank int")
+    rows = {
+        r["doc_id"]: r
+        for r in rrf_fuse([("bm25", bm), ("cos", cs)], k=60, top=10).collect()
+    }
+    r1, r2 = 1_000_000 // 61, 1_000_000 // 62
+    assert rows[10]["rrf_scaled"] == r1 + r2
+    assert rows[10]["bm25_rank"] == 1 and rows[10]["cos_rank"] == 2
+    assert rows[11]["rrf_scaled"] == r2 and rows[11]["cos_rank"] == 0
+    assert rows[12]["rrf_scaled"] == r1 and rows[12]["bm25_rank"] == 0
+    # 11 and 12 differ in score (both single-leg, ranks 2 vs 1)
+    assert rows[12]["rrf_scaled"] > rows[11]["rrf_scaled"]

@@ -223,6 +223,7 @@ HEADLINE = [
     "ann_filtered_topk",
     "text_hybrid_rrf_search",
     "ann_maxsim_multivector",
+    "ann_sq8_topk",
 ]
 
 

@@ -95,7 +95,9 @@ _PRIORITY = [
     #   text_hybrid_rrf_search (keyword BM25 leg + vector cosine leg fused
     #     by integer-exact reciprocal-rank fusion; oracle-backed),
     #   ann_maxsim_multivector (ColBERT-style late-interaction MaxSim over
-    #     packed token slots, fixed-point q14; oracle-backed).
+    #     packed token slots, fixed-point q14; oracle-backed),
+    #   ann_sq8_topk (scalar-quantized int8 codes + exact integer code
+    #     dot + milli rescale; oracle-backed).
     # tests/test_rotation_ledger.py enforces this block: every registered
     # query must either hold a driver row in some committed
     # CORRECTNESS_r*.json or be NAMED here.

@@ -287,3 +287,53 @@ def maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim_q14"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH ve AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, vv,
+               list_aggregate(list_transform(vv, x -> abs(x)), 'max') AS mx
+        FROM ve
+    ), codes AS (
+        SELECT vec_id, mx,
+               list_transform(vv, x -> CAST(greatest(-127.0,
+                   least(127.0, round(x * 127.0 / mx))) AS BIGINT)) AS q
+        FROM scaled
+    ), pairs AS (
+        SELECT qv.vec_id AS query_id, n.vec_id AS nn_id,
+               CAST(list_dot_product(
+                   list_transform(qv.q, x -> CAST(x AS DOUBLE)),
+                   list_transform(n.q, x -> CAST(x AS DOUBLE))) AS BIGINT)
+                   AS idot,
+               qv.mx AS mxq, n.mx AS mxd
+        FROM codes qv JOIN codes n ON n.vec_id <> qv.vec_id
+        WHERE qv.vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT query_id, nn_id, idot,
+               CAST(round(mxq * mxd * idot * 1000.0 / 16129.0) AS BIGINT)
+                   AS score_milli
+        FROM pairs
+    )
+    SELECT query_id, nn_id, idot, score_milli, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY score_milli DESC, nn_id ASC) AS INT) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= 10
+    """,
+)
+def sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) vector search under a full value gate: the
+    int8-range codes, the integer code dot and the rescaled milli score
+    are all replayed arithmetically by DuckDB — quantization is exact
+    cross-engine because round() is half-away-from-zero in both. Same
+    8-query broadcast shape as the other ANN gates, quarter-width data
+    on the hot path (operators/similarity.sq8_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.sq8_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), 10)

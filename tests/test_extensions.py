@@ -249,3 +249,40 @@ def test_maxsim_late_interaction_semantics(spark):
     assert got[3] == 10000          # linear in magnitude
     # a flat positional dot of doc 2 against the query would be 0 —
     # late interaction is what makes the swapped doc a perfect match
+
+
+def test_sq8_quantization_arithmetic(spark):
+    """Hand-checkable SQ8: codes are round-half-away of x*127/max|x|,
+    the integer dot is exact, and the milli rescale replays."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [2.0, 1.0, 0.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in SIM.sq8_quantized(emb).collect()}
+    assert rows[0]["mx"] == 1.0 and rows[0]["q"] == [127, -64, 32, 0]
+    assert rows[1]["mx"] == 2.0 and rows[1]["q"] == [127, 64, 0, -127]
+    got = SIM.sq8_topk(emb, emb.filter(F.col("vec_id") == 0), k=1, dim=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    idot = 127 * 127 + (-64) * 64 + 0 + 0
+    assert r["idot"] == idot
+    assert r["score_milli"] == round(1.0 * 2.0 * idot * 1000.0 / 16129.0)
+
+
+def test_sq8_ranking_tracks_exact_on_separated_data(spark):
+    """Recall property: on data with a clear nearest neighbour (a planted
+    near-duplicate), SQ8's top-1 equals the exact float top-1 — the
+    quantization error (<~1%) cannot reorder well-separated neighbours."""
+    import random
+
+    rnd = random.Random(5)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    near = [x + 0.01 for x in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(2, 30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    sq_top = SIM.sq8_topk(emb, q, k=1, dim=16).collect()[0]["nn_id"]
+    ex_top = SIM.brute_force_topk(emb, q, k=1, dim=16).collect()[0]["nn_id"]
+    assert sq_top == ex_top == 1

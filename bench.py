@@ -224,6 +224,7 @@ HEADLINE = [
     "text_hybrid_rrf_search",
     "ann_maxsim_multivector",
     "ann_sq8_topk",
+    "text_index_incremental",
 ]
 
 

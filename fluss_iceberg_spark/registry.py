@@ -97,7 +97,9 @@ _PRIORITY = [
     #   ann_maxsim_multivector (ColBERT-style late-interaction MaxSim over
     #     packed token slots, fixed-point q14; oracle-backed),
     #   ann_sq8_topk (scalar-quantized int8 codes + exact integer code
-    #     dot + milli rescale; oracle-backed).
+    #     dot + milli rescale; oracle-backed),
+    #   text_index_incremental (inverted-index maintenance from CDC
+    #     increments only, == full-corpus brute force; oracle-backed).
     # tests/test_rotation_ledger.py enforces this block: every registered
     # query must either hold a driver row in some committed
     # CORRECTNESS_r*.json or be NAMED here.

@@ -1231,3 +1231,90 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_rank",
         F.col("cos_rank"),
     )
+
+
+@query(
+    "text_index_incremental",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(1) AS cnt
+        FROM toks WHERE tok IN ('vector', 'window', 'merge')
+        GROUP BY doc_id, tok
+    ), hits AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS hits
+        FROM tf
+        GROUP BY doc_id
+        HAVING COUNT(DISTINCT tok) = 3
+    )
+    SELECT h.doc_id, d.lang, d.source, h.hits
+    FROM hits h JOIN documents d USING (doc_id)
+    """,
+)
+def index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance — the text twin of
+    ann_index_cdc_sync, but fully VALUE-GATED (posting counts are
+    integers): documents land in a log table over two commits (a 3/4
+    base load, then a 1/4 delta batch), and after EACH commit the
+    postings table is extended by indexing ONLY that commit's increment
+    (`incremental_read` — file-set difference, never a base rescan).
+    The conjunctive query over the incrementally-maintained index must
+    equal brute-force search over the full corpus — the oracle proves
+    index maintenance added exactly the delta's postings, no more, no
+    less.
+
+    100 TB: each maintenance tick costs O(delta tokenize) + one
+    (tok, doc_id) count shuffle over the delta; the postings table stays
+    token-clustered per append, so term lookups keep pruning to
+    O(files-with-term) as the index grows."""
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from fluss_iceberg_spark.operators.text import tokens
+    from fluss_iceberg_spark.workloads.lake import _scratch
+
+    terms = ["vector", "window", "merge"]
+    docs = load_table(spark, sf_dir, "documents")
+    cat = LakeCatalog(spark, _scratch(sf_dir, "kwindex_incr"))
+    dt = cat.create_table(
+        "docs_log", docs.select("doc_id", "text").schema
+    )
+    dt.append(docs.select("doc_id", "text").filter(F.col("doc_id") % 4 != 3))
+    v0 = dt.current_version()
+    dt.append(docs.select("doc_id", "text").filter(F.col("doc_id") % 4 == 3))
+    v1 = dt.current_version()
+
+    def _postings(delta: DataFrame) -> DataFrame:
+        return (
+            delta.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok", "doc_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    base_postings = _postings(dt.incremental_read(-1, v0))
+    pt = cat.create_table(
+        "postings_incr",
+        base_postings.schema,
+        properties={
+            "write.clustered-by": "tok",
+            "write.cluster-partitions": "8",
+        },
+    )
+    pt.append(base_postings)  # tick 1: index the base commit's increment
+    pt.append(_postings(dt.incremental_read(v0, v1)))  # tick 2: delta only
+    matches = pt.read(where=[("tok", "in", terms)]).filter(
+        F.col("tok").isin(terms)
+    )
+    hits = (
+        matches.groupBy("doc_id")
+        .agg(
+            F.count_distinct("tok").alias("__nt"),
+            F.sum("cnt").alias("hits"),
+        )
+        .filter(F.col("__nt") == len(terms))
+        .select("doc_id", F.col("hits").cast("long").alias("hits"))
+    )
+    return hits.join(
+        docs.select("doc_id", "lang", "source"), on="doc_id"
+    ).select("doc_id", "lang", "source", "hits")

@@ -199,3 +199,50 @@ def test_rrf_fuse_arithmetic(spark):
     assert rows[12]["rrf_scaled"] == r1 and rows[12]["bm25_rank"] == 0
     # 11 and 12 differ in score (both single-leg, ranks 2 vs 1)
     assert rows[12]["rrf_scaled"] > rows[11]["rrf_scaled"]
+
+
+def test_incremental_postings_index_only_delta(spark, tmp_path):
+    """Incremental index maintenance must (a) index ONLY each commit's
+    increment — tick 2's appended postings belong exclusively to delta
+    docs — and (b) end bit-identical to a from-scratch rebuild."""
+    from fluss_iceberg_spark.lake.table import LakeCatalog
+    from fluss_iceberg_spark.operators.text import tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a c c")],
+        "doc_id long, text string",
+    )
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    dt = cat.create_table("d", docs.schema)
+    dt.append(docs.filter(F.col("doc_id") < 3))
+    v0 = dt.current_version()
+    dt.append(docs.filter(F.col("doc_id") == 3))
+    v1 = dt.current_version()
+
+    def postings(df):
+        return (
+            df.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok", "doc_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    base = postings(dt.incremental_read(-1, v0))
+    pt = cat.create_table("p", base.schema)
+    pt.append(base)
+    pv0 = pt.current_version()
+    pt.append(postings(dt.incremental_read(v0, v1)))
+    # (a) tick 2 added exactly doc 3's postings
+    tick2 = {
+        (r["tok"], r["doc_id"], r["cnt"])
+        for r in pt.incremental_read(pv0).collect()
+    }
+    assert tick2 == {("a", 3, 1), ("c", 3, 2)}
+    # (b) maintained index == from-scratch rebuild
+    maintained = {
+        (r["tok"], r["doc_id"], r["cnt"]) for r in pt.read().collect()
+    }
+    scratch = {
+        (r["tok"], r["doc_id"], r["cnt"]) for r in postings(docs).collect()
+    }
+    assert maintained == scratch

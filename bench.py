@@ -225,6 +225,10 @@ HEADLINE = [
     "ann_maxsim_multivector",
     "ann_sq8_topk",
     "text_index_incremental",
+    # round-12 second-wave additions
+    "graph_triangle_counts",
+    "ann_sq8_rerank",
+    "export_epoch_shuffle",
 ]
 
 

@@ -691,3 +691,58 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "idot", "score_milli", "rank")
     )
+
+
+def sq8_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage retrieval — the production vector-serving shape at any
+    scale (FAISS/ScaNN deployments: a cheap quantized scan proposes, an
+    exact pass on the survivors disposes):
+
+    stage 1  SQ8 integer-code dot over the whole corpus (quarter-width
+             data, whole-stage codegen) keeps the top-``shortlist``
+             candidates per query — deterministic (score_milli DESC,
+             nn_id ASC), so the shortlist itself is replayable;
+    stage 2  exact float cosine ONLY on the shortlisted pairs — one
+             corpus join against the broadcast shortlist (queries ×
+             shortlist rows, ~KBs), then the final top-``k`` window.
+
+    At 100 TB stage 2 touches shortlist×|Q| raw vectors instead of the
+    corpus: the re-rank cost is independent of table size, which is why
+    the pattern exists. Output carries both ranks, so the gate also
+    pins HOW MUCH the exact pass reorders the quantized one. Fully
+    value-gated: both stages are integer/rounded arithmetic replayed by
+    the DuckDB oracle (no sampling, no RNG)."""
+    short = sq8_topk(vectors, queries, k=shortlist, dim=dim).select(
+        "query_id", "nn_id", F.col("rank").alias("sq8_rank")
+    )
+    v = _as_double(vectors).select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("v").alias("vv"),
+        F.col("nrm").alias("nv"),
+    )
+    q = _as_double(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+    )
+    cand = v.join(F.broadcast(short), "nn_id").join(F.broadcast(q), "query_id")
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            dot_expanded(F.col("qv"), F.col("vv"), dim)
+            / (F.col("nq") * F.col("nv")),
+            4,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "sq8_rank", "rank")
+    )

@@ -1619,3 +1619,115 @@ def rrf_fuse(legs, k: int = 60, top: int = 10) -> DataFrame:
     )
     out = out.withColumn("rrf_scaled", F.expr(expr).cast("long"))
     return out.orderBy(F.desc("rrf_scaled"), F.asc("doc_id")).limit(top)
+
+
+def epoch_materialize(
+    df: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_repeat_micro: int = 3_000_000,
+    n_shards: int = 8,
+    salt: str = "esh-v1",
+) -> DataFrame:
+    """Materialize ONE training epoch under a uniform target domain
+    mixture by REPETITION — the upsampling half of LLM data recipes
+    (Llama/GPT-style "small high-quality sources are seen ~N times per
+    epoch") that the selection family (stratified / budget /
+    temperature / weighted-reservoir, all downsample-only) cannot
+    express. Per domain, repeat_micro = min(cap,
+    target_tokens·10⁶ div domain_tokens) with target = the uniform
+    share (total div n_domains): domains under the target emit
+    floor(repeat) full copies (distinct ``copy_idx``) plus a
+    fractional copy kept iff md5(salt:doc) % 10⁶ < repeat_micro % 10⁶;
+    domains over it downsample through the same fractional rule.
+    Every materialized copy then gets the seeded epoch-shuffle key
+    md5(salt:doc:copy) and a shard (first 24 bits mod n_shards) with
+    its within-shard position — the exporter's write order.
+
+    Engine-exact: the rates are pure integer division on token counts,
+    the selection and the shuffle order are md5 — no RNG, no floats.
+
+    100 TB shape: the domain census is one map-side-combined
+    #domains-row aggregate; rates ride a broadcast join; the copy
+    explode is map-side (bounded by cap = 3 copies); the only full
+    shuffle is the shard hash-partition + within-shard sort that the
+    epoch write needs anyway (`write.partitionBy(shard)`). Cost is
+    O(output), and output is capped at (cap/10⁶)× the corpus."""
+    from pyspark.sql.functions import broadcast
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    d = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        toks.cast("int").alias("n_tokens"),
+    )
+    stats = d.groupBy("domain").agg(
+        F.sum(F.col("n_tokens").cast("bigint")).alias("domain_tokens")
+    )
+    target = stats.agg(
+        F.expr("sum(domain_tokens) div count(1)").alias("__target")
+    )
+    rates = stats.crossJoin(broadcast(target)).select(
+        "domain",
+        F.least(
+            F.lit(max_repeat_micro).cast("bigint"),
+            F.expr("(__target * 1000000) div domain_tokens"),
+        ).alias("repeat_micro"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    c = (
+        d.join(broadcast(rates), on="domain")
+        .withColumn("full_copies", F.expr("repeat_micro div 1000000"))
+        .withColumn("frac", F.col("repeat_micro") % 1_000_000)
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.col("full_copies").cast("int"))),
+        )
+        .filter(
+            (F.col("copy_idx") < F.col("full_copies"))
+            | (F.col("bucket") < F.col("frac"))
+        )
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col(id_col).cast("string"),
+            F.col("copy_idx").cast("string"),
+        )
+    )
+    sh = c.select(
+        id_col,
+        "domain",
+        "n_tokens",
+        F.col("copy_idx").cast("int").alias("copy_idx"),
+        key.alias("shuffle_key"),
+    ).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("shuffle_key", 1, 6), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    win = Window.partitionBy("shard").orderBy("shuffle_key", id_col, "copy_idx")
+    return sh.withColumn(
+        "pos_in_shard", F.row_number().over(win).cast("int")
+    ).select(
+        id_col, "domain", "n_tokens", "copy_idx", "shard",
+        "pos_in_shard", "shuffle_key",
+    )

@@ -99,7 +99,14 @@ _PRIORITY = [
     #   ann_sq8_topk (scalar-quantized int8 codes + exact integer code
     #     dot + milli rescale; oracle-backed),
     #   text_index_incremental (inverted-index maintenance from CDC
-    #     increments only, == full-corpus brute force; oracle-backed).
+    #     increments only, == full-corpus brute force; oracle-backed),
+    #   graph_triangle_counts (degree-ordered-orientation exact triangle
+    #     counting, O(m^1.5) wedge bound; oracle-backed),
+    #   ann_sq8_rerank (two-stage retrieval: SQ8 integer-code shortlist
+    #     + exact cosine re-rank on survivors only; both stages
+    #     oracle-replayed),
+    #   export_epoch_shuffle (seeded deterministic md5 epoch permutation
+    #     into training shards; oracle-backed).
     # tests/test_rotation_ledger.py enforces this block: every registered
     # query must either hold a driver row in some committed
     # CORRECTNESS_r*.json or be NAMED here.

@@ -83,3 +83,16 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     return G.components(G.synth_link_graph(docs), n, iterations=6)
+
+
+@query("graph_triangle_counts", oracle=G.triangles_oracle_sql())
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts over the undirected simple
+    closure of the deterministic link graph — the clustering-coefficient
+    numerator (link-ring / mirror-farm detection in crawl curation).
+    Degree-ordered orientation (operators/graph.triangles) bounds the
+    wedge join at O(m^1.5) regardless of hub skew; the DuckDB oracle
+    replays the identical orientation + wedge-close joins, so every
+    (id, triangles) row is hash-gated."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return G.triangles(G.synth_link_graph(docs))

@@ -337,3 +337,67 @@ def sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the hot path (operators/similarity.sq8_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.sq8_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), 10)
+
+
+@query(
+    "ann_sq8_rerank",
+    oracle=f"""
+    WITH ve AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, vv,
+               list_aggregate(list_transform(vv, x -> abs(x)), 'max') AS mx
+        FROM ve
+    ), codes AS (
+        SELECT vec_id, mx,
+               list_transform(vv, x -> CAST(greatest(-127.0,
+                   least(127.0, round(x * 127.0 / mx))) AS BIGINT)) AS q
+        FROM scaled
+    ), pairs AS (
+        SELECT qv.vec_id AS query_id, n.vec_id AS nn_id,
+               CAST(list_dot_product(
+                   list_transform(qv.q, x -> CAST(x AS DOUBLE)),
+                   list_transform(n.q, x -> CAST(x AS DOUBLE))) AS BIGINT)
+                   AS idot,
+               qv.mx AS mxq, n.mx AS mxd
+        FROM codes qv JOIN codes n ON n.vec_id <> qv.vec_id
+        WHERE qv.vec_id < {N_QUERIES}
+    ), short AS (
+        SELECT query_id, nn_id, sq8_rank FROM (
+            SELECT query_id, nn_id, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY CAST(round(mxq * mxd * idot * 1000.0 / 16129.0)
+                              AS BIGINT) DESC, nn_id ASC) AS INT) AS sq8_rank
+            FROM pairs
+        ) t WHERE sq8_rank <= 40
+    ), exact AS (
+        SELECT s.query_id, s.nn_id, s.sq8_rank,
+               round(list_dot_product(q.vv, n.vv)
+                     / (sqrt(list_dot_product(q.vv, q.vv))
+                        * sqrt(list_dot_product(n.vv, n.vv))), 4) AS cosine
+        FROM short s
+        JOIN ve q ON q.vec_id = s.query_id
+        JOIN ve n ON n.vec_id = s.nn_id
+    )
+    SELECT query_id, nn_id, cosine, sq8_rank, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, nn_id ASC) AS INT) AS rank
+        FROM exact
+    ) t
+    WHERE rank <= 10
+    """,
+)
+def sq8_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval under a FULL value gate: SQ8 integer-code
+    shortlist (top-40 per query, deterministic) re-ranked by exact
+    cosine on only the shortlisted pairs — the FAISS/ScaNN serving
+    shape where re-rank cost is independent of corpus size. DuckDB
+    replays both stages arithmetically; the output pins the exact
+    cosine, the surviving candidates AND each one's stage-1 rank
+    (operators/similarity.sq8_rerank_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.sq8_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=10, shortlist=40
+    )

@@ -1318,3 +1318,61 @@ def index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(
         docs.select("doc_id", "lang", "source"), on="doc_id"
     ).select("doc_id", "lang", "source", "hits")
+
+
+@query(
+    "export_epoch_shuffle",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang AS domain,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+                   AS n_tokens
+        FROM documents
+    ), s AS (
+        SELECT domain, SUM(CAST(n_tokens AS BIGINT)) AS domain_tokens
+        FROM d GROUP BY domain
+    ), t AS (
+        SELECT SUM(domain_tokens) // COUNT(1) AS target FROM s
+    ), r AS (
+        SELECT s.domain,
+               LEAST(3000000, (t.target * 1000000) // s.domain_tokens)
+                   AS repeat_micro
+        FROM s, t
+    ), c AS (
+        SELECT d.doc_id, d.domain, d.n_tokens,
+               CAST(r.repeat_micro // 1000000 AS BIGINT) AS full_copies,
+               CAST(r.repeat_micro % 1000000 AS BIGINT) AS frac,
+               CAST(('0x' || substr(md5('esh-v1:' || CAST(d.doc_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) % 1000000 AS bucket
+        FROM d JOIN r USING (domain)
+    ), e AS (
+        SELECT doc_id, domain, n_tokens, CAST(u.i AS INT) AS copy_idx
+        FROM c, UNNEST(range(0, full_copies + 1)) u(i)
+        WHERE u.i < full_copies OR bucket < frac
+    ), k AS (
+        SELECT doc_id, domain, n_tokens, copy_idx,
+               md5('esh-v1:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(copy_idx AS VARCHAR)) AS shuffle_key
+        FROM e
+    ), sh AS (
+        SELECT *, CAST(CAST(('0x' || substr(shuffle_key, 1, 6)) AS BIGINT)
+                       % 8 AS INT) AS shard
+        FROM k
+    )
+    SELECT doc_id, domain, n_tokens, copy_idx, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard
+               ORDER BY shuffle_key, doc_id, copy_idx) AS INT) AS pos_in_shard,
+           shuffle_key
+    FROM sh
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch materialization under a uniform target domain mixture —
+    the UPSAMPLING exporter (repeat small domains up to 3x by distinct
+    copy_idx, fractional copies by seeded hash, then the epoch-shuffle
+    shard/position every training run consumes). Completes the mixing
+    family's missing half: every other mixing op only selects DOWN.
+    Integer-exact rates + md5 order make it fully hash-gated
+    (operators/text.epoch_materialize)."""
+    return TX.epoch_materialize(load_table(spark, sf_dir, "documents"))

@@ -286,3 +286,54 @@ def test_sq8_ranking_tracks_exact_on_separated_data(spark):
     sq_top = SIM.sq8_topk(emb, q, k=1, dim=16).collect()[0]["nn_id"]
     ex_top = SIM.brute_force_topk(emb, q, k=1, dim=16).collect()[0]["nn_id"]
     assert sq_top == ex_top == 1
+
+
+def test_sq8_rerank_equals_bruteforce_when_shortlist_covers_corpus(spark):
+    """With shortlist >= corpus, stage 2 scores every vector: the final
+    ranking must equal exact brute force (same cosine, same order)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(25)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2)
+    got = SIM.sq8_rerank_topk(emb, q, k=5, shortlist=100, dim=16).collect()
+    want = SIM.brute_force_topk(emb, q, k=5, dim=16).collect()
+    g = {(r["query_id"], r["rank"]): (r["nn_id"], r["cosine"]) for r in got}
+    w = {(r["query_id"], r["rank"]): (r["nn_id"], r["cosine"]) for r in want}
+    assert g == w
+
+
+def test_sq8_rerank_scores_only_shortlisted_pairs(spark):
+    """The exact pass must be restricted to stage-1 survivors: every
+    output row carries its stage-1 rank <= shortlist, and equals brute
+    force computed ON that shortlist (the two-stage contract)."""
+    import random
+
+    rnd = random.Random(12)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    shortlist = 8
+    got = SIM.sq8_rerank_topk(emb, q, k=5, shortlist=shortlist, dim=16).collect()
+    assert len(got) == 5
+    assert all(1 <= r["sq8_rank"] <= shortlist for r in got)
+    # replay: shortlist by sq8, exact-rank it
+    short_ids = {
+        r["nn_id"]
+        for r in SIM.sq8_topk(emb, q, k=shortlist, dim=16).collect()
+    }
+    assert {r["nn_id"] for r in got} <= short_ids
+    exact = {
+        r["nn_id"]: r["cosine"]
+        for r in SIM.brute_force_topk(emb, q, k=40, dim=16).collect()
+        if r["nn_id"] in short_ids
+    }
+    order = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["nn_id"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        i for i, _ in order
+    ]

@@ -204,3 +204,48 @@ def test_components_spark_equals_local(spark):
         {(d, (d * k) % 47) for d in range(47) for k in range(1, d % 4 + 2)}
     )
     assert got == components_local(edges, 47, 6)
+
+
+# --- triangle counting -----------------------------------------------------
+
+from fluss_iceberg_spark.operators.graph import (  # noqa: E402
+    triangles,
+    triangles_local,
+)
+
+
+def test_triangles_local_known_graphs():
+    # K4: 4 triangles, each node in exactly 3
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert triangles_local(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # a path has none; self-loops and duplicate/reversed edges ignored
+    assert triangles_local([(0, 1), (1, 2), (2, 2), (1, 0)]) == {}
+    # two triangles sharing an edge: shared nodes count both
+    g = [(0, 1), (1, 2), (2, 0), (1, 3), (3, 2)]
+    assert triangles_local(g) == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_triangles_spark_equals_local(spark):
+    docs = spark.createDataFrame([(i,) for i in range(151)], "doc_id long")
+    edges_df = synth_link_graph(docs)
+    got = {
+        r["id"]: r["triangles"] for r in triangles(edges_df).collect()
+    }
+    edges = sorted(
+        {(d, (d * k) % 151) for d in range(151) for k in range(1, d % 4 + 2)}
+    )
+    want = triangles_local(edges)
+    assert got == want
+    assert sum(want.values()) % 3 == 0  # every triangle attributed 3x
+
+
+def test_triangles_orientation_bounds_wedges(spark):
+    # star + one closing edge: hub has degree 5 but the degree-ordered
+    # orientation points every star edge AT the hub, so wedges at the
+    # hub are zero — the skew-bound property the operator exists for.
+    edges = [(0, h) for h in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(
+        [(s, t) for s, t in edges], "src long, dst long"
+    )
+    got = {r["id"]: r["triangles"] for r in triangles(df).collect()}
+    assert got == triangles_local(edges) == {0: 1, 1: 1, 2: 1}

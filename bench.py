@@ -229,6 +229,8 @@ HEADLINE = [
     "graph_triangle_counts",
     "ann_sq8_rerank",
     "export_epoch_shuffle",
+    "events_seasonal_anomaly",
+    "dedup_cdc_chunks",
 ]
 
 

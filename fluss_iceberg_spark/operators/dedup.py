@@ -1387,3 +1387,105 @@ def neardup_admit_batch(
             except Exception:
                 pass
     return n_admitted
+
+
+def _cdc_chunk_kernel(window: int, divisor: int, base: int, mod: int):
+    """Arrow-batched CDC kernel factory: per doc, every 16-char window's
+    polynomial hash via ONE numpy sliding-window dot (codes < 2^21,
+    powers < 2^20, 16 terms → < 2^46, exact in int64 — no modular
+    juggling needed before the final %), cut mask, chunk slicing, md5.
+    Bit-identical to the SQL replay's Horner fold by the distributive
+    law: Horner((acc·B + c) % M) == (Σ c_j·B^(w-1-j)) % M."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    pw = np.array(
+        [pow(base, window - 1 - j, mod) for j in range(window)],
+        dtype=np.int64,
+    )
+
+    def _kernel(batch_iter):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batch_iter:
+            ids, idxs, starts, lens, fps = [], [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                n = len(t)
+                if n < 1:
+                    continue
+                ends = {n}
+                if n >= window:
+                    c = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    h = (sliding_window_view(c, window) * pw).sum(axis=1) % mod
+                    # window starting at 0-based k cuts after char k+window
+                    ends.update((np.nonzero(h % divisor == 0)[0] + window).tolist())
+                start = 1
+                for k, end in enumerate(sorted(ends)):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    starts.append(start)
+                    lens.append(end - start + 1)
+                    fps.append(
+                        hashlib.md5(t[start - 1 : end].encode()).hexdigest()
+                    )
+                    start = end + 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "start_pos": pd.Series(starts, dtype="int32"),
+                    "chunk_len": pd.Series(lens, dtype="int32"),
+                    "fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    return _kernel
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 16,
+    divisor: int = 64,
+    base: int = 257,
+    mod: int = 1_000_003,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync/FastCDC primitive):
+    chunk boundaries are set by the CONTENT — a cut lands after any
+    16-char window whose polynomial rolling hash is ≡ 0 (mod
+    ``divisor``) — so inserting or deleting bytes early in a document
+    only perturbs chunk boundaries until the next hash sync point,
+    unlike fixed-offset chunking where one insertion shifts and breaks
+    EVERY downstream chunk fingerprint. That shift-robustness is why
+    dedup stores chunk this way; here it completes the dedup family's
+    granularity ladder: doc-level (exact), passage-level (fixed
+    windows), substring-level (fixed 40-grams), and now
+    boundary-synchronized variable chunks.
+
+    Arithmetic: h(i) = Σ_j code(c_{i+j})·B^(w-1-j) mod 1000003 — pure
+    int64, bit-identical to the oracle's Horner fold; the fingerprint
+    census (how many docs share each chunk) is an exact groupBy.
+
+    Scale shape: hashing + slicing + md5 run in ONE Arrow-batched
+    kernel (numpy sliding-window dot per doc — a first interpreted
+    higher-order-function form measured 10x slower at sf0.1), zero
+    shuffle; the ONLY exchanges are the fingerprint census groupBy and
+    its join back — the irreducible dedup exchange, balanced because
+    md5 keys are uniform."""
+    d = docs.select("doc_id", F.col(text_col).alias("t")).filter(
+        F.length("t") >= 1
+    )
+    ch = d.mapInPandas(
+        _cdc_chunk_kernel(window, divisor, base, mod),
+        "doc_id long, chunk_idx int, start_pos int, chunk_len int, fp string",
+    )
+    census = ch.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs_sharing")
+    )
+    return ch.join(census, on="fp").select(
+        "doc_id", "chunk_idx", "start_pos", "chunk_len", "fp", "n_docs_sharing"
+    )

@@ -106,7 +106,11 @@ _PRIORITY = [
     #     + exact cosine re-rank on survivors only; both stages
     #     oracle-replayed),
     #   export_epoch_shuffle (seeded deterministic md5 epoch permutation
-    #     into training shards; oracle-backed).
+    #     into training shards; oracle-backed),
+    #   events_seasonal_anomaly (hour-of-day median/MAD robust outliers,
+    #     exact interpolated percentiles; oracle-backed),
+    #   dedup_cdc_chunks (content-defined chunking via Horner rolling
+    #     hash + chunk-fingerprint census; oracle-backed).
     # tests/test_rotation_ledger.py enforces this block: every registered
     # query must either hold a driver row in some committed
     # CORRECTNESS_r*.json or be NAMED here.

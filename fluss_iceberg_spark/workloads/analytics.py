@@ -457,3 +457,70 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("bin_min"),
         F.max("value").cast("double").alias("bin_max"),
     )
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH d AS (
+        SELECT event_id, event_type,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hod, value
+        FROM events
+    ), med AS (
+        SELECT event_type, hod, quantile_cont(value, 0.5) AS med
+        FROM d GROUP BY 1, 2
+    ), j AS (
+        SELECT d.event_id, d.event_type, d.hod, d.value, med.med
+        FROM d JOIN med USING (event_type, hod)
+    ), mad AS (
+        SELECT event_type, hod, quantile_cont(abs(value - med), 0.5) AS mad
+        FROM j GROUP BY 1, 2
+    )
+    SELECT j.event_id, j.event_type, j.hod, j.value, j.med, mad.mad
+    FROM j JOIN mad USING (event_type, hod)
+    WHERE mad.mad > 0 AND abs(j.value - j.med) > 5 * mad.mad
+    """,
+)
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal robust-outlier detection — the production form of the
+    anomaly family beside the trailing z-score: each event's value is
+    scored against its OWN seasonal cell (event_type x hour-of-day)
+    using median/MAD, the estimators that one bad day cannot poison
+    (mean/stddev break down at 50% contamination; median/MAD at 0%+).
+    Flag |value - med| > 5·MAD; zero-MAD cells (constant values) are
+    excluded like the z-score's zero-variance guard.
+
+    Cross-engine exact: Spark `percentile` and DuckDB `quantile_cont`
+    share the linear-interpolation definition and bit-match on doubles;
+    abs/compare/multiply are IEEE-identical, so the flagged set and
+    every reported column hash-gate.
+
+    Scale shape: two keyed aggregates over the facts (medians need one
+    pass, deviation medians a second — MAD is inherently two-phase),
+    each producing a #types x 24-row model that joins back as a
+    BROADCAST; the flag itself rides the scan. Exact per-cell
+    percentile buffers a cell's values; at 100 TB swap
+    `approx_percentile` into the same shape (the family's documented
+    sketch path, agg_price_percentiles_approx)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        "value",
+    )
+    med = d.groupBy("event_type", "hod").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = d.join(F.broadcast(med), on=["event_type", "hod"])
+    mad = j.groupBy("event_type", "hod").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    return (
+        j.join(F.broadcast(mad), on=["event_type", "hod"])
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad"))
+        )
+        .select("event_id", "event_type", "hod", "value", "med", "mad")
+    )

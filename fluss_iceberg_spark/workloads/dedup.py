@@ -564,3 +564,60 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text AS t, length(text) AS n FROM documents
+        WHERE length(text) >= 1
+    ), pos AS (
+        SELECT doc_id, t, n,
+               list_sort(list_distinct(list_append(
+                   list_filter(
+                       list_transform(range(1, greatest(n - 16 + 1, 0) + 1),
+                           i -> CASE WHEN list_reduce(
+                                   list_prepend(CAST(0 AS BIGINT),
+                                       list_transform(range(0, 16),
+                                           j -> CAST(ord(substr(t,
+                                               CAST(i + j AS INT), 1))
+                                               AS BIGINT))),
+                                   (acc, x) -> (acc * 257 + x) % 1000003)
+                                   % 64 = 0
+                                THEN CAST(i + 15 AS BIGINT)
+                                ELSE NULL END),
+                       p -> p IS NOT NULL),
+                   CAST(n AS BIGINT)))) AS cuts
+        FROM d
+    ), ch AS (
+        SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+               CASE WHEN k = 0 THEN 1
+                    ELSE CAST(cuts[CAST(k AS INT)] + 1 AS INT)
+               END AS start_pos,
+               CAST(cuts[CAST(k + 1 AS INT)] AS INT) AS end_pos,
+               t
+        FROM pos, UNNEST(range(0, len(cuts))) u(k)
+    ), fps AS (
+        SELECT doc_id, chunk_idx, start_pos,
+               CAST(end_pos - start_pos + 1 AS INT) AS chunk_len,
+               md5(substr(t, start_pos, end_pos - start_pos + 1)) AS fp
+        FROM ch
+    ), census AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS n_docs_sharing
+        FROM fps GROUP BY fp
+    )
+    SELECT f.doc_id, f.chunk_idx, f.start_pos, f.chunk_len, f.fp,
+           c.n_docs_sharing
+    FROM fps f JOIN census c USING (fp)
+    """,
+)
+def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-fingerprint census under a full
+    value gate: boundary-synchronized variable chunks (cut after any
+    16-char window whose Horner rolling hash ≡ 0 mod 64) whose
+    fingerprints survive insertions/deletions — the shift-robust dedup
+    granularity the fixed-window family cannot give. DuckDB replays the
+    identical integer hash, cut set, slicing, md5 and census
+    (operators/dedup.cdc_chunks)."""
+    return DD.cdc_chunks(load_table(spark, sf_dir, "documents"))

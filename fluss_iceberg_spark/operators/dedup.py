@@ -1476,7 +1476,9 @@ def cdc_chunks(
     shuffle; the ONLY exchanges are the fingerprint census groupBy and
     its join back — the irreducible dedup exchange, balanced because
     md5 keys are uniform."""
-    d = docs.select("doc_id", F.col(text_col).alias("t")).filter(
+    from fluss_iceberg_spark.operators.util import spread
+
+    d = spread(docs).select("doc_id", F.col(text_col).alias("t")).filter(
         F.length("t") >= 1
     )
     ch = d.mapInPandas(

@@ -231,6 +231,8 @@ HEADLINE = [
     "export_epoch_shuffle",
     "events_seasonal_anomaly",
     "dedup_cdc_chunks",
+    "join_range_bands",
+    "export_leakage_safe_split",
 ]
 
 

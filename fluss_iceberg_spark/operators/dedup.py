@@ -1491,3 +1491,55 @@ def cdc_chunks(
     return ch.join(census, on="fp").select(
         "doc_id", "chunk_idx", "start_pos", "chunk_len", "fp", "n_docs_sharing"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    holdout_pct: int = 10,
+    text_col: str = "text",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-safe train/holdout split: the evaluation-hygiene step of
+    a training-data pipeline. A naive per-doc hash split leaks — a
+    duplicated document lands in BOTH sides and the eval set scores
+    memorization; here the split decision is made ONCE per
+    duplicate-group (md5 of normalized text, the exact-dedup
+    fingerprint) keyed on the group REPRESENTATIVE (min doc_id), so
+    every copy of a text falls on the same side by construction.
+    Deterministic md5 bucketing (``holdout_pct``/100 of groups) — no
+    RNG, reproducible across runs/engines.
+
+    Scale shape: one fingerprint groupBy (distinct-texts rows) and one
+    join back on fp — the irreducible dedup exchange, md5-balanced; the
+    split decision itself is a map-side hash of the representative."""
+    f = docs.select(
+        "doc_id", F.md5(normalize(F.col(text_col))).alias("fp")
+    )
+    g = f.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("rep_doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return f.join(g, on="fp").select(
+        "doc_id",
+        "rep_doc_id",
+        "n_copies",
+        F.when(bucket < holdout_pct, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -110,7 +110,11 @@ _PRIORITY = [
     #   events_seasonal_anomaly (hour-of-day median/MAD robust outliers,
     #     exact interpolated percentiles; oracle-backed),
     #   dedup_cdc_chunks (content-defined chunking via Horner rolling
-    #     hash + chunk-fingerprint census; oracle-backed).
+    #     hash + chunk-fingerprint census; oracle-backed),
+    #   join_range_bands (bucketized inequality join — overlapping band
+    #     membership as a bucket equi-join + residual; oracle-backed),
+    #   export_leakage_safe_split (per-duplicate-group train/holdout
+    #     assignment keyed on the group representative; oracle-backed).
     # tests/test_rotation_ledger.py enforces this block: every registered
     # query must either hold a driver row in some committed
     # CORRECTNESS_r*.json or be NAMED here.

@@ -524,3 +524,80 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "hod", "value", "med", "mad")
     )
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    WITH bands AS (
+        SELECT n_name AS band,
+               CAST(n_nationkey * 700000 AS BIGINT) AS lo_c,
+               CAST(n_nationkey * 700000 + 2500000 AS BIGINT) AS hi_c
+        FROM nation
+    ), f AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+    )
+    SELECT band, lo_c, hi_c,
+           COUNT(1) AS n_items,
+           CAST(SUM(cents) AS BIGINT) AS sum_value
+    FROM bands JOIN f ON f.cents >= lo_c AND f.cents < hi_c
+    GROUP BY 1, 2, 3
+    """,
+)
+def range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping price-band revenue rollup — an inequality join
+    (cents BETWEEN lo AND hi, bands overlap ~3.6x) answered WITHOUT a
+    nested loop: bands explode into fixed-width covering buckets, facts
+    bucket map-side, and the band membership becomes a bucket EQUI-join
+    (broadcast hash here; hash-partitioned on bucket when the band
+    table is itself large) with the exact bounds as a residual filter —
+    the form that survives a fact table at 100 TB where O(facts x
+    bands) cannot. Integer cents end-to-end, so the DuckDB replay (a
+    plain range join) hash-matches every aggregate
+    (operators/rangejoin.band_join_agg)."""
+    from fluss_iceberg_spark.operators.rangejoin import band_join_agg
+
+    nation = load_table(spark, sf_dir, "nation")
+    bands = nation.select(
+        F.col("n_name").alias("band"),
+        (F.col("n_nationkey").cast("bigint") * 700_000).alias("lo_c"),
+        (F.col("n_nationkey").cast("bigint") * 700_000 + 2_500_000).alias(
+            "hi_c"
+        ),
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents")
+    )
+    return band_join_agg(fact, bands)
+
+
+@query(
+    "export_leakage_safe_split",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), g AS (
+        SELECT fp, MIN(doc_id) AS rep_doc_id, COUNT(1) AS n_copies
+        FROM f GROUP BY fp
+    )
+    SELECT f.doc_id, g.rep_doc_id, g.n_copies,
+           CASE WHEN CAST(('0x' || substr(md5('split-v1:'
+                    || CAST(g.rep_doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 100 < 10
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM f JOIN g USING (fp)
+    """,
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout split with duplicate-leakage prevention: the split
+    decision is made once per exact-dedup fingerprint group, keyed on
+    the group representative, so every copy of a text lands on the SAME
+    side — a naive per-doc split would let duplicated documents leak
+    into the eval set and score memorization. Deterministic md5
+    bucketing (10% holdout of groups); one fingerprint groupBy + one
+    md5-balanced join back (operators/dedup.leakage_safe_split)."""
+    from fluss_iceberg_spark.operators.dedup import leakage_safe_split
+
+    return leakage_safe_split(load_table(spark, sf_dir, "documents"))

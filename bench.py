@@ -233,6 +233,7 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "join_range_bands",
     "export_leakage_safe_split",
+    "stream_cdc_chunk_census",
 ]
 
 

@@ -1476,20 +1476,36 @@ def cdc_chunks(
     shuffle; the ONLY exchanges are the fingerprint census groupBy and
     its join back — the irreducible dedup exchange, balanced because
     md5 keys are uniform."""
-    from fluss_iceberg_spark.operators.util import spread
-
-    d = spread(docs).select("doc_id", F.col(text_col).alias("t")).filter(
-        F.length("t") >= 1
-    )
-    ch = d.mapInPandas(
-        _cdc_chunk_kernel(window, divisor, base, mod),
-        "doc_id long, chunk_idx int, start_pos int, chunk_len int, fp string",
-    )
+    ch = cdc_chunk_rows(docs, text_col, window, divisor, base, mod)
     census = ch.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("n_docs_sharing")
     )
     return ch.join(census, on="fp").select(
         "doc_id", "chunk_idx", "start_pos", "chunk_len", "fp", "n_docs_sharing"
+    )
+
+
+def cdc_chunk_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 16,
+    divisor: int = 64,
+    base: int = 257,
+    mod: int = 1_000_003,
+) -> DataFrame:
+    """The per-document half of ``cdc_chunks``: chunk rows (doc_id,
+    chunk_idx, start_pos, chunk_len, fp) from the vectorized rolling-
+    hash kernel, no census. Pure per-doc map — the streaming census
+    maintainer runs THIS per micro-batch and merges counts additively
+    (each doc's chunks land wholly inside its batch)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    d = spread(docs).select("doc_id", F.col(text_col).alias("t")).filter(
+        F.length("t") >= 1
+    )
+    return d.mapInPandas(
+        _cdc_chunk_kernel(window, divisor, base, mod),
+        "doc_id long, chunk_idx int, start_pos int, chunk_len int, fp string",
     )
 
 

@@ -114,7 +114,11 @@ _PRIORITY = [
     #   join_range_bands (bucketized inequality join — overlapping band
     #     membership as a bucket equi-join + residual; oracle-backed),
     #   export_leakage_safe_split (per-duplicate-group train/holdout
-    #     assignment keyed on the group representative; oracle-backed).
+    #     assignment keyed on the group representative; oracle-backed),
+    #   stream_cdc_chunk_census (incremental chunk-census maintenance —
+    #     per-tick kernel + additive count merge; SHARES the batch
+    #     dedup_cdc_chunks oracle verbatim, hash-proving incremental ==
+    #     batch).
     # tests/test_rotation_ledger.py enforces this block: every registered
     # query must either hold a driver row in some committed
     # CORRECTNESS_r*.json or be NAMED here.

@@ -566,9 +566,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_cdc_chunks",
-    oracle="""
+CDC_CHUNKS_ORACLE = """
     WITH d AS (
         SELECT doc_id, text AS t, length(text) AS n FROM documents
         WHERE length(text) >= 1
@@ -610,7 +608,12 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.doc_id, f.chunk_idx, f.start_pos, f.chunk_len, f.fp,
            c.n_docs_sharing
     FROM fps f JOIN census c USING (fp)
-    """,
+    """
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=CDC_CHUNKS_ORACLE,
 )
 def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking + chunk-fingerprint census under a full

@@ -23,7 +23,7 @@ from fluss_iceberg_spark.registry import query
 from fluss_iceberg_spark.sources import faker
 from fluss_iceberg_spark.sources.tpch import load_table
 from fluss_iceberg_spark.streaming.pipeline import ReferencePipeline
-from fluss_iceberg_spark.workloads.dedup import KMV_SETOPS_ORACLE
+from fluss_iceberg_spark.workloads.dedup import CDC_CHUNKS_ORACLE, KMV_SETOPS_ORACLE
 from fluss_iceberg_spark.workloads.reference import _ENRICH_SQL, _reference_frames
 
 
@@ -1401,4 +1401,76 @@ def stream_tdigest_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p500_exact", "p900_exact", "p990_exact",
         )
         .orderBy("event_type")
+    )
+
+
+@query("stream_cdc_chunk_census", oracle=CDC_CHUNKS_ORACLE)
+def stream_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the content-defined-chunk dedup census:
+    documents arrive over 4 micro-batches and a foreachBatch loop (a)
+    appends each tick's chunk rows — the vectorized rolling-hash kernel
+    runs on ONLY the micro-batch, O(batch) — and (b) merges the tick's
+    per-fingerprint doc counts into versioned census state by SUM,
+    which is EXACT because every document's chunks land wholly inside
+    its own batch (the kernel is per-doc), so per-batch COUNT(DISTINCT
+    doc) values are disjoint and additive across ticks. The final read
+    joins stored chunks to merged state and is therefore gated by the
+    SAME batch oracle as dedup_cdc_chunks — the driver hash-proves
+    incremental == batch for the dedup index, the CDC-chunking twin of
+    stream_sketch_refresh's KMV proof. At 100 TB each tick pays one
+    micro-batch kernel pass + a census-sized merge; the corpus is never
+    re-chunked."""
+    from fluss_iceberg_spark.operators.dedup import cdc_chunk_rows
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _state_partitions(spark, sf_dir, "documents", rows_per_partition=1_000),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = _scratch(sf_dir, "cdc_census_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    chunks_dir = _scratch(sf_dir, "cdc_census_chunks")
+    state_dir = _scratch(sf_dir, "cdc_census_state")
+    os.makedirs(state_dir, exist_ok=True)
+    state: dict = {"path": None}
+
+    def _on_batch(bdf: DataFrame, batch_id: int) -> None:
+        part = cdc_chunk_rows(bdf)
+        part.write.mode("append").parquet(chunks_dir)
+        tick = part.groupBy("fp").agg(
+            F.countDistinct("doc_id").alias("n_docs_sharing")
+        )
+        if state["path"] is not None:
+            tick = (
+                spark.read.parquet(state["path"])
+                .unionByName(tick)
+                .groupBy("fp")
+                .agg(F.sum("n_docs_sharing").alias("n_docs_sharing"))
+            )
+        path = f"{state_dir}/v{batch_id}"
+        tick.write.mode("overwrite").parquet(path)
+        state["path"] = path
+
+    q = (
+        stream.writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", _scratch(sf_dir, "cdc_census_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    chunks = spark.read.parquet(chunks_dir)
+    census = spark.read.parquet(state["path"])
+    return chunks.join(census, on="fp").select(
+        "doc_id", "chunk_idx", "start_pos", "chunk_len", "fp",
+        "n_docs_sharing",
     )

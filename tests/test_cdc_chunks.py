@@ -111,3 +111,25 @@ def test_shift_robustness_prefix_insertion(spark):
     # and the census column reports the sharing
     shared = [r for r in out if r["doc_id"] == 0 and r["fp"] in fps[1]]
     assert all(r["n_docs_sharing"] == 2 for r in shared)
+
+
+def test_streaming_census_equals_batch_and_is_idempotent(spark):
+    """The foreachBatch maintainer's final read must equal the one-shot
+    batch operator row-for-row, and re-running the query (fresh scratch
+    per call) must reproduce it."""
+    from fluss_iceberg_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+
+    def _rows(name):
+        return {
+            tuple(r)
+            for r in registry.QUERIES[name](spark, sf).collect()
+        }
+
+    batch = _rows("dedup_cdc_chunks")
+    stream1 = _rows("stream_cdc_chunk_census")
+    stream2 = _rows("stream_cdc_chunk_census")
+    assert stream1 == batch
+    assert stream2 == batch

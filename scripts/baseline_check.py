@@ -21,6 +21,11 @@ REPO = Path(__file__).resolve().parent.parent
 # the first-recorded number for the 2x gate.
 REBASELINES = {
     "text_token_stats": 0.57,
+    "ann_pq_topk": 2.15,
+    "ref_count_orders": 0.12,
+    "stream_matview_refresh": 3.99,
+    "tpch_q12_priority_by_returnflag": 0.45,
+    "tpch_q20_excess_suppliers": 0.58,
     "text_fingerprint": 0.19,
     "ref_max_orderdate": 0.12,
     "ref_notnull_drop": 0.42,

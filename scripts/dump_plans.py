@@ -92,6 +92,28 @@ FLAGSHIPS = [
      "per-group merge. (The raw-row Exchange under the MapInPandas is "
      "spread()'s under-split-fixture guard — a conditional no-op on any "
      "input with real file splits, operators/util.py:8.)"),
+    ("engine_approx_distinct",
+     "The SQL-facade rewrite target: `APPROX_COUNT_DISTINCT(o_custkey)` (and the Trino spelling) arrive at Catalyst as `hll_sketch_estimate(hll_sketch_agg(..., 12))`. The executed plan shows the scale shape: a TWO-COLUMN pruned scan of orders, a map-side `partial_hll_sketch_agg` (ObjectHashAggregate (2)) so only 2^12-register sketch buffers reach the exchange, then the final merge. The extra (o_orderstatus, o_custkey)-keyed exchange exists ONLY because the gate row carries the exact COUNT(DISTINCT) beside the estimate as its own accuracy report — dropping the exact column (production form) leaves one exchange of sketch buffers. Dump (sf0.1):"),
+    ("ann_filtered_topk",
+     "Metadata-filtered exact vector search: the 8 query vectors broadcast (BroadcastExchange (11)); the label equality rides the join condition, so the big side is scanned ONCE with IsNotNull(vec_id)/IsNotNull(label) pushed to parquet and non-matching vectors are rejected at the hash probe before any dot product. The top-k is WindowGroupLimit-pruned map-side (15) BEFORE the single per-query exchange (16) — only each partition's local top-5 rows shuffle. Exchange (3)/(8) is `spread()`'s under-split guard (no-op at scale). Dump (sf0.1):"),
+    ("text_hybrid_rrf_search",
+     "Hybrid fusion is driver-negligible by construction: both legs end bounded (BM25 leg is a <= 20-row LOCAL frame — the bounded driver materialization documented in bm25_scores — and the cosine leg's top-20 is WindowGroupLimit-pruned), so the full-outer fusion join plans over two k-row inputs and the heavy work is exactly the legs' own scans (one cached corpus tokenize, one embeddings scan). Dump (sf0.1):"),
+    ("ann_maxsim_multivector",
+     "The late-interaction score compiles to ONE projection (12): 16 unrolled element_at dot chains + greatest/sum per document, fed by a BroadcastNestedLoopJoin whose build side is the 1-row query (10); `vec_id <> 0` is pushed to the parquet scan and the top-10 is TakeOrderedAndProject (13) — no sort shuffle, no explode. Exchange (3)/(8) is spread()'s under-split guard. Dump (sf0.1):"),
+    ("ann_sq8_topk",
+     "Quantization (scale fold + code transform) runs once per side as a projection; the pair loop is a BroadcastHashJoin against the 8 quantized queries with the 64-term integer multiply-add chain in the join's projection, WindowGroupLimit pruning the per-partition top-10 before the single rank exchange. Dump (sf0.1):"),
+    ("graph_triangle_counts",
+     "Degree-ordered orientation: every join in the wedge-close pipeline is an equi-join (SortMergeJoin/BroadcastHashJoin, no CartesianProduct); the per-node attribution aggregates partially before its exchange."),
+    ("ann_sq8_rerank",
+     "Two-stage serving shape: stage 1 is the SQ8 integer-code scan with its per-query top-k window; stage 2 joins the corpus against the BROADCAST 40-row-per-query shortlist and broadcast queries — no corpus-sized exchange for the re-rank, so its cost is independent of table size."),
+    ("export_epoch_shuffle",
+     "Census and target are #domains-row aggregates; rates ride BroadcastHashJoins; the copy explode (Generate) is map-side above the broadcast join; the ONLY corpus-sized hash exchange is hashpartitioning(shard) — the write order the epoch needs anyway."),
+    ("events_seasonal_anomaly",
+     "Two keyed fact aggregates (median, then MAD of deviations — inherently two-phase) produce #types x 24-row models that join back as BroadcastHashJoins; the flag predicate rides the scan side."),
+    ("dedup_cdc_chunks",
+     "Chunking+hashing+md5 all inside ONE MapInPandas (ArrowEvalPython) over the spread scan; the only exchanges are the fingerprint census aggregate and its join back on the md5-balanced key."),
+    ("join_range_bands",
+     "The inequality join is a bucket EQUI-join: bands explode into covering buckets behind a BroadcastExchange, facts compute bucket map-side, the exact [lo,hi) bounds run as a post-join Filter, and the rollup partial-aggregates before one keyed exchange."),
 ]
 
 

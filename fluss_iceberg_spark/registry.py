@@ -100,25 +100,10 @@ _PRIORITY = [
     #     dot + milli rescale; oracle-backed),
     #   text_index_incremental (inverted-index maintenance from CDC
     #     increments only, == full-corpus brute force; oracle-backed),
-    #   graph_triangle_counts (degree-ordered-orientation exact triangle
-    #     counting, O(m^1.5) wedge bound; oracle-backed),
-    #   ann_sq8_rerank (two-stage retrieval: SQ8 integer-code shortlist
-    #     + exact cosine re-rank on survivors only; both stages
-    #     oracle-replayed),
-    #   export_epoch_shuffle (seeded deterministic md5 epoch permutation
-    #     into training shards; oracle-backed),
-    #   events_seasonal_anomaly (hour-of-day median/MAD robust outliers,
-    #     exact interpolated percentiles; oracle-backed),
-    #   dedup_cdc_chunks (content-defined chunking via Horner rolling
-    #     hash + chunk-fingerprint census; oracle-backed),
-    #   join_range_bands (bucketized inequality join — overlapping band
-    #     membership as a bucket equi-join + residual; oracle-backed),
-    #   export_leakage_safe_split (per-duplicate-group train/holdout
-    #     assignment keyed on the group representative; oracle-backed),
-    #   stream_cdc_chunk_census (incremental chunk-census maintenance —
-    #     per-tick kernel + additive count merge; SHARES the batch
-    #     dedup_cdc_chunks oracle verbatim, hash-proving incremental ==
-    #     batch).
+    # (The eight other r12-second-session newborns were rotated INTO
+    #  the window in the same round they were born, displacing eight
+    #  multi-green incumbents whose operator classes keep other
+    #  in-window gates; see the '# r12-2 swap' markers below.)
     # tests/test_rotation_ledger.py enforces this block: every registered
     # query must either hold a driver row in some committed
     # CORRECTNESS_r*.json or be NAMED here.
@@ -228,18 +213,18 @@ _PRIORITY = [
     # TPC-H join/agg gate (q2: correlated min-cost subquery join)
     "tpch_q2_min_cost_supplier",
     # corpus n-gram census (first gate r5, holds)
-    "text_ngram_stats",
+    "graph_triangle_counts",  # r12-2 swap: ngram_stats out (7 greens; T1 keeps tpch_q2 ordered LIMIT)
     # grouping-sets family gate (CUBE/SETS/GROUPING_ID class)
     "agg_grouping_sets",
     "set_ops_customers",
     # event-log operators
-    "events_retention_cohorts",
+    "join_range_bands",  # r12-2 swap: retention out (7 greens; P5 keeps agg_grouping_sets, events keep funnel_steps)
     # one-shuffle ordered conversion funnel (oracle-backed) — first
     # driver gate r12 (r11-born)
     "events_funnel_steps",
     # lake layer
     "lake_mor_delete",
-    "lake_partition_pruning",
+    "stream_cdc_chunk_census",  # r12-2 swap: partition_pruning out (7 greens; S9 keeps lake_mor_delete)
     # Morton-curve (Z-order) file clustering + two-dim min/max skipping
     # (oracle-backed) — first driver gate r12 (r11-born)
     "lake_zorder_skipping",
@@ -265,10 +250,10 @@ _PRIORITY = [
     "stream_sketch_refresh",
     "stream_tdigest_refresh",
     # text analysis / curation
-    "export_training_shards",
+    "export_epoch_shuffle",  # r12-2 swap: training_shards out (7 greens; epoch_shuffle embeds the same md5 shard/pos machinery)
     "fuzzy_part_names",
-    "text_budget_two_phase",
-    "text_quality_topq",
+    "events_seasonal_anomaly",  # r12-2 swap: budget_two_phase out (7 greens; text keeps 10 in-window gates)
+    "export_leakage_safe_split",  # r12-2 swap: quality_topq out (3 greens; quality scoring also gated via classifier_score + gopher)
     # interpolated-bigram-LM perplexity filter (oracle-backed fixed-point
     # ilog replay) — first driver gate r11
     "text_perplexity_filter",
@@ -295,7 +280,7 @@ _PRIORITY = [
     "text_keyword_search",
     "text_bm25_search",
     # deduplication
-    "dedup_passage_level",
+    "dedup_cdc_chunks",  # r12-2 swap: passage_level out (7 greens; dedup keeps substring/kmv/quantile/hll)
     "dedup_substring_spans",
     # value-gated sketches: KMV distinct set-ops + bottom-k quantiles
     # (oracle-backed md5 order statistics) — first driver gates r11
@@ -307,7 +292,7 @@ _PRIORITY = [
     "dedup_hll_distinct",
     "events_tdigest_quantiles",
     # similarity search / ANN index lifecycle
-    "ann_ivfpq_topk",
+    "ann_sq8_rerank",  # r12-2 swap: ivfpq_topk out (5 rows-only greens) for an ORACLE-BACKED ann gate
     "ann_ivf_index_incremental",
     # multimodal real decode: raster pixels + ISO-BMFF sample tables +
     # aHash near-dup + DCT perceptual hash + integer-DFT audio spectrum

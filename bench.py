@@ -234,6 +234,7 @@ HEADLINE = [
     "join_range_bands",
     "export_leakage_safe_split",
     "stream_cdc_chunk_census",
+    "dedup_cdc_rewrite",
 ]
 
 

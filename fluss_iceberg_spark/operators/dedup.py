@@ -1559,3 +1559,70 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def cdc_rewrite(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 16,
+    divisor: int = 64,
+    base: int = 257,
+    mod: int = 1_000_003,
+) -> DataFrame:
+    """Chunk-level duplication REMOVAL (the Lee et al. 2022 rewrite at
+    content-defined granularity): every occurrence of a chunk
+    fingerprint except the globally FIRST (min doc_id, then chunk_idx)
+    is dropped, and each document is rebuilt from its surviving chunks
+    in order — the actionable half of ``cdc_chunks``' census, robust to
+    the boundary shifts that break fixed-offset span removal. Returns
+    (doc_id, n_chunks, n_kept, rebuilt_len, rebuilt_fp) — the rebuilt
+    text is summarized by md5 + length so the gated row stays narrow
+    while still pinning every byte of the rewrite.
+
+    Scale shape: chunking is the Arrow kernel (zero shuffle); the
+    keep/drop decision is ONE window over fp (the same md5-balanced
+    exchange as the census); the rebuild joins surviving spans back to
+    the text on doc_id and concatenates in-plan (sorted struct array →
+    substr chain, JVM-side) — no per-chunk text is ever shuffled, only
+    (fp, doc_id, positions)."""
+    from pyspark.sql import Window
+
+    d = docs.select("doc_id", F.col(text_col).alias("t")).filter(
+        F.length("t") >= 1
+    )
+    ch = cdc_chunk_rows(docs, text_col, window, divisor, base, mod)
+    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    kept = (
+        ch.withColumn("occ", F.row_number().over(w))
+        .filter(F.col("occ") == 1)
+        .select("doc_id", "chunk_idx", "start_pos", "chunk_len")
+    )
+    spans = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sort_array(
+            F.collect_list(F.struct("chunk_idx", "start_pos", "chunk_len"))
+        ).alias("spans"),
+    )
+    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.substr(F.col("t"), s.start_pos, s.chunk_len),
+        ),
+        "",
+    )
+    return (
+        d.join(totals, on="doc_id")
+        .join(spans, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("int").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.length(
+                F.when(F.col("spans").isNull(), F.lit("")).otherwise(rebuilt)
+            ).cast("int").alias("rebuilt_len"),
+            F.md5(
+                F.when(F.col("spans").isNull(), F.lit("")).otherwise(rebuilt)
+            ).alias("rebuilt_fp"),
+        )
+    )

@@ -100,6 +100,9 @@ _PRIORITY = [
     #     dot + milli rescale; oracle-backed),
     #   text_index_incremental (inverted-index maintenance from CDC
     #     increments only, == full-corpus brute force; oracle-backed),
+    #   dedup_cdc_rewrite (chunk-level duplication removal — drop all
+    #     but the globally first occurrence of each content-defined
+    #     chunk and rebuild, md5-pinned; oracle-backed),
     # (The eight other r12-second-session newborns were rotated INTO
     #  the window in the same round they were born, displacing eight
     #  multi-green incumbents whose operator classes keep other

@@ -624,3 +624,75 @@ def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integer hash, cut set, slicing, md5 and census
     (operators/dedup.cdc_chunks)."""
     return DD.cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_cdc_rewrite",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text AS t, length(text) AS n FROM documents
+        WHERE length(text) >= 1
+    ), pos AS (
+        SELECT doc_id, t, n,
+               list_sort(list_distinct(list_append(
+                   list_filter(
+                       list_transform(range(1, greatest(n - 16 + 1, 0) + 1),
+                           i -> CASE WHEN list_reduce(
+                                   list_prepend(CAST(0 AS BIGINT),
+                                       list_transform(range(0, 16),
+                                           j -> CAST(ord(substr(t,
+                                               CAST(i + j AS INT), 1))
+                                               AS BIGINT))),
+                                   (acc, x) -> (acc * 257 + x) % 1000003)
+                                   % 64 = 0
+                                THEN CAST(i + 15 AS BIGINT)
+                                ELSE NULL END),
+                       p -> p IS NOT NULL),
+                   CAST(n AS BIGINT)))) AS cuts
+        FROM d
+    ), ch AS (
+        SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+               CASE WHEN k = 0 THEN 1
+                    ELSE CAST(cuts[CAST(k AS INT)] + 1 AS INT)
+               END AS start_pos,
+               CAST(cuts[CAST(k + 1 AS INT)] AS INT) AS end_pos,
+               t
+        FROM pos, UNNEST(range(0, len(cuts))) u(k)
+    ), fps AS (
+        SELECT doc_id, chunk_idx, start_pos,
+               end_pos - start_pos + 1 AS chunk_len,
+               md5(substr(t, start_pos, end_pos - start_pos + 1)) AS fp
+        FROM ch
+    ), kept AS (
+        SELECT doc_id, chunk_idx, start_pos, chunk_len FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY fp ORDER BY doc_id, chunk_idx) AS occ
+            FROM fps
+        ) WHERE occ = 1
+    ), spans AS (
+        SELECT k.doc_id, COUNT(1) AS n_kept,
+               string_agg(substr(d.t, k.start_pos, k.chunk_len), ''
+                          ORDER BY k.chunk_idx) AS rebuilt
+        FROM kept k JOIN d ON d.doc_id = k.doc_id
+        GROUP BY k.doc_id
+    ), totals AS (
+        SELECT doc_id, COUNT(1) AS n_chunks FROM fps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(t2.n_chunks AS INT) AS n_chunks,
+           CAST(COALESCE(s.n_kept, 0) AS INT) AS n_kept,
+           CAST(length(COALESCE(s.rebuilt, '')) AS INT) AS rebuilt_len,
+           md5(COALESCE(s.rebuilt, '')) AS rebuilt_fp
+    FROM d
+    JOIN totals t2 ON t2.doc_id = d.doc_id
+    LEFT JOIN spans s ON s.doc_id = d.doc_id
+    """,
+)
+def cdc_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication removal under a full value gate: drop
+    every occurrence of a content-defined chunk except the globally
+    first, rebuild each document from its surviving chunks, and pin the
+    rewrite byte-for-byte via md5 + length — the actionable half of the
+    cdc census, shift-robust where fixed-offset span removal breaks
+    (operators/dedup.cdc_rewrite)."""
+    return DD.cdc_rewrite(load_table(spark, sf_dir, "documents"))

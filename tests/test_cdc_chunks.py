@@ -133,3 +133,44 @@ def test_streaming_census_equals_batch_and_is_idempotent(spark):
     stream2 = _rows("stream_cdc_chunk_census")
     assert stream1 == batch
     assert stream2 == batch
+
+
+def test_cdc_rewrite_drops_all_but_first_occurrence(spark):
+    """Two identical docs: the first keeps every chunk, the second
+    rebuilds empty; a prefix-shifted copy keeps only its unsynced
+    head."""
+    from fluss_iceberg_spark.operators.dedup import cdc_rewrite
+
+    base = _rand_text(7, 600)
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, "XYZ" + base)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cdc_rewrite(df).collect()}
+    chunks = _chunks(base)
+    # doc 0 is globally first for every one of its chunks
+    assert out[0]["n_kept"] == out[0]["n_chunks"] == len(chunks)
+    assert out[0]["rebuilt_len"] == len(base)
+    assert out[0]["rebuilt_fp"] == hashlib.md5(base.encode()).hexdigest()
+    # doc 1 duplicates doc 0 exactly: everything dropped
+    assert out[1]["n_kept"] == 0 and out[1]["rebuilt_len"] == 0
+    assert out[1]["rebuilt_fp"] == hashlib.md5(b"").hexdigest()
+    # doc 2 re-synchronizes after its first cut: only the shifted head
+    # survives (every post-sync chunk already occurred in doc 0)
+    shifted_head = ("XYZ" + base)[: _cuts("XYZ" + base)[0]]
+    assert out[2]["n_kept"] == 1
+    assert out[2]["rebuilt_fp"] == hashlib.md5(
+        shifted_head.encode()
+    ).hexdigest()
+
+
+def test_cdc_rewrite_within_doc_repeats_collapse(spark):
+    """A chunk repeated INSIDE one doc keeps only its first occurrence."""
+    from fluss_iceberg_spark.operators.dedup import cdc_rewrite
+
+    seg = _rand_text(3, 300)
+    doc = seg + seg
+    df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    r = cdc_rewrite(df).collect()[0]
+    assert r["n_kept"] < r["n_chunks"]
+    assert r["rebuilt_len"] < len(doc)

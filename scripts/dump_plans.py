@@ -114,6 +114,15 @@ FLAGSHIPS = [
      "Chunking+hashing+md5 all inside ONE MapInPandas (ArrowEvalPython) over the spread scan; the only exchanges are the fingerprint census aggregate and its join back on the md5-balanced key."),
     ("join_range_bands",
      "The inequality join is a bucket EQUI-join: bands explode into covering buckets behind a BroadcastExchange, facts compute bucket map-side, the exact [lo,hi) bounds run as a post-join Filter, and the rollup partial-aggregates before one keyed exchange."),
+    ("export_leakage_safe_split",
+     "One fingerprint groupBy (distinct-texts rows) and one md5-balanced "
+     "join back; the split decision is a map-side hash of the broadcast-free "
+     "representative column — no additional exchange."),
+    ("dedup_cdc_rewrite",
+     "Chunking in the Arrow kernel; keep/drop is ONE window over the "
+     "md5-balanced fp exchange; the rebuild joins only surviving positions "
+     "back to the text on doc_id and concatenates in-plan (sorted struct "
+     "array -> substr chain) — chunk text never shuffles."),
 ]
 
 

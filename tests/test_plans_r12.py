@@ -57,3 +57,31 @@ def test_epoch_materialize_one_shard_shuffle_and_broadcast_rates(spark):
     # aggregates exchange #domains rows (cheap). Generate (explode)
     # must sit above the broadcast join, not behind an exchange.
     assert count_nodes(df, "Generate") == 1, plan
+
+
+def test_seasonal_anomaly_broadcasts_both_models(spark):
+    """Median and MAD models are #types x 24 rows — both must reach the
+    fact side as broadcasts, never as corpus-sized shuffle joins."""
+    from fluss_iceberg_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["events_seasonal_anomaly"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_range_bands_is_hash_join_not_nested_loop(spark):
+    """The inequality join must compile to a bucket equi-join with a
+    residual filter — a BroadcastNestedLoopJoin here is the O(facts x
+    bands) shape the operator exists to avoid."""
+    from fluss_iceberg_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["join_range_bands"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # partial aggregation before the single keyed rollup exchange
+    assert "partial_count" in plan or "HashAggregate" in plan

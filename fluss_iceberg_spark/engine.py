@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fluss_iceberg_spark.lake.table import LakeCatalog, LakeTable
+# Arrow-path local frames (guide §6): SQL-facade metadata results are
+# tiny literal frames; the classic list path parallelizes them into a
+# 32-partition pickled Python RDD whose every action spawns Python
+# workers (measured: a 1-row DDL frame cost a 32-task job)
+from fluss_iceberg_spark.operators.util import arrow_local_df
 from fluss_iceberg_spark.sources.tpch import register_views
 
 # Flink-DDL type names → Spark types (the reference's DDL vocabulary,
@@ -369,7 +374,7 @@ class Engine:
             name = q.split()[-1].strip("`")
             res = self.views.refresh_matview(name)
             # string-typed versions: join matviews track (a, b) pairs
-            return self.spark.createDataFrame(
+            return arrow_local_df(self.spark, 
                 [(name, bool(res["refreshed"]), str(res["from"]), str(res["to"]))],
                 "name string, refreshed boolean, from_version string, "
                 "to_version string",
@@ -398,7 +403,7 @@ class Engine:
             rows = [(n, "logical") for n in vm.views] + [
                 (n, "materialized") for n in vm.matviews
             ]
-            return self.spark.createDataFrame(rows or [], "name string, kind string")
+            return arrow_local_df(self.spark, rows or [], "name string, kind string")
         self.views.materialize_referenced(q)
         if u.startswith("CREATE CATALOG"):
             return self._sql_create_catalog(q)
@@ -408,7 +413,7 @@ class Engine:
             return self._sql_create_table(q)
         if u.startswith("SHOW CREATE TABLE"):
             name = q.split()[-1].strip("`")
-            return self.spark.createDataFrame(
+            return arrow_local_df(self.spark, 
                 [(self.show_create_table(name),)], "ddl string"
             )
         if u.startswith("DROP TABLE"):
@@ -447,7 +452,7 @@ class Engine:
         if u.startswith("TRUNCATE TABLE"):
             name = q.split()[-1].strip("`")
             t = self.catalog.load(name)
-            t.overwrite(self.spark.createDataFrame([], t.schema))
+            t.overwrite(arrow_local_df(self.spark, [], t.schema))
             self._register(t)
             return self._ok("truncated", name)
         if u.startswith("ANALYZE TABLE"):
@@ -457,7 +462,7 @@ class Engine:
                 (name, c, s["ndv"], s["null_count"], stats["row_count"])
                 for c, s in sorted(stats["columns"].items())
             ]
-            return self.spark.createDataFrame(
+            return arrow_local_df(self.spark, 
                 rows,
                 "table string, column string, ndv long, null_count long, "
                 "row_count long",
@@ -473,7 +478,7 @@ class Engine:
         if u.startswith("ALTER TABLE"):
             return self._sql_alter(q)
         if u.startswith("SHOW TABLES"):
-            return self.spark.createDataFrame(
+            return arrow_local_df(self.spark, 
                 [(n,) for n in self.catalog.tables()] or [], "name string"
             )
         if u.startswith("DESCRIBE "):
@@ -488,7 +493,7 @@ class Engine:
                 )
                 for f in t.schema.fields
             ]
-            return self.spark.createDataFrame(
+            return arrow_local_df(self.spark, 
                 rows, "col_name string, data_type string, nullable boolean, key string"
             )
         if u.startswith("EXECUTE STATEMENT SET"):
@@ -502,7 +507,7 @@ class Engine:
             plan = inner._sc._jvm.PythonSQLUtils.explainString(
                 inner._jdf.queryExecution(), mode
             )
-            return self.spark.createDataFrame([(plan,)], "plan string")
+            return arrow_local_df(self.spark, [(plan,)], "plan string")
         q = self._rewrite_time_travel(q)
         return self.spark.sql(q)
 
@@ -641,7 +646,7 @@ class Engine:
         return self._APPROX_DISTINCT_RE.sub(sub, q)
 
     def _ok(self, op: str, name: str) -> DataFrame:
-        return self.spark.createDataFrame([(op, name)], "op string, name string")
+        return arrow_local_df(self.spark, [(op, name)], "op string, name string")
 
     def _sql_create_catalog(self, q: str) -> DataFrame:
         m = re.match(r"CREATE\s+CATALOG\s+`?(\w+)`?\s*(?:WITH\s*\((.*)\))?$",
@@ -842,7 +847,7 @@ class Engine:
         name = m.group(1)
         snap = self._load_for_write(name).delete(self._parse_where(m.group(2)))
         self.refresh(name)
-        return self.spark.createDataFrame(
+        return arrow_local_df(self.spark, 
             [(name, snap.summary.get("files_rewritten", 0))],
             "name string, files_rewritten int",
         )
@@ -867,7 +872,7 @@ class Engine:
             set_exprs, self._parse_where(m.group(3))
         )
         self.refresh(name)
-        return self.spark.createDataFrame(
+        return arrow_local_df(self.spark, 
             [(name, snap.summary.get("files_rewritten", 0))],
             "name string, files_rewritten int",
         )
@@ -910,7 +915,7 @@ class Engine:
                 coordinator.enable(self.catalog.warehouse, endpoint)
             elif os.path.exists(cfg):
                 os.remove(cfg)
-            return self.spark.createDataFrame(
+            return arrow_local_df(self.spark, 
                 [(self.catalog.warehouse, endpoint or "flock (local)")],
                 "warehouse string, commit_coordinator string",
             )
@@ -985,7 +990,7 @@ class Engine:
         else:
             raise ValueError(f"unknown procedure {proc!r}")
         self._register(t)
-        return self.spark.createDataFrame(out, "table string, procedure string, result string")
+        return arrow_local_df(self.spark, out, "table string, procedure string, result string")
 
     def _sql_alter(self, q: str) -> DataFrame:
         """``ALTER TABLE t ADD COLUMN name TYPE | RENAME COLUMN a TO b |
@@ -1264,10 +1269,10 @@ class Engine:
         if inserts is not None:
             combined = inserts if combined is None else combined.unionByName(inserts)
         if combined is None:
-            combined = self.spark.createDataFrame([], t.schema)
+            combined = arrow_local_df(self.spark, [], t.schema)
         snap = t.merge(combined, deletes=del_keys)
         self._register(t)
-        return self.spark.createDataFrame(
+        return arrow_local_df(self.spark, 
             [(name, snap.snapshot_id)], "name string, version long"
         )
 
@@ -1405,7 +1410,7 @@ class Engine:
             for name in list(txn._tables):
                 if self.catalog.exists(name):
                     self._register(self.catalog.load(name))
-        return self.spark.createDataFrame(
+        return arrow_local_df(self.spark, 
             [(final.lower(), len(body))], "op string, statements int"
         )
 
@@ -1419,6 +1424,6 @@ class Engine:
         stmts = [s.strip() for s in m.group(1).split(";") if s.strip()]
         for s in stmts:
             self._sql_insert(s)
-        return self.spark.createDataFrame(
+        return arrow_local_df(self.spark, 
             [(len(stmts),)], "n_statements int"
         )

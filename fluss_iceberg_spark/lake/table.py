@@ -51,11 +51,17 @@ import uuid
 import datetime
 import decimal
 import functools
+
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Arrow-path local frames for metadata tables (guide §6): the classic
+# list path pickles rows into a 32-partition Python RDD — every read of
+# $snapshots/$files/$history then pays Python workers for metadata
+from fluss_iceberg_spark.operators.util import arrow_local_df
 from pyspark.sql import types as T
 
 
@@ -2414,7 +2420,8 @@ class LakeTable:
                     s.hot_watermark,
                 )
             )
-        return self.spark.createDataFrame(
+        return arrow_local_df(
+            self.spark,
             rows,
             "snapshot_id long, parent_id long, committed_at_ms long, "
             "operation string, manifest_list string, summary string, "
@@ -2451,7 +2458,8 @@ class LakeTable:
                     json.dumps({}, sort_keys=True),
                 )
             )
-        return self.spark.createDataFrame(
+        return arrow_local_df(
+            self.spark,
             rows,
             "file_path string, content string, file_size_bytes long, "
             "record_count long, column_stats string",
@@ -2497,7 +2505,8 @@ class LakeTable:
             (k, v["rows"], v["files"], v["bytes"], v["dels"])
             for k, v in sorted(agg.items())
         ]
-        return self.spark.createDataFrame(
+        return arrow_local_df(
+            self.spark,
             rows,
             "partition string, record_count long, file_count int, "
             "size_bytes long, position_delete_record_count long",
@@ -2522,7 +2531,8 @@ class LakeTable:
                     json.dumps(refs),
                 )
             )
-        return self.spark.createDataFrame(
+        return arrow_local_df(
+            self.spark,
             rows,
             "path string, kind string, record_count long, "
             "referenced_data_files int, references string",
@@ -2536,7 +2546,8 @@ class LakeTable:
         rows = [("main", "BRANCH", self.current_version())]
         rows += [(n, "TAG", v) for n, v in sorted(refs["tags"].items())]
         rows += [(n, "BRANCH", v) for n, v in sorted(refs["branches"].items())]
-        return self.spark.createDataFrame(
+        return arrow_local_df(
+            self.spark,
             rows, "name string, type string, snapshot_id long"
         )
 
@@ -2555,7 +2566,8 @@ class LakeTable:
             )
             for v in self.snapshot_versions()
         ]
-        return self.spark.createDataFrame(
+        return arrow_local_df(
+            self.spark,
             rows,
             "made_current_at_ms long, snapshot_id long, parent_id long, "
             "is_current boolean",

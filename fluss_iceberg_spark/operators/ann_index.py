@@ -364,8 +364,12 @@ class IvfIndex:
             ]
             for _, cid in sorted(sims)[:n_probe]:
                 pairs.append((int(r.vec_id), int(cid)))
+        from fluss_iceberg_spark.operators.util import arrow_local_df
+
         return (
-            spark.createDataFrame(pairs, "query_id long, list_id int"),
+            # Arrow local frame (guide §6): keeps the probe frame free of
+            # Python workers in the scoring join it broadcasts into
+            arrow_local_df(spark, pairs, "query_id long, list_id int"),
             True,
         )
 

@@ -259,6 +259,8 @@ def merges_df(spark, merges: list) -> DataFrame:
         (i, left, right, left + right)
         for i, (left, right) in enumerate(merges)
     ]
-    return spark.createDataFrame(
-        rows, "rank int, left string, right string, merged string"
+    from fluss_iceberg_spark.operators.util import arrow_local_df
+
+    return arrow_local_df(
+        spark, rows, "rank int, left string, right string, merged string"
     )

@@ -97,7 +97,12 @@ def _centroids_df(spark, model: list) -> DataFrame:
     """Materialize the K*dim centroid model as a tiny literal DataFrame
     (cid, cv, cn) - truncates the Lloyd-loop lineage so downstream
     assignments never recompute previous iterations."""
-    return spark.createDataFrame(
+    from fluss_iceberg_spark.operators.util import arrow_local_df
+
+    # Arrow local frame (guide §6): the model is broadcast-joined by every
+    # assignment pass — as a pickled RDD each pass re-pays Python workers
+    return arrow_local_df(
+        spark,
         [(int(cid), [float(x) for x in cv], float(cn)) for cid, cv, cn in model],
         "cid long, cv array<double>, cn double",
     )

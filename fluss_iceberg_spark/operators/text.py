@@ -1497,7 +1497,10 @@ def bm25_scores(
         )
     n_docs, tl = int(stats[0]["n_docs"]), int(stats[0]["tl"])
     inn = ilog2_local(n_docs)
-    idf = df.sparkSession.createDataFrame(
+    from fluss_iceberg_spark.operators.util import arrow_local_df
+
+    idf = arrow_local_df(
+        df.sparkSession,
         sorted((r["tok"], inn - ilog2_local(r["df_cnt"])) for r in stats),
         "tok string, idf_q16 long",
     )

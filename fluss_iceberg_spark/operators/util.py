@@ -2,7 +2,44 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def arrow_local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """``createDataFrame`` for driver-local row lists via the ARROW path.
+
+    The plain list-of-tuples path pickles rows into a Python RDD: every
+    downstream action ships them back through Python workers — measured
+    ~0.8 s warm / ~3 s after a session recycle for a 10k-row frame
+    (guide §4: every Python path pays the JVM↔Python boundary; guide §6:
+    Arrow for driver transfers). Routing the same rows through a pandas
+    DataFrame turns them into an Arrow-backed LocalTableScan: no Python
+    workers at execution time, identical values and schema (the explicit
+    ``schema`` string drives the same DDL-parsed types as before).
+
+    Use for frames of ints/floats/strings (exact under Arrow). Not for
+    Decimal/struct payloads — those keep the classic path at call sites.
+    """
+    import pandas as pd
+
+    if isinstance(schema, str):
+        names = [f.split()[0].strip() for f in schema.split(",")]
+    else:  # StructType
+        names = list(schema.fieldNames())
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    # column-wise object series: from_records would coerce a mixed
+    # int/None column (e.g. $snapshots.parent_id — None for the first
+    # snapshot) to float64 + NaN, which integer Spark types reject;
+    # object dtype preserves None and Arrow converts it to a real null
+    pdf = pd.DataFrame(
+        {
+            n: pd.Series([r[i] for r in rows], dtype="object")
+            for i, n in enumerate(names)
+        }
+    )
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -120,7 +120,10 @@ def show_create(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM nation_revenue ORDER BY nation_name"
     ).collect()
     final_state = ";".join(f"{r.nation_name}={r.revenue}" for r in rows)
-    return spark.createDataFrame(
+    from fluss_iceberg_spark.operators.util import arrow_local_df
+
+    return arrow_local_df(
+        spark,
         [(ddl, bool(roundtrip_ok), int(n_snaps), len(rows), final_state)],
         "ddl string, roundtrip_ok boolean, n_snapshots long, n_rows long, "
         "final_state string",

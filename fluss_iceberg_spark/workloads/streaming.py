@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fluss_iceberg_spark.lake.table import LakeCatalog
+from fluss_iceberg_spark.operators.util import arrow_local_df
 from fluss_iceberg_spark.registry import query
 from fluss_iceberg_spark.sources import faker
 from fluss_iceberg_spark.sources.tpch import load_table
@@ -420,7 +421,8 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel = (
         raw.agg(F.max("ts").alias("max_ts"))
         .crossJoin(
-            spark.createDataFrame(
+            arrow_local_df(
+                spark,
                 [(-1, "click"), (-2, "view")], "event_id long, event_type string"
             )
         )
@@ -520,7 +522,8 @@ def stream_full_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel = (
         raw.agg(F.max("ts").alias("max_ts"))
         .crossJoin(
-            spark.createDataFrame(
+            arrow_local_df(
+                spark,
                 [(-1, "click"), (-2, "view")], "event_id long, event_type string"
             )
         )

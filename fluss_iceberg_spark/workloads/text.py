@@ -906,7 +906,9 @@ def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [("bias", float(w[0]))] + [
         (cols[j], float(w[j + 1])) for j in range(len(cols))
     ] + [("train_accuracy", acc)]
-    return spark.createDataFrame(rows, "term string, value double")
+    from fluss_iceberg_spark.operators.util import arrow_local_df
+
+    return arrow_local_df(spark, rows, "term string, value double")
 
 
 @query(

@@ -1702,9 +1702,29 @@ class LakeTable:
         # collapse intra-batch duplicates: last occurrence per key wins is
         # undefined without order, so use an arbitrary-but-deterministic
         # max-by over all columns via row_number on a monotonic id
-        updates = updates.dropDuplicates(self.primary_key)
+        #
+        # persist the collapsed batch: merge() consumes it through 2-3
+        # SEPARATE actions (conflict guard, touched-bucket collect, the
+        # bucket write), and without a cache the whole upstream lineage —
+        # for IVM refreshes and CDC mirrors that lineage is a multi-join
+        # changelog diff — is re-planned AND re-executed per action
+        # (guide §5 caching: reused + expensive to recompute). The batch
+        # is delta-sized by the operator contracts, so the cache cost is
+        # one delta materialization; unpersisted before returning.
+        updates = updates.dropDuplicates(self.primary_key).persist()
         if deletes is not None:
-            deletes = deletes.select(*self.primary_key).dropDuplicates()
+            deletes = deletes.select(*self.primary_key).dropDuplicates().persist()
+        try:
+            return self._merge_inner(updates, deletes)
+        finally:
+            updates.unpersist()
+            if deletes is not None:
+                deletes.unpersist()
+
+    def _merge_inner(
+        self, updates: DataFrame, deletes: DataFrame | None
+    ) -> Snapshot:
+        if deletes is not None:
             # a key both updated and deleted in one statement is ambiguous
             # (Iceberg MERGE likewise rejects multi-action matches)
             both = updates.join(deletes, on=self.primary_key, how="left_semi")
@@ -1824,7 +1844,17 @@ class LakeTable:
                 "log tables use delete(where=)"
             )
         snap = self.snapshot()
-        keys = keys.select(*self.primary_key).dropDuplicates()
+        # persist: the key set feeds THREE actions (bucket routing
+        # collect, the delete-file write, the hide-count semi-join) —
+        # same multi-action reuse as merge(); O(|keys|) cache, released
+        # before returning
+        keys = keys.select(*self.primary_key).dropDuplicates().persist()
+        try:
+            return self._delete_by_key_inner(keys, snap)
+        finally:
+            keys.unpersist()
+
+    def _delete_by_key_inner(self, keys: DataFrame, snap) -> Snapshot:
         if snap is None or not snap.files:
             return self._commit(
                 "delete", [], 0, 0, summary={"mode": "equality", "hidden_rows": 0}

@@ -23,22 +23,26 @@ def arrow_local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     import pandas as pd
 
     if isinstance(schema, str):
-        names = [f.split()[0].strip() for f in schema.split(",")]
+        fields = [
+            (f.split()[0].strip(), f.split()[1].strip().lower())
+            for f in schema.split(",")
+        ]
     else:  # StructType
-        names = list(schema.fieldNames())
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
-    # column-wise object series: from_records would coerce a mixed
-    # int/None column (e.g. $snapshots.parent_id — None for the first
-    # snapshot) to float64 + NaN, which integer Spark types reject;
-    # object dtype preserves None and Arrow converts it to a real null
-    pdf = pd.DataFrame(
-        {
-            n: pd.Series([r[i] for r in rows], dtype="object")
-            for i, n in enumerate(names)
-        }
-    )
+    pdf = pd.DataFrame.from_records(rows, columns=[n for n, _ in fields])
+    # from_records coerces a mixed int/None column (e.g.
+    # $snapshots.parent_id — None for the first snapshot) to float64 +
+    # NaN, which integer Spark types reject. Rebuild ONLY such columns
+    # as object dtype from the original rows (exact ints, real nulls);
+    # the common all-int/all-string columns keep the fast C path.
+    for i, (n, t) in enumerate(fields):
+        if pdf[n].dtype.kind == "f" and not t.startswith(
+            ("double", "float", "decimal")
+        ):
+            pdf[n] = pd.Series([r[i] for r in rows], dtype="object")
     return spark.createDataFrame(pdf, schema=schema)
 
 

@@ -1220,6 +1220,39 @@ def ilog2_steps(c_expr: str, prefix: str, idiv) -> list:
     return steps
 
 
+def ilog2_np(c):
+    """Vectorized numpy replay of the SAME recurrence over an int64
+    array — bit-for-bit equal to ``ilog2_local`` / ``ilog2_steps``
+    (every operation is exact int64: the e-ladder comparisons, the
+    power-of-two divisions, and the 16 shift-and-square steps with
+    m < 2^16 so m*m < 2^32). Lets the model-table ilog run as ONE
+    Arrow-vectorized kernel instead of a ~104-projection Catalyst
+    chain (guide §4.2: hand whole batches to vectorized native code)."""
+    import numpy as np
+
+    c = np.asarray(c, dtype=np.int64)
+    e = np.zeros(c.shape, dtype=np.int64)
+    for k in range(1, 63):
+        e += c >= np.int64(1 << k)
+    p2 = np.left_shift(np.int64(1), e)
+    one = np.int64(1 << _ILOG_MANT)
+    # np.where evaluates both branches: clamp the dead branch's divisor
+    # away from zero (values discarded by the mask)
+    m = np.where(
+        p2 >= one,
+        c // np.maximum(p2 // one, np.int64(1)),
+        c * (one // p2),
+    )
+    two = np.int64(1 << (_ILOG_MANT + 1))
+    frac = np.zeros(c.shape, dtype=np.int64)
+    for _ in range(_ILOG_FRAC_BITS):
+        t = (m * m) >> _ILOG_MANT
+        bit = (t >= two).astype(np.int64)
+        frac = frac * 2 + bit
+        m = t >> bit
+    return e * np.int64(1 << _ILOG_FRAC_BITS) + frac
+
+
 def ilog2_local(c: int) -> int:
     """Pure-Python reference of the same recurrence (unit gate)."""
     assert c >= 1
@@ -1236,6 +1269,17 @@ def ilog2_local(c: int) -> int:
 
 def _spark_idiv(a, b) -> str:
     return f"({a} div {b})"
+
+
+@F.pandas_udf(LongType())
+def _bits_q16_udf(num, den):
+    """ilog2(den) - ilog2(num) in 2^-16 units — the model-table scoring
+    column, Arrow-vectorized (see ilog2_np)."""
+    import pandas as pd
+
+    n = num.to_numpy(dtype="int64", copy=False)
+    d = den.to_numpy(dtype="int64", copy=False)
+    return pd.Series(ilog2_np(d) - ilog2_np(n))
 
 
 def perplexity_scores(
@@ -1310,12 +1354,14 @@ def perplexity_scores(
             F.expr("CAST(100 AS BIGINT) * c_w1 * (big_c + big_v)"),
         )
     )
-    for name, ex in ilog2_steps("num", "iln", _spark_idiv) + ilog2_steps(
-        "den", "ild", _spark_idiv
-    ):
-        model = model.withColumn(name, F.expr(ex))
+    # bits = ilog2(den) - ilog2(num) as ONE Arrow-vectorized kernel over
+    # the model table (ilog2_np == ilog2_steps bit-for-bit; the DuckDB
+    # oracle still replays the full SQL chain). The former ~104-chained-
+    # projection Catalyst rendering generated code past the JIT's happy
+    # size and dominated the query (guide §4.2); two int64 columns in,
+    # one out, so the Arrow boundary carries 24 bytes/model row.
     model_bits = model.select(
-        "bg", (F.col("ild") - F.col("iln")).alias("bits")
+        "bg", _bits_q16_udf(F.col("num"), F.col("den")).alias("bits")
     )
     per_doc = (
         dc.join(model_bits, on="bg")

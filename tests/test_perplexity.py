@@ -11,6 +11,7 @@ from hypothesis import strategies as st
 
 from fluss_iceberg_spark.operators.text import (
     ilog2_local,
+    ilog2_np,
     ilog2_steps,
     perplexity_oracle_sql,
 )
@@ -23,6 +24,20 @@ def test_ilog2_accuracy_and_monotone(c):
     assert abs(v / 65536 - math.log2(c)) < 0.002
     # monotone: the property that makes num<=den imply bits>=0
     assert ilog2_local(c + 1) >= v
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**62), min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_ilog2_np_bitwise_equals_local(vals):
+    # The vectorized kernel must replay the recurrence bit-for-bit —
+    # it substitutes for the SQL chain inside an oracle-gated query.
+    got = ilog2_np(vals).tolist()
+    assert got == [ilog2_local(v) for v in vals]
+
+
+def test_ilog2_np_edge_values():
+    edges = [1, 2, 3, (1 << 16) - 1, 1 << 16, (1 << 16) + 1, (1 << 62) - 1, 1 << 62]
+    assert ilog2_np(edges).tolist() == [ilog2_local(v) for v in edges]
 
 
 def test_ilog2_exact_on_powers_of_two():

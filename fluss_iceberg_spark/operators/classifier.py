@@ -137,16 +137,27 @@ def train_logreg_local(rows: list, epochs: int = 30, lr: float = 4.0) -> list:
 
 
 def score(
-    feats: DataFrame, weights: list, feature_cols: list, label_col: str = "y"
+    feats: DataFrame,
+    weights: list,
+    feature_cols: list,
+    label_col: str = "y",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """p = sigmoid(w·x) per document with the given (trained) weights —
-    one map-side pass. NOTE: for the oracle-backed integer-logit gate
-    use score_fixed instead."""
+    one map-side pass. ``keep_cols`` carries extra input columns (e.g.
+    the label) through, so a downstream accuracy check needs no
+    re-join. NOTE: for the oracle-backed integer-logit gate use
+    score_fixed instead."""
     z = F.lit(float(weights[0]))
     for j, c in enumerate(feature_cols):
         z = z + F.lit(float(weights[j + 1])) * F.col(c)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return feats.select("doc_id", p.alias("p"), (p > 0.5).cast("int").alias("keep"))
+    return feats.select(
+        "doc_id",
+        p.alias("p"),
+        (p > 0.5).cast("int").alias("keep"),
+        *[F.col(c) for c in keep_cols],
+    )
 
 
 def score_fixed(feats: DataFrame, int_weights: list) -> DataFrame:

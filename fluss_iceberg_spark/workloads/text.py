@@ -900,9 +900,11 @@ def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = CL.teacher_labels(CL.featurize(docs))
     cols = [name for name, _ in CL.FEATURES]
     w = CL.train_logreg(labeled, cols, epochs=30, lr=4.0)
-    acc = CL.accuracy(
-        CL.score(labeled, w, cols).join(labeled.select("doc_id", "y"), "doc_id")
-    )
+    # keep_cols carries y through the scoring projection: ONE featurize
+    # pass and zero shuffle for the accuracy check (the former
+    # .join(labeled, "doc_id") re-featurized the corpus a second time
+    # and exchanged both sides by doc_id just to re-fetch the label)
+    acc = CL.accuracy(CL.score(labeled, w, cols, keep_cols=("y",)))
     rows = [("bias", float(w[0]))] + [
         (cols[j], float(w[j + 1])) for j in range(len(cols))
     ] + [("train_accuracy", acc)]

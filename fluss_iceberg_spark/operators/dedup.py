@@ -1004,15 +1004,14 @@ def semdedup(
     from fluss_iceberg_spark.operators.similarity import (
         _as_double,
         _assign_clusters,
-        _centroids_df,
         kmeans_fit,
     )
 
     model = kmeans_fit(emb, n_clusters=n_clusters, n_iters=n_iters, dim=dim)
     v = _as_double(emb)
-    assigned = _assign_clusters(
-        v, _centroids_df(emb.sparkSession, model), dim
-    ).select("vec_id", "v", F.col("cid").alias("cluster_id"))
+    assigned = _assign_clusters(v, model, dim).select(
+        "vec_id", "v", F.col("cid").alias("cluster_id")
+    )
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

@@ -108,19 +108,89 @@ def _centroids_df(spark, model: list) -> DataFrame:
     )
 
 
-def _assign_clusters(v: DataFrame, cent: DataFrame, dim: int, top_n: int = 1):
-    """Assign each vector to its top_n nearest centroids by cosine.
-    Centroids are broadcast (constant-size model); cost is |v| * K dot
-    products in one scan + a top_n window keyed by vec_id."""
-    scored = v.crossJoin(F.broadcast(cent)).withColumn(
-        "ccos", dot_expanded(F.col("v"), F.col("cv"), dim) / (F.col("nrm") * F.col("cn"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= top_n)
-        .drop("cv", "cn", "ccos", "crank")
-    )
+def _centroid_arrays(cent, dim: int):
+    """(cids, C, cns) numpy views of a centroid model, sorted by cid
+    ascending so first-occurrence argmax == lowest-cid tie-break.
+    ``cent`` is either a [(cid, cv, cn)] list or a (cid, cv, cn)
+    DataFrame (constant-size model — the collect is a K-row action)."""
+    import numpy as np
+
+    if isinstance(cent, DataFrame):
+        rows = [(r[0], r[1], r[2]) for r in cent.select("cid", "cv", "cn").collect()]
+    else:
+        rows = list(cent)
+    rows.sort(key=lambda r: int(r[0]))
+    cids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    C = np.array([[float(x) for x in r[1]][:dim] for r in rows], dtype=np.float64)
+    cns = np.array([float(r[2]) for r in rows], dtype=np.float64)
+    return cids, C, cns
+
+
+def _centroid_cosines_np(V, nrm, C, cns):
+    """numpy replay of the former per-pair Catalyst expression
+    ``dot_expanded(v, cv, dim) / (nrm * cn)`` — bit-for-bit: the dot is
+    the same left-assoc sequential fold over components (one IEEE mul +
+    add per step, accumulated j=0..dim-1), the denominator the same
+    single mul, then one divide. Returns the (n, K) score matrix."""
+    import numpy as np
+
+    S = np.zeros((V.shape[0], C.shape[0]))
+    for j in range(C.shape[1]):
+        S += V[:, j, None] * C[None, :, j]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S /= nrm[:, None] * cns[None, :]
+    return S
+
+
+def _rank_key_np(S):
+    """Spark orders doubles DESC with NaN greatest; numpy argmax/argsort
+    would put NaN last. NaN → +inf replays the ordering (a true +inf
+    score can't arise: unit-scale embeddings can't overflow, and a zero
+    denominator zeroes the dot too, giving NaN not inf)."""
+    import numpy as np
+
+    return np.where(np.isnan(S), np.inf, S)
+
+
+def _assign_clusters(v: DataFrame, cent, dim: int, top_n: int = 1):
+    """Assign each vector to its top_n nearest centroids by cosine —
+    map-only: the K·dim model rides the kernel closure and each scan
+    partition computes its own argmax, so there is NO K× row expansion
+    and NO exchange (the former crossJoin(broadcast)+row_number window
+    shuffled |v|·K vector-carrying rows just to take a per-vec_id top-n).
+    Scores replay the old expression bit-for-bit (_centroid_cosines_np);
+    ties break to the lowest cid exactly as desc(ccos)/asc(cid) did.
+    ``cent``: [(cid, cv, cn)] list or equivalent DataFrame."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    cids, C, cns = _centroid_arrays(cent, dim)
+
+    if top_n <= 1:
+
+        @F.pandas_udf(LongType())
+        def _nearest(vv, nrm):
+            if not len(vv):
+                return pd.Series([], dtype="int64")
+            V = np.array(vv.tolist(), dtype=np.float64)[:, :dim]
+            S = _centroid_cosines_np(V, nrm.to_numpy(np.float64), C, cns)
+            # first max = lowest index = lowest cid (model cid-sorted)
+            return pd.Series(cids[np.argmax(_rank_key_np(S), axis=1)])
+
+        return v.withColumn("cid", _nearest(F.col("v"), F.col("nrm")))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _probes(vv, nrm):
+        if not len(vv):
+            return pd.Series([], dtype="object")
+        V = np.array(vv.tolist(), dtype=np.float64)[:, :dim]
+        S = _centroid_cosines_np(V, nrm.to_numpy(np.float64), C, cns)
+        # stable desc sort: ties keep ascending index order == asc cid
+        order = np.argsort(-_rank_key_np(S), axis=1, kind="stable")[:, :top_n]
+        return pd.Series([cids[row].tolist() for row in order])
+
+    return v.withColumn("cid", F.explode(_probes(F.col("v"), F.col("nrm"))))
 
 
 def train_ivf_centroids(
@@ -184,7 +254,7 @@ def ivf_topk(
     touching ~n_probe/K of the data. Recall is tuned by n_probe
     (n_probe=K degenerates to exact brute force)."""
     model = train_ivf_centroids(vectors, n_clusters, dim=dim)
-    cent = _centroids_df(vectors.sparkSession, model)
+    cent = model
     v = _assign_clusters(_as_double(vectors), cent, dim).select(
         F.col("vec_id").alias("nn_id"), F.col("v").alias("vv"),
         F.col("nrm").alias("nv"), "cid",
@@ -320,7 +390,7 @@ def kmeans_fit(
             (i, [float(x) for x in C[i]], float(np.linalg.norm(C[i])))
             for i in range(k)
         ]
-        assigned = _assign_clusters(v, _centroids_df(spark, model), dim)
+        assigned = _assign_clusters(v, model, dim)
         sums = (
             assigned.select(
                 "cid",
@@ -352,21 +422,42 @@ def kmeans_assign(
 ) -> DataFrame:
     """(vec_id, cluster_id, cos_to_centroid) under a fitted model —
     broadcast centroids, one scan (argmax cosine, lowest-cid ties)."""
-    cent = _centroids_df(vectors.sparkSession, model)
-    v = _as_double(vectors)
-    scored = v.crossJoin(F.broadcast(cent)).withColumn(
-        "ccos",
-        dot_expanded(F.col("v"), F.col("cv"), dim) / (F.col("nrm") * F.col("cn")),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select(
-            "vec_id",
-            F.col("cid").alias("cluster_id"),
-            F.round("ccos", 4).alias("cos_to_centroid"),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cids, C, cns = _centroid_arrays(model, dim)
+
+    # same map-only kernel as _assign_clusters, with the winning raw
+    # score carried out so rounding stays JVM-side (F.round is HALF_UP;
+    # numpy's is half-even)
+    @F.pandas_udf(
+        StructType(
+            [StructField("cid", LongType()), StructField("ccos", DoubleType())]
         )
+    )
+    def _nearest_cos(vv, nrm):
+        if not len(vv):
+            return pd.DataFrame(
+                {
+                    "cid": pd.Series([], dtype="int64"),
+                    "ccos": pd.Series([], dtype="float64"),
+                }
+            )
+        V = np.array(vv.tolist(), dtype=np.float64)[:, :dim]
+        S = _centroid_cosines_np(V, nrm.to_numpy(np.float64), C, cns)
+        idx = np.argmax(_rank_key_np(S), axis=1)
+        return pd.DataFrame(
+            {"cid": cids[idx], "ccos": S[np.arange(len(idx)), idx]}
+        )
+
+    v = _as_double(vectors)
+    return v.select(
+        "vec_id", _nearest_cos(F.col("v"), F.col("nrm")).alias("a")
+    ).select(
+        "vec_id",
+        F.col("a.cid").alias("cluster_id"),
+        F.round("a.ccos", 4).alias("cos_to_centroid"),
     )
 
 
@@ -545,7 +636,7 @@ def ivfpq_topk(
     books = train_pq_codebooks(vectors, n_subspaces, n_codes, dim=dim)
     sub_dim = dim // n_subspaces
     B = [np.array(b, dtype="float64") for b in books]
-    cent = _centroids_df(vectors.sparkSession, ivf)
+    cent = ivf
 
     assigned = _assign_clusters(_as_double(vectors), cent, dim)
     codes = pq_encode(vectors, books, dim).join(

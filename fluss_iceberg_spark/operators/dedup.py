@@ -189,34 +189,112 @@ N_PERM = 64
 BANDS = 16
 ROWS_PER_BAND = N_PERM // BANDS
 
+# Spark's XXH64 primes (sql/catalyst XxHash64Function / unsafe XXH64) —
+# the numpy replay below must track them exactly
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_fmix_np(h):
+    import numpy as np
+
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_XXH_P2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_XXH_P3)
+    return h ^ (h >> np.uint64(32))
+
+
+def _xxh64_rotl_np(x, r: int):
+    import numpy as np
+
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def xxh64_long_np(v, seed):
+    """numpy uint64 replay of Spark's ``XXH64.hashLong`` — bit-for-bit
+    (validated against F.xxhash64 on random probes; golden-pinned via
+    tests/test_stream_neardup.py). ``v``: uint64 array; ``seed``: uint64
+    scalar or array."""
+    import numpy as np
+
+    h = seed + np.uint64(_XXH_P5) + np.uint64(8)
+    k1 = _xxh64_rotl_np(v * np.uint64(_XXH_P2), 31) * np.uint64(_XXH_P1)
+    h = h ^ k1
+    h = _xxh64_rotl_np(h, 27) * np.uint64(_XXH_P1) + np.uint64(_XXH_P4)
+    return _xxh64_fmix_np(h)
+
+
+def xxh64_int_np(k: int, seed):
+    """numpy uint64 replay of Spark's ``XXH64.hashInt`` for a constant
+    4-byte int ``k`` under per-element ``seed``s (the chained form
+    ``xxhash64(long_col, lit(k))`` evaluates hashInt(k, hashLong(col)))."""
+    import numpy as np
+
+    h = seed + np.uint64(_XXH_P5) + np.uint64(4)
+    h = h ^ (np.uint64(k & 0xFFFFFFFF) * np.uint64(_XXH_P1))
+    h = _xxh64_rotl_np(h, 23) * np.uint64(_XXH_P2) + np.uint64(_XXH_P3)
+    return _xxh64_fmix_np(h)
+
+
+def _minhash_np(arrs: list) -> list:
+    """The 64-permutation MinHash kernel over ragged shingle-hash arrays:
+    one shared hashLong pass (seed 42) over the flattened values, then
+    per-permutation hashInt + segment-min. Signed int64 mins, exactly as
+    array_min compares longs; empty sets yield None (array_min of an
+    empty array is NULL)."""
+    import numpy as np
+
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    nz = lens > 0
+    res: list = [None] * len(arrs)
+    if not nz.any():
+        return res
+    with np.errstate(over="ignore"):
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs if len(a)]
+        ).view(np.uint64)
+        base = xxh64_long_np(flat, np.uint64(42))
+        seg = np.zeros(int(nz.sum()), dtype=np.int64)
+        seg[1:] = np.cumsum(lens[nz])[:-1]
+        sig = np.empty((len(seg), N_PERM), dtype=np.int64)
+        for k in range(N_PERM):
+            hk = xxh64_int_np(k, base).view(np.int64)
+            sig[:, k] = np.minimum.reduceat(hk, seg)
+    rows = sig.tolist()
+    j = 0
+    for i, has in enumerate(nz):
+        if has:
+            res[i] = rows[j]
+            j += 1
+    return res
+
 
 def minhash_signatures(sets: DataFrame) -> DataFrame:
     """64-permutation MinHash signature per doc: permutation k is
     xxhash64(shingle_hash, k); signature[k] = min over the doc's
-    shingles. Computed MAP-SIDE from the shingle-hash array (array_min
-    over a transform) — zero shuffles; the old groupBy formulation
-    shuffled the whole shingle index just to take mins.
+    shingles. Zero shuffles, one Arrow-vectorized kernel (guide §4.2):
+    the former 64-column ``array_min(transform(...))`` projection ran
+    interpreted (higher-order functions never reach codegen) and burned
+    ~60 s CPU per admission tick on the sf0.1 batch, plus ~0.8 s of
+    driver-side Catalyst analysis per action that re-planned its
+    ~500-node tree. ``_minhash_np`` replays the exact arithmetic
+    (Spark's XXH64 in uint64, signed-min like array_min) so key values
+    are unchanged — golden-pinned in tests/test_stream_neardup.py."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
 
-    Deliberately 64 independent columns, not one nested
-    transform-over-sequence: the values are identical, but the nested
-    higher-order form executes ~6× slower (interpreted nested-lambda
-    evaluation), measured on the sf0.1 admission batch. The cost of
-    this form is a wide expression tree (~0.8 s driver-side Catalyst
-    analysis per action that re-plans the lineage) — consumers that act
-    on it repeatedly (streaming admission) truncate the lineage once
-    per batch instead (localCheckpoint in neardup_admit_batch). Key
-    values are golden-pinned in tests/test_stream_neardup.py."""
-    def _perm(k: int):
-        # one-positional-arg lambda: a default-arg closure would be read
-        # by pyspark as the two-arg (element, index) transform form
-        return lambda s: F.xxhash64(s, F.lit(k))
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig64(shset):
+        return pd.Series(_minhash_np(shset.tolist()))
 
-    return sets.select(
+    sig = sets.select("doc_id", _sig64("shset").alias("_sig"))
+    return sig.select(
         "doc_id",
-        *[
-            F.array_min(F.transform("shset", _perm(k))).alias(f"h{k}")
-            for k in range(N_PERM)
-        ],
+        *[F.element_at("_sig", k + 1).alias(f"h{k}") for k in range(N_PERM)],
     )
 
 

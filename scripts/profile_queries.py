@@ -114,7 +114,14 @@ def parse_log(path: str) -> list[dict]:
                     continue
                 j = jobs[jid]
                 m = ev.get("Task Metrics") or {}
+                # CPU is the nanosecond "Executor CPU Time" metric; the
+                # millisecond "Executor Run Time" is task WALL (it counts
+                # blocking on Python workers / cache fills) — keep both,
+                # labeled correctly.
                 j["cpu_ms"] = j.get("cpu_ms", 0) + m.get(
+                    "Executor CPU Time", 0
+                ) // 1_000_000
+                j["run_ms"] = j.get("run_ms", 0) + m.get(
                     "Executor Run Time", 0
                 )
                 sr = (m.get("Shuffle Read Metrics") or {})

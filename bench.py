@@ -341,13 +341,17 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     line = json.dumps(result)
-    # stdout line for the driver's tail capture AND a file copy so a long
-    # queries dict can never truncate the headline out of the tail window
-    print(line)
+    # file copy first, then stop the session, then print the headline as
+    # the ABSOLUTE last stdout line: a bounded tail capture gets the line
+    # unpolluted by session-shutdown output, and the file copy survives
+    # even if stdout is truncated (the r12→r13 PERF seam: BENCH_r11's
+    # tail cut the line mid-dict and the driver lost the round-over-round
+    # comparison)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_result.json"), "w") as f:
         f.write(line + "\n")
     spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

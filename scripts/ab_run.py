@@ -3,6 +3,8 @@ sessions so minutes-long host-contention windows hit both variants
 equally. Prints per-variant best and median of per-round bests.
 
 Usage: AB_ENV=FLUSS_MERGE_PERSIST python scripts/ab_run.py q1 q2 -- rounds
+AB_VALS=valA,valB overrides the toggle values (default "0,1"); the
+summary's OFF column is valA, ON is valB.
 """
 
 from __future__ import annotations
@@ -49,10 +51,11 @@ def main():
         rounds = int(args[i + 1])
         args = args[:i]
     registry.load_all()
+    vals = os.environ.get("AB_VALS", "0,1").split(",")
     a: dict[str, list] = {}
     b: dict[str, list] = {}
     for r in range(rounds):
-        for val, acc in (("0", a), ("1", b)):
+        for val, acc in ((vals[0], a), (vals[1], b)):
             res = run_round(args, val, env_key)
             for k, v in res.items():
                 acc.setdefault(k, []).append(v)

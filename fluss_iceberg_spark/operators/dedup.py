@@ -201,11 +201,16 @@ _XXH_P5 = 0x27D4EB2F165667C5
 def _xxh64_fmix_np(h):
     import numpy as np
 
-    h = h ^ (h >> np.uint64(33))
-    h = h * np.uint64(_XXH_P2)
-    h = h ^ (h >> np.uint64(29))
-    h = h * np.uint64(_XXH_P3)
-    return h ^ (h >> np.uint64(32))
+    # uint64 wraparound is the algorithm; silence the overflow warning
+    # HERE so every exported helper is safe at any call site (r12
+    # ADVICE: only _minhash_np wrapped its calls, so direct callers
+    # tripped RuntimeWarning under warning-as-error configs)
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(_XXH_P2)
+        h = h ^ (h >> np.uint64(29))
+        h = h * np.uint64(_XXH_P3)
+        return h ^ (h >> np.uint64(32))
 
 
 def _xxh64_rotl_np(x, r: int):
@@ -221,11 +226,12 @@ def xxh64_long_np(v, seed):
     scalar or array."""
     import numpy as np
 
-    h = seed + np.uint64(_XXH_P5) + np.uint64(8)
-    k1 = _xxh64_rotl_np(v * np.uint64(_XXH_P2), 31) * np.uint64(_XXH_P1)
-    h = h ^ k1
-    h = _xxh64_rotl_np(h, 27) * np.uint64(_XXH_P1) + np.uint64(_XXH_P4)
-    return _xxh64_fmix_np(h)
+    with np.errstate(over="ignore"):
+        h = seed + np.uint64(_XXH_P5) + np.uint64(8)
+        k1 = _xxh64_rotl_np(v * np.uint64(_XXH_P2), 31) * np.uint64(_XXH_P1)
+        h = h ^ k1
+        h = _xxh64_rotl_np(h, 27) * np.uint64(_XXH_P1) + np.uint64(_XXH_P4)
+        return _xxh64_fmix_np(h)
 
 
 def xxh64_int_np(k: int, seed):
@@ -234,10 +240,11 @@ def xxh64_int_np(k: int, seed):
     ``xxhash64(long_col, lit(k))`` evaluates hashInt(k, hashLong(col)))."""
     import numpy as np
 
-    h = seed + np.uint64(_XXH_P5) + np.uint64(4)
-    h = h ^ (np.uint64(k & 0xFFFFFFFF) * np.uint64(_XXH_P1))
-    h = _xxh64_rotl_np(h, 23) * np.uint64(_XXH_P2) + np.uint64(_XXH_P3)
-    return _xxh64_fmix_np(h)
+    with np.errstate(over="ignore"):
+        h = seed + np.uint64(_XXH_P5) + np.uint64(4)
+        h = h ^ (np.uint64(k & 0xFFFFFFFF) * np.uint64(_XXH_P1))
+        h = _xxh64_rotl_np(h, 23) * np.uint64(_XXH_P2) + np.uint64(_XXH_P3)
+        return _xxh64_fmix_np(h)
 
 
 def _minhash_np(arrs: list) -> list:
@@ -248,14 +255,20 @@ def _minhash_np(arrs: list) -> list:
     empty array is NULL)."""
     import numpy as np
 
-    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    # NULL arrays map to NULL signatures, like the old
+    # array_min(transform(...)) form did (r12 ADVICE: len(None) raised)
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in arrs),
+        dtype=np.int64,
+        count=len(arrs),
+    )
     nz = lens > 0
     res: list = [None] * len(arrs)
     if not nz.any():
         return res
     with np.errstate(over="ignore"):
         flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in arrs if len(a)]
+            [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
         ).view(np.uint64)
         base = xxh64_long_np(flat, np.uint64(42))
         seg = np.zeros(int(nz.sum()), dtype=np.int64)

@@ -23,12 +23,15 @@ def arrow_local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     import pandas as pd
 
     if isinstance(schema, str):
-        fields = [
-            (f.split()[0].strip(), f.split()[1].strip().lower())
-            for f in schema.split(",")
-        ]
+        # parse via Spark's own DDL parser: a comma-bearing type
+        # (decimal(10,2), map<string,int>, struct<...>) would silently
+        # mis-split under a naive comma split (r12 ADVICE)
+        from pyspark.sql.types import _parse_datatype_string
+
+        struct = _parse_datatype_string(schema)
     else:  # StructType
-        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        struct = schema
+    fields = [(f.name, f.dataType.simpleString()) for f in struct.fields]
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
@@ -37,11 +40,21 @@ def arrow_local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     # $snapshots.parent_id — None for the first snapshot) to float64 +
     # NaN, which integer Spark types reject. Rebuild ONLY such columns
     # as object dtype from the original rows (exact ints, real nulls);
-    # the common all-int/all-string columns keep the fast C path.
+    # the common all-int/all-string columns keep the fast C path. The
+    # positional rebuild requires sequence rows — assert that rather
+    # than silently scrambling a dict/Row caller's values (r12 ADVICE).
     for i, (n, t) in enumerate(fields):
         if pdf[n].dtype.kind == "f" and not t.startswith(
             ("double", "float", "decimal")
         ):
+            if not all(
+                isinstance(r, (tuple, list)) and len(r) == len(fields)
+                for r in rows
+            ):
+                raise TypeError(
+                    "arrow_local_df int/None repair needs index-aligned "
+                    "tuple rows (len == #fields); got a non-sequence row"
+                )
             pdf[n] = pd.Series([r[i] for r in rows], dtype="object")
     return spark.createDataFrame(pdf, schema=schema)
 

@@ -57,3 +57,30 @@ def test_no_python_workers_in_plan(spark):
     df = arrow_local_df(spark, [(1, "x")], "k long, v string")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" not in plan
+
+
+def test_comma_bearing_type_parses(spark):
+    """r13 (r12 ADVICE): a comma inside a type (decimal(10,2)) must parse
+    via Spark's DDL parser, not mis-split into bogus fields."""
+    from decimal import Decimal
+
+    df = arrow_local_df(
+        spark,
+        [(1, Decimal("1.50")), (2, Decimal("2.25"))],
+        "k long, amount decimal(10,2)",
+    )
+    assert df.schema["amount"].dataType == T.DecimalType(10, 2)
+    assert sorted(r.k for r in df.collect()) == [1, 2]
+
+
+def test_repair_rejects_non_sequence_rows(spark):
+    """r13 (r12 ADVICE): the int/None repair path must fail loudly on
+    dict rows instead of silently scrambling columns."""
+    import pytest
+
+    with pytest.raises(TypeError, match="index-aligned"):
+        arrow_local_df(
+            spark,
+            [{"k": 1, "v": None}, {"k": 2, "v": 7}],
+            "k long, v long",
+        )

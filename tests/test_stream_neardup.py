@@ -218,3 +218,28 @@ def test_bucket_key_bytes_are_pinned(spark):
         "12:-4906201715138207662", "13:3790675555621220525",
         "14:-6302960123516498105", "15:6333702385396492593",
     ])
+
+
+def test_minhash_kernel_null_and_warning_contracts():
+    """r13 (r12 ADVICE): a NULL shingle array maps to a NULL signature
+    (the old array_min(transform(...)) contract), and the exported XXH64
+    helpers are warning-clean at any call site (uint64 wraparound is the
+    algorithm, not an error)."""
+    import warnings
+
+    import numpy as np
+
+    from fluss_iceberg_spark.operators.dedup import (
+        _minhash_np,
+        xxh64_int_np,
+        xxh64_long_np,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        res = _minhash_np([None, [], [3, 5, 7]])
+        h = xxh64_long_np(np.array([2**63 - 1, 1], dtype=np.uint64),
+                          np.uint64(42))
+        xxh64_int_np(7, h)
+    assert res[0] is None and res[1] is None
+    assert isinstance(res[2], list) and len(res[2]) == 64

@@ -1442,6 +1442,64 @@ class LakeTable:
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.hash(*[F.col(k) for k in self.primary_key]), F.lit(self.n_buckets))
 
+    # logical-plan node names that mark a delta lineage as expensive to
+    # re-execute AND re-plan (multi-join changelog diffs, aggregations,
+    # Python kernels); matched at line starts of the analyzed plan tree
+    _HEAVY_PLAN_RE = re.compile(
+        r"^[\s+:\-]*(Join|Aggregate|Window|Generate|Expand|"
+        r"(?:Arrow|Batch)EvalPython|MapInPandas|PythonMapInArrow|"
+        r"FlatMapGroupsInPandas|GlobalLimit|Sort|Union)\b",
+        re.M,
+    )
+
+    def _materialize_delta(self, df: DataFrame):
+        """Delta-frame policy for multi-action consumers (merge/delete):
+        the frame feeds 2-3 separate Spark actions (stats/guard collect,
+        then the write).
+
+        - HEAVY lineage (joins/aggregates/Python — IVM refreshes, CDC
+          mirror diffs): eager ``localCheckpoint`` — the lineage executes
+          exactly ONCE and is truncated, so every downstream action
+          analyzes a leaf scan instead of re-running Catalyst over the
+          changelog tree per action (measured r13: 42-56% of merge-family
+          wall was BETWEEN jobs, i.e. per-action planning; guide §5
+          "localCheckpoint is a cheaper way to cut lineage").
+        - TRIVIAL lineage (scan/local frame + row-level ops only): no
+          materialization. Re-executing a delta-sized scan per action is
+          cheaper than building and re-reading 32 cached partitions (the
+          r12 unconditional persist regressed exactly these consumers —
+          lake_scd2_dimension, stream_txn_two_sinks; adjudicated by the
+          interleaved A/B in OPTIMIZATION_r13.md).
+
+        ``FLUSS_MERGE_DELTA=persist`` restores the r12 unconditional
+        persist (the A/B toggle). Returns ``(frame, release_fn)``."""
+        mode = os.environ.get("FLUSS_MERGE_DELTA", "auto")
+        if mode == "persist":
+            p = df.persist()
+            return p, p.unpersist
+        try:
+            heavy = bool(
+                self._HEAVY_PLAN_RE.search(
+                    df._jdf.queryExecution().analyzed().toString()
+                )
+            )
+        except Exception:
+            heavy = True  # unknown plan shape: materializing is the safe default
+        if not heavy:
+            return df, lambda: None
+        cp = df.localCheckpoint(eager=True)
+
+        def _release() -> None:
+            # free the checkpoint blocks now rather than waiting for the
+            # ContextCleaner (best-effort — internal seam, cleaner still
+            # reclaims on drift); same pattern as neardup_admit_batch
+            try:
+                cp._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
+
+        return cp, _release
+
     @contextmanager
     def _micros_timestamps(self):
         """Scoped ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``.
@@ -1703,43 +1761,69 @@ class LakeTable:
         # undefined without order, so use an arbitrary-but-deterministic
         # max-by over all columns via row_number on a monotonic id
         #
-        # persist the collapsed batch: merge() consumes it through 2-3
-        # SEPARATE actions (conflict guard, touched-bucket collect, the
-        # bucket write), and without a cache the whole upstream lineage —
-        # for IVM refreshes and CDC mirrors that lineage is a multi-join
-        # changelog diff — is re-planned AND re-executed per action
-        # (guide §5 caching: reused + expensive to recompute). The batch
-        # is delta-sized by the operator contracts, so the cache cost is
-        # one delta materialization; unpersisted before returning.
-        updates = updates.dropDuplicates(self.primary_key).persist()
+        # merge() consumes the collapsed batch through 2-3 SEPARATE
+        # actions (conflict guard, touched-bucket collect, the bucket
+        # write) — _materialize_delta decides per lineage whether to
+        # checkpoint it once or recompute it per action (see its doc)
+        updates, rel_u = self._materialize_delta(
+            updates.dropDuplicates(self.primary_key)
+        )
+        rel_d = lambda: None  # noqa: E731
         if deletes is not None:
-            deletes = deletes.select(*self.primary_key).dropDuplicates().persist()
+            deletes, rel_d = self._materialize_delta(
+                deletes.select(*self.primary_key).dropDuplicates()
+            )
         try:
             return self._merge_inner(updates, deletes)
         finally:
-            updates.unpersist()
-            if deletes is not None:
-                deletes.unpersist()
+            rel_u()
+            rel_d()
 
     def _merge_inner(
         self, updates: DataFrame, deletes: DataFrame | None
     ) -> Snapshot:
-        if deletes is not None:
-            # a key both updated and deleted in one statement is ambiguous
-            # (Iceberg MERGE likewise rejects multi-action matches)
-            both = updates.join(deletes, on=self.primary_key, how="left_semi")
-            if both.limit(1).count() > 0:
-                raise ValueError(
-                    f"{self.name}: merge() key appears in both updates and deletes"
-                )
-
         parent = self.snapshot()
         version = self._next_version()
         touch_keys = updates.select(*self.primary_key)
         if deletes is not None:
             touch_keys = touch_keys.unionByName(deletes)
-        upd = touch_keys.withColumn("__bucket", self._bucket_col())
-        touched = [r["__bucket"] for r in upd.select("__bucket").distinct().collect()]
+        if deletes is not None:
+            # ONE stats job answers both driver questions (r13, guide §2
+            # "remove actions outright"): the touched-bucket set AND the
+            # ambiguity guard (a key in both updates and deletes is
+            # ambiguous — Iceberg MERGE likewise rejects multi-action
+            # matches). Both sides are already key-distinct, so a key
+            # seen from both sources groups to min=0/max=1.
+            tagged = (
+                updates.select(*self.primary_key)
+                .withColumn("__src", F.lit(0))
+                .unionByName(deletes.withColumn("__src", F.lit(1)))
+            )
+            stat = (
+                tagged.groupBy(*self.primary_key)
+                .agg(
+                    F.min("__src").alias("__mn"),
+                    F.max("__src").alias("__mx"),
+                )
+                .withColumn("__bucket", self._bucket_col())
+                .agg(
+                    F.collect_set("__bucket").alias("bks"),
+                    F.max((F.col("__mn") == 0) & (F.col("__mx") == 1)).alias(
+                        "amb"
+                    ),
+                )
+                .collect()[0]
+            )
+            if stat["amb"]:
+                raise ValueError(
+                    f"{self.name}: merge() key appears in both updates and deletes"
+                )
+            touched = list(stat["bks"] or [])
+        else:
+            upd = touch_keys.withColumn("__bucket", self._bucket_col())
+            touched = [
+                r["__bucket"] for r in upd.select("__bucket").distinct().collect()
+            ]
 
         if parent is None or not parent.files:
             files = self._write_files(updates, version, bucketed=True)
@@ -1798,9 +1882,14 @@ class LakeTable:
                     if f.endswith(".parquet")
                 ]
         files = sorted(keep_files + new_files)
-        total = self._rows_in(files)
+        # footer-basis total in O(touched) footers, not O(table): the
+        # untouched files' counts are already in the parent's footer total
+        # (r13 — a merge on a wide table must not re-open every footer)
+        added = self._rows_in(new_files)
+        prev_footer = parent.total_rows + parent.active_delete_count()
+        total = prev_footer - self._rows_in(old_touched) + added
         return self._commit(
-            "merge", files, total, self._rows_in(new_files), summary={"touched_buckets": touched}
+            "merge", files, total, added, summary={"touched_buckets": touched}
         )
 
     def delete(self, where: list[tuple]) -> Snapshot:
@@ -1844,15 +1933,17 @@ class LakeTable:
                 "log tables use delete(where=)"
             )
         snap = self.snapshot()
-        # persist: the key set feeds THREE actions (bucket routing
-        # collect, the delete-file write, the hide-count semi-join) —
-        # same multi-action reuse as merge(); O(|keys|) cache, released
-        # before returning
-        keys = keys.select(*self.primary_key).dropDuplicates().persist()
+        # the key set feeds THREE actions (bucket routing collect, the
+        # delete-file write, the hide-count semi-join) — same
+        # multi-action reuse as merge(); _materialize_delta picks
+        # checkpoint vs recompute per lineage (see its doc)
+        keys, rel = self._materialize_delta(
+            keys.select(*self.primary_key).dropDuplicates()
+        )
         try:
             return self._delete_by_key_inner(keys, snap)
         finally:
-            keys.unpersist()
+            rel()
 
     def _delete_by_key_inner(self, keys: DataFrame, snap) -> Snapshot:
         if snap is None or not snap.files:

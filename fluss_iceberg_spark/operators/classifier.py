@@ -77,11 +77,15 @@ def train_logreg(
     Catalyst aggregate over the persisted projection."""
     cols = list(feature_cols)
     proj = labeled.select(label_col, *cols).persist()
-    n = proj.count()
+    # ONE stats action (r13): row count rides the same aggregate as the
+    # moments instead of a separate count() job (identical values —
+    # count/avg/stddev_pop over the same rows)
     stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
         *[F.avg(c).alias(f"m_{c}") for c in cols],
         *[F.stddev_pop(c).alias(f"s_{c}") for c in cols],
     ).collect()[0]
+    n = int(stats["n"])
     mean = {c: float(stats[f"m_{c}"]) for c in cols}
     std = {c: float(stats[f"s_{c}"]) or 1.0 for c in cols}
 
@@ -89,18 +93,31 @@ def train_logreg(
         return (F.col(c) - mean[c]) / std[c]
 
     w = [0.0] * (len(cols) + 1)  # [bias, ...]
-    for _ in range(epochs):
-        z = F.lit(w[0])
-        for j, c in enumerate(cols):
-            z = z + F.lit(w[j + 1]) * zcol(c)
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        err = p - F.col(label_col)
-        grads = proj.agg(
-            F.sum(err).alias("g0"),
-            *[F.sum(err * zcol(c)).alias(f"g{j + 1}") for j, c in enumerate(cols)],
-        ).collect()[0]
-        for j in range(len(w)):
-            w[j] -= lr * float(grads[f"g{j}"]) / n
+    # The epoch loop is 30 sequential GLOBAL aggregates over a cached
+    # delta-sized projection. AQE buys nothing here — a global agg always
+    # reduces to one exchange partition — but charges per-epoch adaptive
+    # re-planning and an extra query-stage job per epoch (the admission
+    # tick loop's measured finding, r13). Scoped off for the loop; the
+    # physical aggregation tree (partial → single final) is unchanged, so
+    # gradient values are bit-identical.
+    spark = labeled.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(epochs):
+            z = F.lit(w[0])
+            for j, c in enumerate(cols):
+                z = z + F.lit(w[j + 1]) * zcol(c)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col(label_col)
+            grads = proj.agg(
+                F.sum(err).alias("g0"),
+                *[F.sum(err * zcol(c)).alias(f"g{j + 1}") for j, c in enumerate(cols)],
+            ).collect()[0]
+            for j in range(len(w)):
+                w[j] -= lr * float(grads[f"g{j}"]) / n
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     proj.unpersist()
     # fold the standardization back so the returned weights apply to
     # RAW features: w0' = w0 - sum(wj*mj/sj), wj' = wj/sj

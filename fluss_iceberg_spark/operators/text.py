@@ -1497,17 +1497,54 @@ def bm25_scores(
         .select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    # persist the two SMALL aggregates (dl = one row per doc, tf = one row
-    # per matched doc x term) so the stats collect below and the scoring
-    # job share ONE corpus tokenize instead of running it twice; both are
-    # unpersisted before returning (the final top-k is bounded by `top`,
-    # so it is materialized eagerly and handed back as a local frame).
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok")).persist()
-    tf = (
-        toks.filter(F.col("tok").isin(list(terms)))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # ONE-PASS per-doc aggregate (r13, guide §2 "aggregate before you
+    # shuffle"): the doc length and every query term's tf come out of a
+    # single groupBy over the token stream as conditional counts, so the
+    # corpus is tokenized exactly ONCE at cache-fill time (the r12 shape
+    # persisted dl and tf separately, and each cache FILL re-ran the
+    # tokenize — two corpus passes). No exploded-token persist either
+    # (corpus-scale memory at 100 TB); the cached state is one row per
+    # doc. Unpersisted before returning (the final top-k is bounded by
+    # `top`, materialized eagerly and handed back as a local frame).
+    term_list = list(dict.fromkeys(terms))  # dedupe, keep query order
+    if not term_list:
+        return (
+            df.select("doc_id")
+            .limit(0)
+            .withColumn("score_scaled", F.lit(0).cast("long"))
+        )
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            *[
+                F.count(F.when(F.col("tok") == F.lit(t), 1)).alias(f"__tf{i}")
+                for i, t in enumerate(term_list)
+            ],
+        )
         .persist()
+    )
+    dl = per_doc.select("doc_id", "n_tok")
+    # unpivot the per-term counts back to the (doc_id, tok, tf > 0) rows
+    # the scoring join consumes — bit-identical to the former
+    # filter+groupBy aggregate (counts are exact integers either way)
+    tf = (
+        per_doc.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tok"),
+                            F.col(f"__tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(term_list)
+                    ]
+                )
+            ).alias("__p"),
+        )
+        .select("doc_id", F.col("__p.tok").alias("tok"), F.col("__p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     # the idf model is |terms|+2 integers — a bounded, documented driver
     # read (same class as the classifier moments / BPE vocab): ONE
@@ -1534,8 +1571,7 @@ def bm25_scores(
         # no query term occurs anywhere in the corpus: the ranking is
         # empty by definition — return an empty frame with the contract
         # schema instead of crashing on stats[0]
-        tf.unpersist()
-        dl.unpersist()
+        per_doc.unpersist()
         return (
             df.select("doc_id")
             .limit(0)
@@ -1570,8 +1606,7 @@ def bm25_scores(
         .select("doc_id", F.col("score_scaled").cast("long").alias("score_scaled"))
         .collect()
     )
-    tf.unpersist()
-    dl.unpersist()
+    per_doc.unpersist()
     out_schema = StructType(
         [df.schema["doc_id"], StructField("score_scaled", LongType(), True)]
     )

@@ -317,8 +317,14 @@ def perceptual_hashes(binarized: DataFrame) -> DataFrame:
     fingerprint. At 100 TB the downstream dedup is a GROUP BY on the
     64-bit hash (exact-duplicate collapse) or a banded hamming join
     (near-dup) — either way the raster never leaves the map side; only
-    the 8-byte fingerprint shuffles."""
-    return binarized.select("doc_id", "payload").mapInPandas(
+    the 8-byte fingerprint shuffles. ``spread`` parallelizes the decode
+    when the payload source scans as few splits (r13: the synthesized
+    corpus arrived as ONE split, so the whole decode ran serially on one
+    core — 3.5 s/pass measured); a real multi-split 100 TB scan passes
+    through untouched (operators/util.spread)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    return spread(binarized.select("doc_id", "payload")).mapInPandas(
         ahash_kernel, AHASH_SCHEMA
     )
 
@@ -475,7 +481,19 @@ def ahash_near_pairs(
             f"({max_hamming} >= {n_bands})"
         )
     width = 64 // n_bands
-    h = hashes.where(F.col("ahash").isNotNull()).select("doc_id", "ahash")
+    # persist the FINGERPRINT frame (doc_id + 8-byte hash — the
+    # lightweight proxy, guide §8): it feeds four subtrees (vocabulary
+    # distinct, both re-expansion joins, the intra-hash self-join), and
+    # without a cache each one re-ran the upstream raster-decode kernel
+    # (r13 profile: three ~3.5 s single-task broadcast builds = the same
+    # decode, serially, three times). The raster itself is never cached.
+    # ContextCleaner unpersists when the plan is garbage collected (the
+    # minhash_lsh_pairs precedent).
+    h = (
+        hashes.where(F.col("ahash").isNotNull())
+        .select("doc_id", "ahash")
+        .persist()
+    )
     # Band-join over DISTINCT hash VALUES, not documents: a duplicate-heavy
     # corpus has vastly fewer fingerprints than rows (the whole point of
     # near-dup detection), and banding documents directly makes every

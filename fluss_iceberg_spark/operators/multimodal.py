@@ -354,8 +354,12 @@ def synth_png_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 
 def synth_png_payloads(docs: DataFrame) -> DataFrame:
-    """doc_id → deterministic PNG payload (see synth_png_kernel)."""
-    return docs.select("doc_id").mapInPandas(
+    """doc_id → deterministic PNG payload (see synth_png_kernel).
+    ``spread`` parallelizes synth+downstream decode when the doc source
+    scans as few splits (r13; no-op on real multi-split inputs)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    return spread(docs.select("doc_id")).mapInPandas(
         synth_png_kernel, "doc_id long, payload binary"
     )
 
@@ -454,8 +458,11 @@ def synth_gif_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 
 def synth_gif_payloads(docs: DataFrame) -> DataFrame:
-    """doc_id → deterministic animated-GIF payload (see synth_gif_kernel)."""
-    return docs.select("doc_id").mapInPandas(
+    """doc_id → deterministic animated-GIF payload (see synth_gif_kernel).
+    ``spread``: see synth_png_payloads (r13)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    return spread(docs.select("doc_id")).mapInPandas(
         synth_gif_kernel, "doc_id long, payload binary"
     )
 
@@ -652,8 +659,11 @@ def synth_wav_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 
 def synth_wav_payloads(docs: DataFrame) -> DataFrame:
-    """doc_id → deterministic WAV payload (see synth_wav_kernel)."""
-    return docs.select("doc_id").mapInPandas(
+    """doc_id → deterministic WAV payload (see synth_wav_kernel).
+    ``spread``: see synth_png_payloads (r13)."""
+    from fluss_iceberg_spark.operators.util import spread
+
+    return spread(docs.select("doc_id")).mapInPandas(
         synth_wav_kernel, "doc_id long, payload binary"
     )
 
@@ -743,17 +753,20 @@ def synth_mp4_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 
 def synth_mp4_payloads(docs: DataFrame, with_sync: bool = False) -> DataFrame:
-    """doc_id → deterministic MP4 payload (see _synth_mp4_batch)."""
+    """doc_id → deterministic MP4 payload (see _synth_mp4_batch).
+    ``spread``: see synth_png_payloads (r13)."""
+    from fluss_iceberg_spark.operators.util import spread
+
     if with_sync:
 
         def kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batch_iter:
                 yield _synth_mp4_batch(pdf, with_sync=True)
 
-        return docs.select("doc_id").mapInPandas(
+        return spread(docs.select("doc_id")).mapInPandas(
             kernel, "doc_id long, payload binary"
         )
-    return docs.select("doc_id").mapInPandas(
+    return spread(docs.select("doc_id")).mapInPandas(
         synth_mp4_kernel, "doc_id long, payload binary"
     )
 

@@ -215,16 +215,25 @@ class IvfIndex:
         dim = dim or self._require_dim()
         to_v = source.current_version()
         log = source.changelog_stream(from_version, to_v)
-        # persist the squashed changelog: the sync takes several actions
-        # over it (stale-key collect, upsert write, counts) and each
-        # would otherwise re-execute the whole per-commit diff lineage
-        net = source.compose_changelog(log).persist()
+        # eagerly checkpoint the squashed changelog: the sync takes
+        # several actions over it (stale-key collect, upsert write,
+        # counts), and a plain persist dedups the EXECUTION but leaves
+        # every action re-analyzing the multi-commit diff tree —
+        # localCheckpoint executes it once AND truncates the lineage
+        # (r13, the merge _materialize_delta finding: 42-56% of
+        # merge-family wall was per-action planning)
+        net = source.compose_changelog(log).localCheckpoint(eager=True)
         try:
             return self._apply_net_changes(
                 net, to_v, dim, max_inline_keys, id_col, vec_col
             )
         finally:
-            net.unpersist()
+            # release checkpoint blocks now (best-effort; ContextCleaner
+            # reclaims on drift) — same seam as neardup_admit_batch
+            try:
+                net._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
 
     def _apply_net_changes(
         self,

@@ -63,7 +63,10 @@ FLAGSHIPS = [
      "aggregate feeds the join, not the doc stream); the qualifying "
      "hash-pair set re-expands through BroadcastHashJoins, so the only "
      "doc-stream exchanges are the fingerprint aggregation and the "
-     "intra-hash self-join on the 8-byte key."),
+     "intra-hash self-join on the 8-byte key. r13: the fingerprint "
+     "frame is cached (InMemoryTableScan at every consumer) so the "
+     "raster-decode kernel runs ONCE, spread across the cores — the "
+     "raster itself is never cached or shuffled."),
     ("graph_pagerank",
      "Pregel-on-DataFrames: the edge×rank join reuses the persisted "
      "edge layout (InMemoryTableScan on the build of every iteration's "
